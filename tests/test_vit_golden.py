@@ -1,0 +1,79 @@
+"""Golden parity: Flax ViT + torch-checkpoint importer vs a PyTorch oracle.
+
+This is the parity anchor of SURVEY.md §7.2 step 1 — the same mechanism that
+imports the released DINO / TimeT.pth weights (README.md:66-76 contract),
+exercised with random weights through the timm-layout state_dict.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+from timetuning_tpu.models.import_torch import vit_params_from_torch
+
+torch = pytest.importorskip("torch")
+
+from tests.torch_vit_oracle import OracleViT  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def oracle_and_flax():
+    torch.manual_seed(0)
+    oracle = OracleViT(img_size=32, patch_size=8, dim=64, depth=3, heads=2).eval()
+    sd = {k: v.numpy() for k, v in oracle.state_dict().items()}
+    params = vit_params_from_torch(sd)
+    cfg = ViTConfig(
+        patch_size=8, embed_dim=64, depth=3, num_heads=2, img_size=32, attn_impl="xla"
+    )
+    model = VisionTransformer(cfg)
+    return oracle, model, {"params": params}
+
+
+def test_tokens_match(oracle_and_flax):
+    oracle, model, variables = oracle_and_flax
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = oracle(torch.from_numpy(x))
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got["tokens"]), want.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_attention_match(oracle_and_flax):
+    oracle, model, variables = oracle_and_flax
+    x = np.random.default_rng(1).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        _, want_probs = oracle(torch.from_numpy(x), return_probs=True)
+    got = model.apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1)), want_attention=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["attention"]), want_probs.numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_pos_embed_interpolation(oracle_and_flax):
+    """Different input resolution → bicubic pos-embed resampling on both sides
+    (reference dino_vision_transformer.py:214-234)."""
+    oracle, model, variables = oracle_and_flax
+    x = np.random.default_rng(2).normal(size=(1, 3, 48, 48)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = oracle(torch.from_numpy(x))
+    got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert got["tokens"].shape == want.shape
+    # torch bicubic (align_corners=False) and jax.image cubic use slightly
+    # different boundary handling; agreement is tight but not bit-exact.
+    np.testing.assert_allclose(
+        np.asarray(got["tokens"]), want.numpy(), rtol=1e-2, atol=2e-2
+    )
+
+
+def test_intermediates_are_normed(oracle_and_flax):
+    _, model, variables = oracle_and_flax
+    x = jnp.zeros((1, 32, 32, 3))
+    out = model.apply(variables, x, n_intermediates=2)
+    assert len(out["intermediates"]) == 2
+    assert out["intermediates"][-1].shape == out["tokens"].shape

@@ -1,0 +1,140 @@
+"""SwAV-style optimizer as one optax chain.
+
+Reproduces the reference ``SwavOptimizer`` (time_tuning.py:379-429):
+  * AdamW; three parameter groups — prototypes @ lr, projection head @ lr,
+    backbone @ backbone_lr (= lr/10 in the training driver, time_tuning.py:613);
+  * biases and 1-dim params excluded from weight decay (:391-403);
+  * cosine-annealed LR over num_itr·num_epochs (:383-386);
+  * weight decay itself cosine-scheduled 0.04 → 0.4 (:427-429, :613).
+
+TPU-native differences: "freezing" (requires_grad=False on everything but
+``unfreeze_layers``, models.py:929-935) is an optimizer mask here — frozen
+leaves get exactly-zero updates and no decay — and every schedule is a pure
+function of the step, so the whole update lives inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from timetuning_tpu.core.schedules import cosine_scheduler
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        name = getattr(p, "key", None)
+        if name is None:
+            name = getattr(p, "name", str(p))
+        parts.append(str(name))
+    return "/".join(parts)
+
+
+def _norm(pattern: str) -> str:
+    # Accept reference-style names ("blocks.11", "feature_extractor.backbone")
+    # as well as flax-style ("blocks_11").
+    return pattern.replace(".", "/").replace("blocks/", "blocks_")
+
+
+def build_masks(params, unfreeze_layers: Sequence[str]):
+    """Return (trainable_mask, lr_factor_tree, decay_mask) pytrees of floats/bools.
+
+    Trainability: prototypes and head always train; backbone leaves train only
+    if their path contains one of ``unfreeze_layers`` (reference
+    models.py:929-935 + time_tuning.py:574).
+    """
+    patterns = [_norm(u) for u in unfreeze_layers]
+
+    def classify(path, leaf):
+        s = _path_str(path)
+        in_backbone = "backbone" in s
+        if not in_backbone:
+            return "head"  # prototypes / projection head / probe params
+        return "backbone" if any(p in s for p in patterns) else "frozen"
+
+    groups = jax.tree_util.tree_map_with_path(classify, params)
+    trainable = jax.tree.map(lambda g: g != "frozen", groups)
+
+    def decay_ok(path, leaf, grp):
+        if grp == "frozen":
+            return False
+        s = _path_str(path)
+        return leaf.ndim > 1 and not s.endswith("bias")
+
+    decay = jax.tree_util.tree_map_with_path(decay_ok, params, groups)
+    return groups, trainable, decay
+
+
+class ScheduledWDState(NamedTuple):
+    step: jnp.ndarray
+
+
+def add_scheduled_decay(wd_fn: Callable[[jnp.ndarray], jnp.ndarray], mask) -> optax.GradientTransformation:
+    """add_decayed_weights with a per-step weight-decay schedule."""
+
+    def init(params):
+        del params
+        return ScheduledWDState(jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        wd = wd_fn(state.step)
+        updates = jax.tree.map(
+            lambda u, p, m: u + wd * p if m else u, updates, params, mask
+        )
+        return updates, ScheduledWDState(state.step + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def swav_optimizer(
+    params,
+    lr: float = 1e-4,
+    backbone_lr: float | None = None,
+    num_steps: int = 100_000,
+    unfreeze_layers: Sequence[str] = ("blocks.11", "blocks.10"),
+    wd_start: float = 0.04,
+    wd_end: float = 0.4,
+    num_epochs: int | None = None,
+    steps_per_epoch: int | None = None,
+    use_cosine_lr: bool = True,
+) -> tuple[optax.GradientTransformation, Any]:
+    """Build the optimizer. Returns (tx, trainable_mask)."""
+    if backbone_lr is None:
+        backbone_lr = lr / 10.0  # reference driver: time_tuning.py:613
+    groups, trainable, decay = build_masks(params, unfreeze_layers)
+
+    lr_factor = jax.tree.map(
+        lambda g: {"head": 1.0, "backbone": backbone_lr / lr, "frozen": 0.0}[g],
+        groups,
+    )
+
+    if num_epochs is not None and steps_per_epoch is not None:
+        num_steps = num_epochs * steps_per_epoch
+    wd_sched = cosine_scheduler(wd_start, wd_end, 1, num_steps)
+
+    def wd_fn(step):
+        sched = jnp.asarray(wd_sched)
+        return sched[jnp.minimum(step, sched.shape[0] - 1)]
+
+    if use_cosine_lr:
+        lr_schedule = optax.cosine_decay_schedule(lr, num_steps, alpha=0.0)
+    else:
+        lr_schedule = lambda _: lr  # noqa: E731
+
+    tx = optax.chain(
+        # zero grads of frozen leaves so adam moments stay at 0 for them
+        optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, trainable)),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        add_scheduled_decay(wd_fn, decay),
+        # per-group lr factor, then the shared cosine schedule and sign flip
+        optax.GradientTransformation(
+            lambda p: optax.EmptyState(),
+            lambda u, s, p=None: (jax.tree.map(lambda x, f: x * f, u, lr_factor), s),
+        ),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+    return tx, trainable

@@ -1,0 +1,331 @@
+"""TimeT — the self-supervised time-tuning core, as pure JAX.
+
+What the reference implements imperatively across ``TimeT(nn.Module)``,
+``SwavOptimizer`` and the training driver (reference time_tuning.py:80-302,
+379-429, 508-669) is one functional train step here:
+
+    state' , metrics = train_step(state, clip_batch, rng)
+
+with all mutable pieces — student params, EMA-teacher params, prototype bank,
+FIFO feature queue, optimizer moments, step counter — carried in a single
+``TrainState`` pytree. The step jits/pjits end-to-end over a ``Mesh(('data',))``
+with the Sinkhorn statistics psum'd over the mesh axis (the reference's
+``dist.all_reduce``, my_utils.py:252-272), so single-chip and multi-chip runs
+are the same program.
+
+Compute-graph notes (identical math, TPU-shaped):
+  * the reference runs three full-clip ViT passes per step — teacher, student
+    w/ head, student w/o head (time_tuning.py:231-239). Only three *slices*
+    of those passes are consumed by the loss: teacher(first frame) for the
+    Sinkhorn targets, backbone(all frames, no grad) for propagation, and
+    student-with-head(last frame) for the supervised scores. We compute
+    exactly those (≈2× fewer frame-forwards), which leaves the loss and its
+    gradients unchanged.
+  * the per-sample Python propagation loop (time_tuning.py:277-301) is the
+    vmapped/scanned ``propagate_labels_batch`` (ops/propagation.py).
+  * EMA momentum follows the reference's (unconventional) direction
+    ``teacher = teacher*(1-m) + student*m`` with m: 0.995→1.0
+    (time_tuning.py:113-115 — SURVEY.md §2.5 quirk), i.e. the teacher tracks
+    the student closely with a decaying lag.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from timetuning_tpu.core.schedules import cosine_scheduler, schedule_at
+from timetuning_tpu.models.extractor import FeatureExtractor, apply_attention_mask
+from timetuning_tpu.ops.propagation import propagate_labels_batch
+from timetuning_tpu.ops.sinkhorn import sinkhorn_assignment
+
+_EPS = 1e-12
+
+
+def _l2norm(x, axis=-1):
+    return x / (jnp.linalg.norm(x, axis=axis, keepdims=True) + _EPS)
+
+
+def _proto_init(key, shape, dtype=jnp.float32):
+    # Reference: randn then L2-normalize rows (time_tuning.py:90-93).
+    w = jax.random.normal(key, shape, dtype)
+    return _l2norm(w)
+
+
+class TimeT(nn.Module):
+    """Inference-facing module: FeatureExtractor + prototype bank.
+
+    ``__call__`` mirrors reference ``TimeT.forward(train=False)``
+    (time_tuning.py:186-196): returns (features, attentions).
+    """
+
+    backbone: nn.Module
+    head_dims: Sequence[int] = (1024, 1024, 512, 256)
+    n_prototypes: int = 200
+
+    def setup(self):
+        self.feature_extractor = FeatureExtractor(
+            self.backbone, tuple(self.head_dims), name="feature_extractor"
+        )
+        dim = self.head_dims[-1] if self.head_dims else None
+        if dim is None:
+            raise ValueError("specify head_dims (use [] + prototype_dim TODO)")
+        self.prototypes = self.param("prototypes", _proto_init, (self.n_prototypes, dim))
+
+    def __call__(self, x, use_head: bool = True, want_attention: bool = False):
+        return self.feature_extractor(x, use_head=use_head, want_attention=want_attention)
+
+    def similarity(self, feats):
+        """Cosine scores vs the prototype bank
+        (reference ``get_feature_prototype_similarity``, time_tuning.py:130-141).
+        feats [..., D] → [..., K]. Prototypes are kept unit-norm by the
+        post-step renormalization, so a plain dot product is cosine."""
+        return jnp.einsum(
+            "...d,kd->...k", _l2norm(feats), self.prototypes,
+            preferred_element_type=jnp.float32,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeTConfig:
+    """Static training-hyperparameter bundle (reference argparse surface,
+    time_tuning.py:673-714, with the *effective* loss defaults of
+    get_loss — SURVEY.md §2.5)."""
+
+    n_prototypes: int = 200
+    epsilon: float = 0.05
+    sinkhorn_iterations: int = 10      # get_loss default wins over the CLI flag
+    n_last_frames: int = 7             # get_loss default (time_tuning.py:224)
+    size_mask_neighborhood: int = 6
+    topk: int = 5
+    score_temperature: float = 0.1
+    use_teacher: bool = True
+    use_queue: bool = False
+    queue_size: int = 16384            # divided by world size by the caller
+    mask_features: bool = False
+    axis_name: str | None = None       # mesh axis for global Sinkhorn
+    world_size: int = 1
+    ema_start: float = 0.995
+    ema_end: float = 1.0
+    num_epochs: int = 100
+    steps_per_epoch: int = 1000
+    spatial_resolution: int = 14
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    teacher_params: Any
+    queue: Any                       # [Q, D] or None
+    queue_fill: jax.Array            # int32 scalar
+    step: jax.Array                  # int32 scalar
+
+    def ema_momentum(self, schedule):
+        return schedule_at(schedule, self.step)
+
+
+def init_state(
+    model: TimeT,
+    cfg: TimeTConfig,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    sample_frame: jax.Array,
+    pretrained_params=None,
+) -> TrainState:
+    """Initialize params (optionally grafting imported pretrained weights),
+    teacher copy, queue, optimizer state."""
+    variables = model.init(rng, sample_frame)
+    params = variables["params"]
+    if pretrained_params is not None:
+        params = _graft(params, pretrained_params)
+    queue = None
+    if cfg.use_queue:
+        dim = params["prototypes"].shape[-1]
+        queue = jnp.zeros((cfg.queue_size, dim), jnp.float32)
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        teacher_params=jax.tree.map(jnp.copy, params) if cfg.use_teacher else None,
+        queue=queue,
+        queue_fill=jnp.zeros((), jnp.int32),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def _graft(params, pretrained):
+    """Overlay imported weights onto a freshly-initialized tree (keys present
+    in ``pretrained`` win; shapes must match)."""
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(params)
+    pre = tu.flatten_dict(pretrained)
+    for k, v in pre.items():
+        if k in flat:
+            if flat[k].shape != v.shape:
+                raise ValueError(f"shape mismatch for {'/'.join(k)}: {flat[k].shape} vs {v.shape}")
+            flat[k] = jnp.asarray(v, dtype=flat[k].dtype)
+        else:
+            raise KeyError(f"pretrained key {'/'.join(k)} not in model tree")
+    return tu.unflatten_dict(flat)
+
+
+def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransformation):
+    """Build the jittable train step. Returns ``step_fn(state, clip, rng)``.
+
+    clip: [B, F, H, W, 3] normalized frames (NHWC).
+    """
+    momentum_schedule = cosine_scheduler(
+        cfg.ema_start, cfg.ema_end, cfg.num_epochs, cfg.steps_per_epoch
+    )
+    res = cfg.spatial_resolution
+
+    def apply(params, x, use_head, want_attention=False):
+        return model.apply({"params": params}, x, use_head=use_head,
+                           want_attention=want_attention)
+
+    def similarity(params, feats):
+        return model.apply({"params": params}, feats, method=TimeT.similarity)
+
+    def assign(params, feats, queue, queue_ready):
+        """First-frame Sinkhorn codes, optionally over batch+queue
+        (reference get_scores, time_tuning.py:195-217)."""
+        B, N, D = feats.shape
+        flat = feats.reshape(B * N, D)
+        scores = similarity(params, flat)                      # [B*N, K]
+
+        def with_queue(_):
+            q_scores = similarity(params, queue)
+            full = jnp.concatenate([scores, q_scores], axis=0)
+            q = sinkhorn_assignment(
+                full, cfg.epsilon, cfg.sinkhorn_iterations,
+                axis_name=cfg.axis_name, world_size=cfg.world_size,
+            )
+            return q[: B * N]
+
+        def without_queue(_):
+            return sinkhorn_assignment(
+                scores, cfg.epsilon, cfg.sinkhorn_iterations,
+                axis_name=cfg.axis_name, world_size=cfg.world_size,
+            )
+
+        if queue is None:
+            q = without_queue(None)
+        else:
+            q = jax.lax.cond(queue_ready, with_queue, without_queue, None)
+        return q.reshape(B, N, -1), scores.reshape(B, N, -1)
+
+    def step_fn(state: TrainState, clip: jax.Array, rng: jax.Array):
+        B, F, H, W, _ = clip.shape
+        frames = clip.reshape(B * F, H, W, 3)
+        first = clip[:, 0]
+        last = clip[:, -1]
+
+        queue_ready = (
+            state.queue_fill >= cfg.queue_size if cfg.use_queue else jnp.array(False)
+        )
+
+        # --- no-grad context ------------------------------------------------
+        # Backbone (no-head) features over all frames → propagation substrate
+        # (reference time_tuning.py:238-239).
+        bb_feats, _ = apply(state.params, frames, use_head=False)
+        bb_feats = jax.lax.stop_gradient(bb_feats)
+        Nb, Db = bb_feats.shape[-2:]
+        bb_feats = bb_feats.reshape(B, F, Nb, Db)
+
+        # Source codes q: teacher first frame if enabled, else student
+        # (time_tuning.py:263-268).
+        code_params = state.teacher_params if cfg.use_teacher else state.params
+        src_feats, src_attn = apply(
+            code_params, first, use_head=True, want_attention=cfg.mask_features
+        )
+        src_feats = jax.lax.stop_gradient(src_feats)
+        if cfg.mask_features:
+            masked, _ = apply_attention_mask(src_feats[:, None], src_attn, res)
+            src_feats = masked[:, 0]
+        q, _ = assign(code_params, src_feats, state.queue, queue_ready)
+        q = jax.lax.stop_gradient(q)                          # [B, N, K]
+
+        # Propagate q through the clip over backbone features
+        # (make_seg_maps → propagate_labels, time_tuning.py:143-154, 285).
+        prop = propagate_labels_batch(
+            bb_feats,
+            jnp.transpose(q, (0, 2, 1)),                      # [B, K, N]
+            n_last=cfg.n_last_frames,
+            radius=cfg.size_mask_neighborhood,
+            topk=cfg.topk,
+        )
+        p_last = prop[:, -1]                                   # [B, K, N]
+        labels = jnp.argmax(p_last, axis=1)                    # [B, N]
+
+        # --- grad path ------------------------------------------------------
+        def loss_fn(params):
+            s_feats, s_attn = apply(
+                params, last, use_head=True, want_attention=cfg.mask_features
+            )                                                  # [B, N, Dh]
+            if cfg.mask_features:
+                masked, mask = apply_attention_mask(s_feats[:, None], s_attn, res)
+                s_feats = masked[:, 0]
+            target_scores = similarity(params, s_feats)        # [B, N, K]
+            logits = target_scores / cfg.score_temperature
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits, jax.lax.stop_gradient(labels)
+            )                                                  # [B, N]
+            if cfg.mask_features:
+                ce = ce * mask[:, 0]
+            return ce.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if cfg.axis_name is not None:
+            grads = jax.lax.pmean(grads, cfg.axis_name)
+            loss = jax.lax.pmean(loss, cfg.axis_name)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # Prototype renorm after the step (time_tuning.py:125-128, 661).
+        params = dict(params) | {"prototypes": _l2norm(params["prototypes"])}
+
+        # --- EMA teacher ----------------------------------------------------
+        teacher_params = state.teacher_params
+        if cfg.use_teacher:
+            m = schedule_at(momentum_schedule, state.step)
+            teacher_params = jax.tree.map(
+                lambda t, s: t * (1.0 - m) + s * m, teacher_params, params
+            )
+            teacher_params = dict(teacher_params) | {
+                "prototypes": _l2norm(teacher_params["prototypes"])
+            }
+
+        # --- queue FIFO -----------------------------------------------------
+        queue, queue_fill = state.queue, state.queue_fill
+        if cfg.use_queue:
+            store_feats = src_feats.reshape(-1, src_feats.shape[-1])
+            n_store = min(B * 10, cfg.queue_size)
+            idx = jax.random.permutation(rng, store_feats.shape[0])[:n_store]
+            selected = jax.lax.stop_gradient(store_feats[idx])
+            queue = jnp.concatenate([selected, queue[:-n_store]], axis=0)
+            queue_fill = jnp.minimum(queue_fill + n_store, cfg.queue_size)
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            teacher_params=teacher_params,
+            queue=queue,
+            queue_fill=queue_fill,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "momentum": schedule_at(momentum_schedule, state.step)
+            if cfg.use_teacher
+            else jnp.zeros(()),
+        }
+        return new_state, metrics
+
+    return step_fn

@@ -1,0 +1,208 @@
+"""DINO-style Vision Transformer in Flax, TPU-first.
+
+Capability parity with the reference's DINO ViT (reference:
+dino_vision_transformer.py:108-294) — dense patch tokens, last-layer
+self-attention exposure, bicubic positional-embedding interpolation for
+arbitrary input resolutions — but built for XLA:
+
+  * the whole forward is one traced program; intermediate-layer outputs are
+    collected functionally instead of via forward hooks;
+  * attention runs through the fused Pallas kernel on TPU
+    (timetuning_tpu.ops.attention) with an XLA path when probabilities are
+    needed;
+  * compute dtype is configurable (bf16 on the MXU by default in training),
+    parameters stay f32.
+
+Checkpoint import from the released PyTorch weights (DINO / timm /
+``TimeT.pth``) lives in timetuning_tpu.models.import_torch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from timetuning_tpu.ops.attention import attention
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    img_size: int = 224
+    dtype: Any = jnp.float32  # compute dtype; params are always f32
+    attn_impl: str = "auto"   # auto | xla | pallas
+
+
+def interpolate_pos_embed(
+    pos_embed: jax.Array, h_patches: int, w_patches: int, patch_size: int
+) -> jax.Array:
+    """Bicubic-resample the (non-CLS) positional grid to a new resolution.
+
+    Matches reference ``interpolate_pos_encoding``
+    (dino_vision_transformer.py:214-234): the stored square grid is resized
+    bicubically; the CLS position passes through unchanged.
+    """
+    n = pos_embed.shape[1] - 1
+    dim = pos_embed.shape[-1]
+    n0 = int(round(n ** 0.5))
+    if n0 * n0 == n and (h_patches, w_patches) == (n0, n0):
+        return pos_embed
+    cls_pos = pos_embed[:, :1]
+    grid = pos_embed[:, 1:].reshape(1, n0, n0, dim)
+    grid = jax.image.resize(
+        grid, (1, h_patches, w_patches, dim), method="cubic"
+    )
+    grid = grid.reshape(1, h_patches * w_patches, dim)
+    return jnp.concatenate([cls_pos, grid], axis=1)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class Attention(nn.Module):
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, return_probs: bool = False):
+        B, S, D = x.shape
+        Dh = D // self.num_heads
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, S, 3, self.num_heads, Dh)
+        q, k, v = (
+            jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3)
+        )  # each [B, H, S, Dh]
+        out, probs = attention(
+            q, k, v, return_probs=return_probs, impl=self.attn_impl
+        )
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, S, D)
+        out = nn.Dense(D, dtype=self.dtype, name="proj")(out)
+        return out, probs
+
+
+class Block(nn.Module):
+    num_heads: int
+    mlp_ratio: float
+    qkv_bias: bool = True
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, return_probs: bool = False):
+        D = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        y, probs = Attention(
+            self.num_heads, self.qkv_bias, self.dtype, self.attn_impl, name="attn"
+        )(y, return_probs=return_probs)
+        x = x + y
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = Mlp(int(D * self.mlp_ratio), D, self.dtype, name="mlp")(y)
+        return x + y, probs
+
+
+class VisionTransformer(nn.Module):
+    """DINO ViT.
+
+    ``__call__(x)`` with x: [B, H, W, 3] (NHWC — TPU conv layout) returns a
+    dict with:
+      ``tokens``      [B, 1+N, D]  final-norm tokens (CLS first),
+      ``attention``   [B, heads, 1+N, 1+N] last-block attention probabilities
+                      (only when ``want_attention=True``),
+      ``intermediates`` list of [B, 1+N, D] normed outputs of the last
+                      ``n_intermediates`` blocks.
+    """
+
+    config: ViTConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        want_attention: bool = False,
+        n_intermediates: int = 1,
+    ):
+        cfg = self.config
+        B, H, W, _ = x.shape
+        p = cfg.patch_size
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(p, p),
+            strides=(p, p),
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(x)
+        hp, wp = x.shape[1], x.shape[2]
+        x = x.reshape(B, hp * wp, cfg.embed_dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim)
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1, 1 + (cfg.img_size // p) ** 2, cfg.embed_dim),
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)).astype(x.dtype), x],
+            axis=1,
+        )
+        x = x + interpolate_pos_embed(pos_embed, hp, wp, p).astype(x.dtype)
+
+        interm = []
+        probs = None
+        norm = nn.LayerNorm(dtype=cfg.dtype, name="norm")
+        for i in range(cfg.depth):
+            is_last = i == cfg.depth - 1
+            x, p_i = Block(
+                cfg.num_heads,
+                cfg.mlp_ratio,
+                cfg.qkv_bias,
+                cfg.dtype,
+                cfg.attn_impl,
+                name=f"blocks_{i}",
+            )(x, return_probs=want_attention and is_last)
+            if p_i is not None:
+                probs = p_i
+            if i >= cfg.depth - n_intermediates:
+                interm.append(norm(x))
+
+        return {
+            "tokens": interm[-1],
+            "attention": probs,
+            "intermediates": interm,
+            "grid": (hp, wp),
+        }
+
+
+def vit_tiny(patch_size: int = 16, **kw) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=192, depth=12, num_heads=3, **kw)
+
+
+def vit_small(patch_size: int = 16, **kw) -> ViTConfig:
+    """DINO ViT-S — the reference's primary backbone (time_tuning.py:675)."""
+    return ViTConfig(patch_size=patch_size, embed_dim=384, depth=12, num_heads=6, **kw)
+
+
+def vit_base(patch_size: int = 16, **kw) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, embed_dim=768, depth=12, num_heads=12, **kw)

@@ -1,0 +1,174 @@
+"""k-NN label propagation over feature affinities — the temporal core of TimeT.
+
+Re-designs the reference's per-sample Python loop (reference:
+mask_propagation.py:396-496, driven serially per clip inside the loss at
+time_tuning.py:277-301) as a fully batched, statically-shaped XLA program:
+
+  * the FIFO of context frames (a Python ``queue.Queue`` in the reference)
+    becomes a fixed-size rolling buffer updated with ``dynamic_update_slice``
+    inside a ``lax.scan`` over frames;
+  * the ``restrict_neighborhood`` local-attention mask (built by a 4-nested
+    Python loop and cached in a module global, mask_propagation.py:377-391)
+    is one broadcasted comparison, computed at trace time as a constant;
+  * the whole thing vmaps over the batch, so the affinity products
+    ([N, N] per context frame) run as large batched matmuls on the MXU
+    instead of 128 serial GPU launches.
+
+Semantics matched to the reference (mask_propagation.py:396-445):
+  affinity = exp(<tar_norm, src_norm> / 0.1), per-context-frame neighborhood
+  mask, *global* top-k over all context keys per query, column-normalize over
+  keys, then seg_tar = segs @ aff. The first frame is always kept in context;
+  the most recent ``n_last`` propagated frames fill the rest.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_neighborhood(h: int, w: int, radius: int):
+    import numpy as np
+
+    ii, jj = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ii = ii.reshape(-1)
+    jj = jj.reshape(-1)
+    keep = (np.abs(ii[:, None] - ii[None, :]) <= radius) & (
+        np.abs(jj[:, None] - jj[None, :]) <= radius
+    )
+    return keep.astype(np.float32)
+
+
+def neighborhood_mask(h: int, w: int, radius: int) -> jax.Array:
+    """[h*w, h*w] mask: mask[q, s] = 1 iff source s is within a
+    (2*radius+1)² spatial window of query q. radius <= 0 → all ones.
+
+    Equivalent to reference ``restrict_neighborhood`` (mask_propagation.py:377-391)
+    but computed as one vectorized comparison instead of an O(h·w·r²) loop.
+    """
+    if radius <= 0:
+        return jnp.ones((h * w, h * w), dtype=jnp.float32)
+    return jnp.asarray(_cached_neighborhood(h, w, radius))
+
+
+def label_propagation_step(
+    feat_tar: jax.Array,       # [N, D]  target-frame features (not yet normalized)
+    ctx_feats: jax.Array,      # [C, N, D] context features (already L2-normalized)
+    ctx_segs: jax.Array,       # [C, K, N] context label maps
+    ctx_valid: jax.Array,      # [C] 1.0 for live context slots
+    nbhd: jax.Array,           # [N, N] neighborhood mask (query-major)
+    topk: int = 5,
+    temperature: float = 0.1,
+) -> jax.Array:
+    """Propagate context label maps onto one target frame. Returns [K, N].
+
+    Matches reference ``label_propagation`` (mask_propagation.py:396-445):
+    invalid context slots contribute zero affinity (the static-shape stand-in
+    for the reference's variable-length context list).
+    """
+    C, N, D = ctx_feats.shape
+    acc_t = jnp.promote_types(feat_tar.dtype, jnp.float32)
+    f_tar = feat_tar / (jnp.linalg.norm(feat_tar, axis=-1, keepdims=True) + _EPS)
+    # [C, N_tar, N_src] — batched matmul on the MXU.
+    aff = jnp.einsum(
+        "nd,cmd->cnm", f_tar, ctx_feats, preferred_element_type=acc_t
+    )
+    aff = jnp.exp(aff / temperature)
+    aff = aff * nbhd[None, :, :].astype(acc_t)
+    aff = aff * ctx_valid[:, None, None].astype(acc_t)
+
+    # Keys-major view: [N_tar, C*N_src]; global top-k over all context keys.
+    aff_q = jnp.transpose(aff, (1, 0, 2)).reshape(N, C * N)
+    kth = jax.lax.top_k(aff_q, topk)[0][:, -1]                 # [N_tar]
+    aff_q = jnp.where(aff_q >= kth[:, None], aff_q, 0.0)
+    aff_q = aff_q / (jnp.sum(aff_q, axis=1, keepdims=True) + _EPS)
+
+    # segs: [C, K, N] → [K, C*N]; seg_tar = segs @ affᵀ : [K, N_tar].
+    segs = jnp.transpose(ctx_segs, (1, 0, 2)).reshape(-1, C * N)
+    return jnp.einsum(
+        "kc,nc->kn", segs.astype(acc_t), aff_q, preferred_element_type=acc_t
+    )
+
+
+def propagate_labels(
+    features: jax.Array,       # [T, N, D] per-frame dense features
+    first_seg: jax.Array,      # [K, N] label map of frame 0 (soft or one-hot)
+    n_last: int = 7,
+    radius: int = 6,
+    topk: int = 5,
+    temperature: float = 0.1,
+    spatial_size: tuple[int, int] | None = None,
+) -> jax.Array:
+    """Propagate ``first_seg`` through a clip. Returns [T-1, K, N] maps for
+    frames 1..T-1.
+
+    Context = frame 0 (always) + up to ``n_last`` most recent *propagated*
+    frames, matching reference ``propagate_labels`` (mask_propagation.py:448-496).
+    The context is a static circular buffer scanned over frames; batch it with
+    ``jax.vmap`` (the reference looped serially per sample,
+    time_tuning.py:277-301).
+    """
+    T, N, D = features.shape
+    K = first_seg.shape[0]
+    if spatial_size is None:
+        h = w = int(round(N ** 0.5))
+    else:
+        h, w = spatial_size
+    assert h * w == N, f"spatial size {h}x{w} != N={N}"
+    nbhd = neighborhood_mask(h, w, radius)
+
+    feats_n = features / (jnp.linalg.norm(features, axis=-1, keepdims=True) + _EPS)
+
+    # Rolling slots hold only the *recent* frames; frame 0 is pinned separately.
+    n_slots = max(min(n_last, T - 2), 1)
+    C = n_slots + 1
+
+    seg_t = jnp.promote_types(first_seg.dtype, jnp.float32)
+    ctx_feats0 = jnp.zeros((C, N, D), feats_n.dtype).at[0].set(feats_n[0])
+    ctx_segs0 = jnp.zeros((C, K, N), seg_t).at[0].set(first_seg.astype(seg_t))
+    ctx_valid0 = jnp.zeros((C,), jnp.float32).at[0].set(1.0)
+
+    def step(carry, xs):
+        ctx_feats, ctx_segs, ctx_valid = carry
+        f_norm, f_raw, t = xs
+        seg = label_propagation_step(
+            f_raw, ctx_feats, ctx_segs, ctx_valid, nbhd, topk, temperature
+        )
+        slot = 1 + jnp.mod(t - 1, n_slots)
+        ctx_feats = jax.lax.dynamic_update_index_in_dim(ctx_feats, f_norm, slot, 0)
+        ctx_segs = jax.lax.dynamic_update_index_in_dim(ctx_segs, seg, slot, 0)
+        ctx_valid = ctx_valid.at[slot].set(1.0)  # static-index fast path? slot is dynamic
+        return (ctx_feats, ctx_segs, ctx_valid), seg
+
+    # `at[slot].set` with a traced index lowers to dynamic_update_slice — fine.
+    ts = jnp.arange(1, T)
+    (_, _, _), segs = jax.lax.scan(
+        step, (ctx_feats0, ctx_segs0, ctx_valid0), (feats_n[1:], features[1:], ts)
+    )
+    return segs
+
+
+def propagate_labels_batch(
+    features: jax.Array,       # [B, T, N, D]
+    first_seg: jax.Array,      # [B, K, N]
+    n_last: int = 7,
+    radius: int = 6,
+    topk: int = 5,
+    temperature: float = 0.1,
+    spatial_size: tuple[int, int] | None = None,
+) -> jax.Array:
+    """vmapped ``propagate_labels``: [B, T-1, K, N]."""
+    fn = functools.partial(
+        propagate_labels,
+        n_last=n_last,
+        radius=radius,
+        topk=topk,
+        temperature=temperature,
+        spatial_size=spatial_size,
+    )
+    return jax.vmap(fn)(features, first_seg)

@@ -1,0 +1,106 @@
+"""Sinkhorn-Knopp optimal-transport assignment, TPU-native.
+
+Reproduces the numerical behavior of the reference's non-log-space Sinkhorn
+(reference: my_utils.py:246-274) — including its *global* (cross-device)
+normalization when training data-parallel — but expressed the JAX way:
+
+  * the multi-device reduction is `jax.lax.psum` over a named mesh axis
+    (the reference used `torch.distributed.all_reduce` over NCCL,
+    my_utils.py:252-272);
+  * the iteration is a `lax.fori_loop`, so the whole transport plan compiles
+    into one XLA program on-device;
+  * sample validity is a static-shape mask (the reference concatenated a
+    dynamically "full" feature queue, time_tuning.py:207-213 — dynamic shapes
+    don't exist under jit, so invalid rows are masked to zero instead).
+
+Everything is f32: the scores are tiny ([B*N(+Q), K], K=200), so precision is
+free and matches the reference (which upcasts to float for Sinkhorn).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+def _maybe_psum(x, axis_name):
+    if axis_name is None:
+        return x
+    return jax.lax.psum(x, axis_name)
+
+
+def sinkhorn(
+    Q: jax.Array,
+    n_iters: int = 3,
+    axis_name: str | None = None,
+    world_size: int = 1,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """Doubly-stochastic normalization of a transport matrix.
+
+    Args:
+      Q: [K, B] non-negative scores (typically ``exp(scores / eps).T``).
+         K = prototypes, B = samples (patches, possibly + queue entries).
+      n_iters: Sinkhorn iterations (reference effective default: 10,
+        time_tuning.py:224 — the CLI's ``--sinkhorn_iterations`` is never
+        plumbed through, SURVEY.md §2.5).
+      axis_name: mesh axis to psum over for globally-balanced assignment;
+        None for single-device.
+      world_size: number of devices participating (sets the column marginal
+        ``c = 1/(B*world)`` exactly as the reference does, my_utils.py:257).
+      valid: optional [B] mask (1=real sample, 0=padding, e.g. an unfilled
+        queue slot). Invalid columns are zeroed and excluded from every sum.
+
+    Returns:
+      [B, K] assignment where each *row* (sample) sums to 1 and prototype
+      masses are balanced across the (global) batch.
+    """
+    Q = Q.astype(jnp.float32)
+    K, B = Q.shape
+    if valid is not None:
+        Q = Q * valid[None, :].astype(jnp.float32)
+
+    sum_Q = _maybe_psum(jnp.sum(Q), axis_name)
+    Q = Q / (sum_Q + _EPS)
+
+    r = 1.0 / K
+    # Column marginal: each of the (globally) B*world samples gets equal mass.
+    if valid is None:
+        n_valid = B * world_size
+    else:
+        n_valid = _maybe_psum(jnp.sum(valid.astype(jnp.float32)), axis_name)
+    c = 1.0 / (n_valid + _EPS)
+
+    def body(_, Q):
+        u = _maybe_psum(jnp.sum(Q, axis=1), axis_name)          # [K] row sums
+        Q = Q * (r / (u + _EPS))[:, None]
+        col = jnp.sum(Q, axis=0)                                # [B] per-sample
+        Q = Q * (c / (col + _EPS))[None, :]
+        return Q
+
+    Q = jax.lax.fori_loop(0, n_iters, body, Q)
+    Q = Q / (jnp.sum(Q, axis=0, keepdims=True) + _EPS)
+    return Q.T
+
+
+def sinkhorn_assignment(
+    scores: jax.Array,
+    epsilon: float = 0.05,
+    n_iters: int = 10,
+    axis_name: str | None = None,
+    world_size: int = 1,
+    valid: jax.Array | None = None,
+) -> jax.Array:
+    """``find_optimal_assignment``: scores → balanced soft assignment.
+
+    Matches reference time_tuning.py:157-168: ``q = sinkhorn(exp(scores/ε).T)``.
+    ``scores``: [B, K] cosine similarities; returns [B, K]. Gradients are
+    stopped — the assignment is a (soft) label, not a differentiable path.
+    """
+    scores = jax.lax.stop_gradient(scores)
+    q = jnp.exp(scores / epsilon).T
+    return sinkhorn(
+        q, n_iters=n_iters, axis_name=axis_name, world_size=world_size, valid=valid
+    )

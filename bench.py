@@ -1,0 +1,74 @@
+"""Benchmark: ViT-S/16 dense feature extraction throughput (frames/sec/chip).
+
+The BASELINE.json headline workload — dense ``forward_features`` over 224×224
+frames (the reference's triple-ViT-forward training step is built from this
+primitive; BASELINE.md north star: ≥5,000 frames/sec/chip on TPU v5e).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+BASELINE_FPS = 5000.0  # driver-set target (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from timetuning_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from __graft_entry__ import _flagship
+
+    model, params = _flagship(img=224, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def forward(params, frames):
+        feats, _ = model.apply({"params": params}, frames, use_head=False)
+        return feats
+
+    batch = 256
+    # Distinct buffers per iteration: identical repeated inputs can be
+    # memoized by the runtime and synthetic zeros can constant-fold — either
+    # inflates throughput by orders of magnitude. Generate on device (host
+    # uploads through the tunnel are slow).
+    make = jax.jit(
+        lambda key: jax.random.normal(key, (batch, 224, 224, 3), jnp.bfloat16)
+    )
+    bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
+
+    # compile + warmup (block via scalar readback — robust on all platforms)
+    float(forward(params, bufs[0]).mean())
+    float(forward(params, bufs[1]).mean())
+
+    iters = 20
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = forward(params, bufs[i % 2])
+    out.block_until_ready()
+    float(out.mean())
+    dt = (time.perf_counter() - t0) / iters
+
+    fps = batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "vit_s16_dense_features_fps",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,158 @@
+"""Integration tests for the TimeT train step (tiny model, synthetic clips)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from timetuning_tpu.core.optimizer import swav_optimizer
+from timetuning_tpu.core.timet import TimeT, TimeTConfig, init_state, make_train_step
+from timetuning_tpu.models.extractor import FeatureExtractor
+from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+
+B, F, IMG, PATCH = 4, 3, 32, 8
+RES = IMG // PATCH  # 4 → N=16 patches
+
+
+def tiny_model(n_protos=8):
+    vcfg = ViTConfig(
+        patch_size=PATCH, embed_dim=32, depth=2, num_heads=2, img_size=IMG,
+        attn_impl="xla",
+    )
+    fe = FeatureExtractor(backbone=VisionTransformer(vcfg), head_dims=(48, 24))
+    return TimeT(feature_extractor=fe, n_prototypes=n_protos)
+
+
+def make_everything(use_teacher=True, use_queue=False, axis_name=None, world=1):
+    model = tiny_model()
+    cfg = TimeTConfig(
+        n_prototypes=8,
+        use_teacher=use_teacher,
+        use_queue=use_queue,
+        queue_size=64,
+        num_epochs=2,
+        steps_per_epoch=4,
+        spatial_resolution=RES,
+        n_last_frames=2,
+        size_mask_neighborhood=1,
+        axis_name=axis_name,
+        world_size=world,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    variables = jax.eval_shape(model.init, rng, sample)
+    # real init (small model, fast)
+    params = model.init(rng, sample)["params"]
+    tx, _ = swav_optimizer(
+        params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
+        unfreeze_layers=("blocks.1",),
+    )
+    state = init_state(model, cfg, tx, rng, sample)
+    step = make_train_step(model, cfg, tx)
+    return model, cfg, tx, state, step
+
+
+def _clip(seed=0, b=B):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.normal(size=(b, F, IMG, IMG, 3)).astype(np.float32))
+
+
+def test_train_step_runs_and_updates():
+    model, cfg, tx, state, step = make_everything()
+    clip = _clip()
+    new_state, metrics = jax.jit(step)(state, clip, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(new_state.step) == 1
+    # prototypes stay unit-norm after the update
+    norms = np.linalg.norm(np.asarray(new_state.params["prototypes"]), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+    # unfrozen block changed, frozen block did not
+    assert set(state.params) == {"feature_extractor", "prototypes"}
+    p0 = state.params["feature_extractor"]["backbone"]
+    p1 = new_state.params["feature_extractor"]["backbone"]
+    assert np.allclose(
+        p0["blocks_0"]["attn"]["qkv"]["kernel"], p1["blocks_0"]["attn"]["qkv"]["kernel"]
+    )
+    assert not np.allclose(
+        p0["blocks_1"]["attn"]["qkv"]["kernel"], p1["blocks_1"]["attn"]["qkv"]["kernel"]
+    )
+    # head + prototypes changed
+    assert not np.allclose(
+        state.params["feature_extractor"]["head"]["lin0"]["kernel"],
+        new_state.params["feature_extractor"]["head"]["lin0"]["kernel"],
+    )
+
+
+def test_teacher_ema_moves_toward_student():
+    model, cfg, tx, state, step = make_everything()
+    s1, _ = jax.jit(step)(state, _clip(1), jax.random.PRNGKey(2))
+    # momentum m≈0.995 → teacher ≈ student after one step (reference EMA
+    # direction quirk, time_tuning.py:113-115)
+    t = np.asarray(s1.teacher_params["feature_extractor"]["head"]["lin0"]["kernel"])
+    s = np.asarray(s1.params["feature_extractor"]["head"]["lin0"]["kernel"])
+    prev = np.asarray(state.params["feature_extractor"]["head"]["lin0"]["kernel"])
+    assert np.abs(t - s).max() < np.abs(prev - s).max() + 1e-9
+    assert not np.allclose(t, prev)
+
+
+def test_queue_fills_and_is_used():
+    model, cfg, tx, state, step = make_everything(use_queue=True)
+    jstep = jax.jit(step)
+    fills = []
+    for i in range(3):
+        state, _ = jstep(state, _clip(i), jax.random.PRNGKey(i))
+        fills.append(int(state.queue_fill))
+    # B*10 = 40 per step, queue_size 64 → 40, 64, 64
+    assert fills == [40, 64, 64]
+    assert np.abs(np.asarray(state.queue)).sum() > 0
+
+
+def test_no_teacher_mode():
+    model, cfg, tx, state, step = make_everything(use_teacher=False)
+    assert state.teacher_params is None
+    s1, m = jax.jit(step)(state, _clip(2), jax.random.PRNGKey(3))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_dp_matches_single_device():
+    """pjit data-parallel step == single-device step on the concatenated
+    batch: same loss, same updated params (SURVEY.md §4 distributed seam)."""
+    n_dev = jax.device_count()
+    assert n_dev >= 2
+
+    # single device, full batch
+    model, cfg, tx, state, step = make_everything()
+    clip = _clip(7, b=8)
+    rng = jax.random.PRNGKey(0)
+    s_single, m_single = jax.jit(step)(state, clip, rng)
+
+    # sharded: same params, batch split over the mesh
+    model2, cfg2, tx2, state2, step2 = make_everything(
+        axis_name="data", world=n_dev
+    )
+    mesh = jax.sharding.Mesh(np.array(jax.devices()), ("data",))
+    P = jax.sharding.PartitionSpec
+    rep = P()
+
+    state_specs = jax.tree.map(lambda _: rep, state2)
+    shard_step = jax.jit(
+        jax.shard_map(
+            lambda st, c, r: step2(st, c, r),
+            mesh=mesh,
+            in_specs=(state_specs, P("data"), rep),
+            out_specs=(state_specs, rep),
+            check_vma=False,
+        )
+    )
+    s_shard, m_shard = shard_step(state2, clip, rng)
+    np.testing.assert_allclose(
+        float(m_shard["loss"]), float(m_single["loss"]), rtol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_shard.params["prototypes"]),
+        np.asarray(s_single.params["prototypes"]),
+        rtol=1e-3, atol=1e-5,
+    )

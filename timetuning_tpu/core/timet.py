@@ -62,21 +62,27 @@ def _proto_init(key, shape, dtype=jnp.float32):
 class TimeT(nn.Module):
     """Inference-facing module: FeatureExtractor + prototype bank.
 
-    ``__call__`` mirrors reference ``TimeT.forward(train=False)``
-    (time_tuning.py:186-196): returns (features, attentions).
+    Mirrors the reference constructor ``TimeT(feature_extractor,
+    prototype_number)`` (time_tuning.py:80-93); ``__call__`` mirrors
+    ``TimeT.forward(train=False)`` (time_tuning.py:186-196) and returns
+    (features, attentions). The param tree is
+    ``{feature_extractor: {backbone, head}, prototypes}`` — the same layout
+    as the published TimeT.pth state dict (README.md:70-72), so the importer
+    grafts 1:1.
     """
 
-    backbone: nn.Module
-    head_dims: Sequence[int] = (1024, 1024, 512, 256)
+    feature_extractor: FeatureExtractor
     n_prototypes: int = 200
+    prototype_dim: int | None = None  # default: projection-head output dim
 
     def setup(self):
-        self.feature_extractor = FeatureExtractor(
-            self.backbone, tuple(self.head_dims), name="feature_extractor"
-        )
-        dim = self.head_dims[-1] if self.head_dims else None
+        dim = self.prototype_dim
         if dim is None:
-            raise ValueError("specify head_dims (use [] + prototype_dim TODO)")
+            if not self.feature_extractor.head_dims:
+                raise ValueError(
+                    "prototype_dim is required when the extractor has no head"
+                )
+            dim = self.feature_extractor.head_dims[-1]
         self.prototypes = self.param("prototypes", _proto_init, (self.n_prototypes, dim))
 
     def __call__(self, x, use_head: bool = True, want_attention: bool = False):

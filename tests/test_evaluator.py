@@ -1,0 +1,112 @@
+"""Evaluator pipeline on synthetic separable features."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from timetuning_tpu.eval.evaluator import (
+    Evaluator,
+    evaluate_localizations,
+    evaluate_propagation,
+)
+from timetuning_tpu.eval.metrics import PredsmIoU
+
+
+def test_evaluate_localizations_protocols():
+    rng = np.random.default_rng(0)
+    gts = rng.integers(0, 3, size=(2, 2, 8, 8))
+    perm = np.array([1, 2, 0])
+    preds = perm[gts]  # perfect up to relabeling
+    m = PredsmIoU(8, 8, involve_bg=True)
+    for proto in ["frame-wise", "sample-wise", "dataset-wise"]:
+        s = evaluate_localizations(m, gts, preds, proto)
+        assert s == pytest.approx(1.0), proto
+
+
+def test_ignore_index_filtering():
+    gts = np.full((1, 1, 4, 4), 255)
+    gts[0, 0, :2] = 1
+    preds = np.ones((1, 1, 4, 4), int)
+    m = PredsmIoU(8, 8, involve_bg=True)
+    s = evaluate_localizations(m, gts, preds, "dataset-wise", ignore_index=255)
+    assert s == pytest.approx(1.0)
+
+
+def test_evaluate_propagation_mean():
+    gts = np.zeros((1, 2, 6, 6), int)
+    gts[:, :, :3] = 1
+    m = PredsmIoU(4, 4, involve_bg=True)
+    s = evaluate_propagation(m, gts, gts)
+    assert s == pytest.approx(1.0)
+
+
+def _fake_dataset(n_batches=2, B=2, F=2, H=28, W=28):
+    """Frames whose 'features' (per 7x7 patch grid) are determined by a
+    3-class layout; annotations agree with the layout."""
+    rng = np.random.default_rng(0)
+    batches = []
+    for _ in range(n_batches):
+        layout = rng.integers(0, 3, size=(B, F, 7, 7))
+        frames = np.zeros((B, F, H, W, 3), np.float32)
+        ann = np.kron(layout, np.ones((4, 4), int))  # upsample to 28x28
+        batches.append((frames, ann, layout))
+    return batches
+
+
+def test_evaluator_end_to_end_kmeans():
+    batches = _fake_dataset()
+
+    centers = np.asarray([[4, 0, 0, 0], [0, 4, 0, 0], [0, 0, 4, 0]], np.float32)
+
+    def feature_fn(frames, use_mask):
+        # derive features from the stored layout via closure lookup
+        idx = feature_fn.layouts.pop(0)
+        BF = frames.shape[0]
+        lay = idx.reshape(BF, 49)
+        feats = centers[lay] + 0.01 * np.random.default_rng(1).normal(
+            size=(BF, 49, 4)
+        ).astype(np.float32)
+        return jnp.asarray(feats), None
+
+    feature_fn.layouts = [b[2] for b in batches]
+
+    ev = Evaluator(
+        data_iter_factory=lambda: [(b[0], b[1]) for b in batches],
+        feature_fn=feature_fn,
+        spatial_resolution=7,
+        num_classes=3,
+        involve_bg=True,
+        ignore_index=None,
+    )
+    score = ev.evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3
+    )
+    # bilinear feature upsampling blurs the 4px class boundaries, so a band
+    # of boundary pixels mismatches the nearest-upsampled annotations
+    assert score > 0.8
+
+
+def test_evaluator_prototypes_path():
+    batches = _fake_dataset(n_batches=1)
+    centers = np.eye(3, dtype=np.float32)
+
+    def feature_fn(frames, use_mask):
+        idx = feature_fn.layouts.pop(0)
+        BF = frames.shape[0]
+        lay = idx.reshape(BF, 49)
+        return jnp.asarray(centers[lay]), None
+
+    feature_fn.layouts = [b[2] for b in batches]
+    ev = Evaluator(
+        data_iter_factory=lambda: [(b[0], b[1]) for b in batches],
+        feature_fn=feature_fn,
+        spatial_resolution=7,
+        num_classes=3,
+        clustering_algorithm="prototypes",
+        prototypes=jnp.asarray(centers),
+        ignore_index=None,
+    )
+    score = ev.evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3
+    )
+    assert score > 0.8

@@ -1,0 +1,217 @@
+"""Evaluation harness: the three clustering-mIoU protocols.
+
+Reference: ``Evaluator`` + ``evaluate_localizations`` (evaluation.py:250-485).
+Protocols:
+  * frame-wise   — Hungarian/many-to-one match per frame, mean over frames;
+  * sample-wise  — one match per clip, mean over clips;
+  * dataset-wise — features of the whole set clustered together, one global
+                   match (ignore-index pixels excluded, the Pascal ``!=255``
+                   filter hardcoded at evaluation.py:303-306).
+
+The harness is decoupled from data loading: it takes an iterator factory
+yielding ``(frames [B, F, H, W, 3], annotations [B, F, h, w])`` host arrays
+and a ``feature_fn``. Feature extraction, attention masking, PCA, k-means and
+confusion-matrix accumulation all run on device; only the class matching is
+host-side (tiny).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timetuning_tpu.eval.clustering import cluster_features, proto_clustering
+from timetuning_tpu.eval.metrics import PredsmIoU
+from timetuning_tpu.models.extractor import apply_attention_mask
+from timetuning_tpu.ops.resize import resize_nearest
+
+
+def evaluate_localizations(
+    preds_eval: PredsmIoU,
+    gts: np.ndarray,          # [B, F, h, w] int
+    preds: np.ndarray,        # [B, F, h, w] int
+    evaluation_protocol: str,
+    many_to_one: bool = False,
+    precision_based: bool = False,
+    ignore_index: int | None = None,
+) -> float:
+    """Match cluster maps to annotations under a protocol; returns mean mIoU
+    (reference evaluation.py:250-310, sans gif logging — see obs/viz)."""
+    B, F = preds.shape[:2]
+    scores = []
+    if evaluation_protocol == "frame-wise":
+        for i in range(B):
+            for j in range(F):
+                preds_eval.update(gts[i, j].reshape(-1), preds[i, j].reshape(-1))
+                scores.append(
+                    preds_eval.compute(True, many_to_one, precision_based)[0]
+                )
+                preds_eval.reset()
+    elif evaluation_protocol == "sample-wise":
+        for i in range(B):
+            for j in range(F):
+                preds_eval.update(gts[i, j].reshape(-1), preds[i, j].reshape(-1))
+            scores.append(preds_eval.compute(True, many_to_one, precision_based)[0])
+            preds_eval.reset()
+    elif evaluation_protocol == "dataset-wise":
+        for i in range(B):
+            for j in range(F):
+                g = gts[i, j].reshape(-1)
+                p = preds[i, j].reshape(-1)
+                if ignore_index is not None:
+                    keep = g != ignore_index
+                    g, p = g[keep], p[keep]
+                preds_eval.update(g, p)
+        scores.append(preds_eval.compute(True, many_to_one, precision_based)[0])
+        preds_eval.reset()
+    else:
+        raise ValueError(f"unknown protocol {evaluation_protocol}")
+    return float(np.mean(scores))
+
+
+def evaluate_propagation(preds_eval: PredsmIoU, gts: np.ndarray, preds: np.ndarray) -> float:
+    """Mean per-object propagation J over clips (reference
+    evaluation.py:228-246)."""
+    B, F = preds.shape[:2]
+    all_scores = []
+    for i in range(B):
+        preds_eval.reset()
+        for j in range(F):
+            # reference passes (pred, gt) into update(gt=..., pred=...) —
+            # the propagation score is symmetric in tp/fn bookkeeping per
+            # object, we keep the (gt, pred) order.
+            preds_eval.update_frame(gts[i, j].reshape(-1), preds[i, j].reshape(-1))
+        all_scores += preds_eval.compute_propagation_score(True)
+    preds_eval.reset()
+    return float(np.mean(all_scores))
+
+
+class Evaluator:
+    """Owns the data iterator, feature fn and metric; runs the protocols.
+
+    ``feature_fn(frames, use_head) -> (features [B*F, N, D], attentions)``
+    — typically a jitted TimeT/FeatureExtractor apply.
+    """
+
+    def __init__(
+        self,
+        data_iter_factory: Callable[[], Iterable],
+        feature_fn,
+        spatial_resolution: int,
+        num_classes: int = 10,
+        involve_bg: bool = True,
+        clustering_algorithm: str = "k-means",
+        prototypes=None,
+        uvos: bool = False,
+        fg_masks: np.ndarray | None = None,
+        ignore_index: int | None = 255,
+        logger: logging.Logger | None = None,
+    ):
+        self.data_iter_factory = data_iter_factory
+        self.feature_fn = feature_fn
+        self.res = spatial_resolution
+        self.metric = PredsmIoU(
+            max(num_classes, 256), max(num_classes, 256), involve_bg=involve_bg
+        )
+        self.clustering_algorithm = clustering_algorithm
+        self.prototypes = prototypes
+        self.uvos = uvos
+        self.fg_masks = fg_masks
+        self.ignore_index = ignore_index
+        self.logger = logger or logging.getLogger("timetuning_tpu.eval")
+
+    def _extract(self, frames, use_mask):
+        B, F = frames.shape[:2]
+        flat = frames.reshape((B * F,) + frames.shape[2:])
+        feats, attn = self.feature_fn(flat, use_mask)
+        N, D = feats.shape[-2:]
+        feats = feats.reshape(B, F, N, D)
+        if use_mask and attn is not None and self.fg_masks is None:
+            feats, _ = apply_attention_mask(feats, attn, self.res)
+        return feats
+
+    def _cluster(self, feats, protocol, eval_res, k, use_annotations, annotations):
+        if self.clustering_algorithm == "k-means":
+            return np.asarray(
+                cluster_features(
+                    feats, k, eval_res, protocol,
+                    annotations=annotations if use_annotations else None,
+                )
+            )
+        if self.clustering_algorithm == "prototypes":
+            assert self.prototypes is not None
+            return np.asarray(
+                proto_clustering(feats, self.prototypes, eval_res, num_classes=k)
+            )
+        raise ValueError(self.clustering_algorithm)
+
+    def evaluate(
+        self,
+        many_to_one: bool = False,
+        evaluation_protocol: str = "frame-wise",
+        eval_resolution: int = 112,
+        num_clusters: int = 10,
+        use_mask: bool = False,
+        use_annotations: bool = False,
+        precision_based: bool = False,
+    ) -> float:
+        if evaluation_protocol == "dataset-wise":
+            feats_all, annots_all = [], []
+            for batch in self.data_iter_factory():
+                frames, annotations = batch[0], batch[1]
+                frames = jnp.asarray(frames)
+                if frames.ndim == 4:      # image dataset → single-frame clips
+                    frames = frames[:, None]
+                    annotations = np.asarray(annotations)[:, None]
+                feats_all.append(self._extract(frames, use_mask))
+                annots_all.append(np.asarray(annotations))
+            feats = jnp.concatenate(feats_all, axis=0)
+            annotations = np.concatenate(annots_all, axis=0)
+            if self.fg_masks is not None:
+                m = jnp.asarray(self.fg_masks, jnp.float32)
+                m = resize_nearest(m.reshape(feats.shape[0], feats.shape[1], *m.shape[-2:]),
+                                   (self.res, self.res))
+                feats = feats * m.reshape(feats.shape[0], feats.shape[1], -1, 1)
+            annotations = np.asarray(
+                resize_nearest(jnp.asarray(annotations, jnp.float32),
+                               (eval_resolution, eval_resolution))
+            ).astype(np.int64)
+            cluster_maps = self._cluster(
+                feats, evaluation_protocol, eval_resolution, num_clusters,
+                use_annotations, annotations,
+            )
+            score = evaluate_localizations(
+                self.metric, annotations, cluster_maps, evaluation_protocol,
+                many_to_one, precision_based, ignore_index=self.ignore_index,
+            )
+            self.logger.info("dataset-wise score %s", score)
+            return score
+
+        batch_scores = []
+        for batch in self.data_iter_factory():
+            frames, annotations = batch[0], batch[1]
+            frames = jnp.asarray(frames)
+            annotations = np.asarray(annotations)
+            feats = self._extract(frames, use_mask)
+            if self.uvos:
+                annotations = (annotations > 0).astype(np.int64)
+            annotations = np.asarray(
+                resize_nearest(jnp.asarray(annotations, jnp.float32),
+                               (eval_resolution, eval_resolution))
+            ).astype(np.int64)
+            cluster_maps = self._cluster(
+                feats, evaluation_protocol, eval_resolution, num_clusters,
+                use_annotations, annotations,
+            )
+            batch_scores.append(
+                evaluate_localizations(
+                    self.metric, annotations, cluster_maps, evaluation_protocol,
+                    many_to_one, precision_based,
+                )
+            )
+            self.logger.info("batch score %s", batch_scores[-1])
+        return float(np.mean(batch_scores))

@@ -1,0 +1,193 @@
+"""Unsupervised-segmentation mIoU with Hungarian / many-to-one matching.
+
+Re-designs the reference ``PredsmIoU`` (metrics.py:209-505) for TPU:
+
+  * ``update`` accumulates a single [num_gt, num_pred] confusion matrix on
+    device (one ``bincount`` of the joint label per call). The reference
+    instead kept *every flattened pixel* in host lists and later computed a
+    joblib-parallel score matrix with one full array scan per (gt, pred)
+    pair (metrics.py:458-479) — the confusion matrix contains identical
+    information at a vanishing fraction of the cost.
+  * ``compute`` pulls the (tiny) confusion matrix to host and reproduces the
+    reference matching semantics exactly: IoU or precision score matrix over
+    the *observed* classes, scipy Hungarian (metrics.py:481-488) or greedy
+    many-to-one (metrics.py:490-505), unmatched predictions → background,
+    per-class IoU with optional background exclusion (``involve_bg``),
+    fraction-of-clusters-matched-to-bg statistic.
+
+The returned ``mapping`` (pred class → matched gt class) replaces the
+reference's full ``reordered_preds`` pixel array; ``remap()`` reconstructs it
+on demand for visualization.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.optimize import linear_sum_assignment
+
+
+def confusion_matrix(
+    gt: jax.Array, pred: jax.Array, num_gt: int, num_pred: int
+) -> jax.Array:
+    """Device-side [num_gt, num_pred] confusion matrix of int32 counts."""
+    joint = gt.reshape(-1).astype(jnp.int32) * num_pred + pred.reshape(-1).astype(
+        jnp.int32
+    )
+    return jnp.bincount(joint, length=num_gt * num_pred).reshape(num_gt, num_pred)
+
+
+class PredsmIoU:
+    """API-compatible with the reference metric: update / reset / compute."""
+
+    def __init__(self, num_pred_classes: int, num_gt_classes: int, involve_bg: bool = False):
+        self.num_pred_classes = num_pred_classes
+        self.num_gt_classes = num_gt_classes
+        self.involve_bg = involve_bg
+        self._conf = np.zeros((num_gt_classes, num_pred_classes), np.int64)
+        self._update_fn = jax.jit(
+            lambda g, p: confusion_matrix(g, p, num_gt_classes, num_pred_classes)
+        )
+        # propagation-score mode keeps per-frame confusions (small)
+        self._frames: list[np.ndarray] = []
+
+    def reset(self) -> None:
+        self._conf[:] = 0
+        self._frames = []
+
+    def update(self, gt, pred) -> None:
+        c = np.asarray(self._update_fn(jnp.asarray(gt), jnp.asarray(pred)))
+        self._conf += c
+
+    def update_frame(self, gt, pred) -> None:
+        """Per-frame accumulation for the VOS propagation score
+        (reference compute_propagation_score keeps frames separate,
+        metrics.py:271-346)."""
+        c = np.asarray(self._update_fn(jnp.asarray(gt), jnp.asarray(pred)))
+        self._frames.append(c)
+        self._conf += c
+
+    # ------------------------------------------------------------------ #
+
+    def compute(
+        self,
+        is_global_zero: bool = True,
+        many_to_one: bool = False,
+        precision_based: bool = False,
+        linear_probe: bool = False,
+    ):
+        """Returns (miou, tp, fp, fn, mapping, matched_bg_fraction).
+
+        ``mapping`` is a dict {observed pred class → gt class} (empty for
+        linear_probe where predictions are already in gt space).
+        """
+        if not is_global_zero:
+            return None
+        conf = self._conf
+        gt_classes = np.flatnonzero(conf.sum(axis=1) > 0)
+        pred_classes = np.flatnonzero(conf.sum(axis=0) > 0)
+        if linear_probe:
+            # identity mapping restricted to observed classes
+            mapping = {int(p): int(p) for p in pred_classes}
+            miou, tp, fp, fn = self._iou_from_mapping(conf, gt_classes, mapping)
+            return miou, tp, fp, fn, mapping, 1.0 / max(len(gt_classes), 1)
+
+        sub = conf[np.ix_(gt_classes, pred_classes)].astype(np.float64)
+        row = sub.sum(axis=1, keepdims=True)   # gt totals
+        col = sub.sum(axis=0, keepdims=True)   # pred totals
+        if precision_based:
+            score = sub / np.maximum(col, 1e-8)
+        else:
+            score = sub / np.maximum(row + col - sub, 1e-8)  # IoU
+
+        if many_to_one:
+            # Greedy: every observed pred class → gt class with best score
+            # (reference _original_match, metrics.py:490-505).
+            best_gt = np.argmax(score, axis=0)
+            mapping = {
+                int(pred_classes[j]): int(gt_classes[best_gt[j]])
+                for j in range(len(pred_classes))
+            }
+            bg_matched = (
+                np.sum(gt_classes[best_gt] == 0) / max(len(pred_classes), 1)
+                if 0 in gt_classes
+                else 0.0
+            )
+        else:
+            ridx, cidx = linear_sum_assignment(1.0 - score.T)  # pred-major like ref
+            mapping = {}
+            matched_preds = set()
+            for pi, gi in zip(ridx, cidx):
+                mapping[int(pred_classes[pi])] = int(gt_classes[gi])
+                matched_preds.add(int(pred_classes[pi]))
+            for p in pred_classes:  # unmatched → background
+                if int(p) not in matched_preds:
+                    mapping[int(p)] = 0
+            bg_matched = 1.0 / max(len(gt_classes), 1)
+
+        miou, tp, fp, fn = self._iou_from_mapping(conf, gt_classes, mapping)
+        return miou, tp, fp, fn, mapping, bg_matched
+
+    def _iou_from_mapping(self, conf, gt_classes, mapping):
+        """Per-gt-class IoU after remapping predicted classes."""
+        num_pred = conf.shape[1]
+        remap = np.zeros(num_pred, np.int64)
+        for p, g in mapping.items():
+            remap[p] = g
+        # remapped confusion: columns pooled by target gt class
+        pooled = np.zeros((conf.shape[0], conf.shape[0]), np.int64)
+        np.add.at(pooled.T, remap, conf.T)
+        tp_all = np.diag(pooled)
+        fp_all = pooled.sum(axis=0) - tp_all
+        fn_all = pooled.sum(axis=1) - tp_all
+        jac, tp, fp, fn = {}, {}, {}, {}
+        for g in gt_classes:
+            tp[int(g)] = int(tp_all[g])
+            fp[int(g)] = int(fp_all[g])
+            fn[int(g)] = int(fn_all[g])
+            jac[int(g)] = tp_all[g] / max(float(tp_all[g] + fp_all[g] + fn_all[g]), 1e-8)
+        if not self.involve_bg:
+            jac.pop(0, None)
+            if not jac:
+                jac[0] = 0.0  # all clusters were background (metrics.py:429-431)
+        miou = float(np.mean(list(jac.values())))
+        return miou, tp, fp, fn
+
+    def remap(self, pred: np.ndarray, mapping: dict[int, int]) -> np.ndarray:
+        """Apply a computed matching to a prediction array (the reference's
+        ``reordered_preds``), for visualization."""
+        lut = np.zeros(self.num_pred_classes, np.int64)
+        for p, g in mapping.items():
+            lut[p] = g
+        return lut[pred]
+
+    # ------------------------------------------------------------------ #
+
+    def compute_propagation_score(self, is_global_zero: bool = True):
+        """Per-object J with the reference's running-cumulative-per-frame
+        averaging (metrics.py:271-346): for each non-background object,
+        average over frames (that contain it) of the *cumulative* IoU up to
+        that frame."""
+        if not is_global_zero:
+            return None
+        frames = np.stack(self._frames)             # [T, G, P]
+        G = frames.shape[1]
+        scores = []
+        for obj in range(1, G):
+            if frames[:, obj, :].sum() == 0 and frames[:, :, obj].sum() == 0:
+                continue
+            tp = fp = fn = 0.0
+            acc, n_present = 0.0, 0
+            for t in range(frames.shape[0]):
+                c = frames[t]
+                gt_mask_count = c[obj, :].sum()
+                tp += c[obj, obj]
+                fp += c[:, obj].sum() - c[obj, obj]
+                fn += c[obj, :].sum() - c[obj, obj]
+                if gt_mask_count > 0:
+                    n_present += 1
+                acc += tp / max(tp + fp + fn, 1e-8)
+            if n_present > 0:
+                scores.append(acc / n_present)
+        return scores

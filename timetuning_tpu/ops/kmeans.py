@@ -1,0 +1,140 @@
+"""On-device k-means and PCA — the faiss replacement.
+
+The reference clusters dense features with faiss-cpu ``Kmeans(d, k, niter=50,
+nredo=5, seed=1)`` and reduces with ``PCAMatrix`` after a chunked
+StandardScaler pass (reference clustering.py:38-73, my_utils.py:19-37,
+cluster_based_foreground_extraction.py:268-279). Here both run on the TPU:
+
+  * k-means is a ``lax.scan`` over Lloyd iterations; the assignment step is
+    one [N, k] distance matmul on the MXU, tiled over point chunks so the
+    distance matrix never materializes for dataset-scale N;
+  * ``n_redo`` restarts run sequentially with different sampled seeds and the
+    best-objective restart wins (faiss semantics);
+  * empty clusters keep their previous centroid (faiss instead splits large
+    clusters — a rare-path difference documented here);
+  * PCA is exact: covariance eigendecomposition on the feature dim
+    (D ≤ 768), whitening optional, preceded by mean/std standardization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-12
+
+
+class KMeansResult(NamedTuple):
+    centroids: jax.Array    # [k, D]
+    assignments: jax.Array  # [N] int32
+    objective: jax.Array    # scalar — sum of squared distances
+
+
+def _assign_chunked(x, centroids, chunk: int):
+    """argmin distances + objective, tiled over points. x: [N, D], c: [k, D]."""
+    N = x.shape[0]
+    c_sq = jnp.sum(centroids ** 2, axis=1)  # [k]
+
+    def one_chunk(xc):
+        d = (
+            jnp.sum(xc ** 2, axis=1, keepdims=True)
+            - 2.0 * jnp.dot(xc, centroids.T, preferred_element_type=jnp.float32)
+            + c_sq[None, :]
+        )
+        a = jnp.argmin(d, axis=1)
+        return a.astype(jnp.int32), jnp.min(d, axis=1)
+
+    if N % chunk == 0 and N > chunk:
+        xs = x.reshape(N // chunk, chunk, -1)
+        a, dmin = jax.lax.map(one_chunk, xs)
+        return a.reshape(N), dmin.reshape(N)
+    return one_chunk(x)
+
+
+def _lloyd(x, init_centroids, n_iter: int, chunk: int):
+    k = init_centroids.shape[0]
+
+    def body(centroids, _):
+        a, _ = _assign_chunked(x, centroids, chunk)
+        onehot = jax.nn.one_hot(a, k, dtype=x.dtype)            # [N, k]
+        sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)[:, None]
+        new_c = sums / jnp.maximum(counts, 1.0)
+        # empty cluster → keep previous centroid
+        new_c = jnp.where(counts > 0, new_c, centroids)
+        return new_c.astype(x.dtype), None
+
+    centroids, _ = jax.lax.scan(body, init_centroids, None, length=n_iter)
+    a, dmin = _assign_chunked(x, centroids, chunk)
+    return centroids, a, jnp.sum(dmin)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "n_iter", "n_redo", "chunk"))
+def kmeans(
+    x: jax.Array,
+    k: int,
+    key: jax.Array,
+    n_iter: int = 50,
+    n_redo: int = 5,
+    chunk: int = 8192,
+) -> KMeansResult:
+    """Lloyd k-means with restarts, fully on device. x: [N, D] float."""
+    x = x.astype(jnp.float32)
+    N = x.shape[0]
+    if N % chunk != 0:
+        chunk = N  # single chunk for ragged sizes (still one matmul)
+
+    def one_restart(carry, key_r):
+        best_c, best_a, best_obj = carry
+        idx = jax.random.choice(key_r, N, (k,), replace=False)
+        c0 = x[idx]
+        c, a, obj = _lloyd(x, c0, n_iter, chunk)
+        better = obj < best_obj
+        best = (
+            jnp.where(better, c, best_c),
+            jnp.where(better, a, best_a),
+            jnp.minimum(obj, best_obj),
+        )
+        return best, None
+
+    init = (
+        jnp.zeros((k, x.shape[1]), jnp.float32),
+        jnp.zeros((N,), jnp.int32),
+        jnp.asarray(jnp.inf),
+    )
+    (c, a, obj), _ = jax.lax.scan(one_restart, init, jax.random.split(key, n_redo))
+    return KMeansResult(c, a, obj)
+
+
+class PCAState(NamedTuple):
+    mean: jax.Array     # [D]
+    std: jax.Array      # [D]
+    components: jax.Array  # [D, d_out]
+
+
+def fit_pca(x: jax.Array, d_out: int, standardize: bool = True) -> PCAState:
+    """Standardize + exact PCA via eigh of the covariance (reference:
+    StandardScaler.partial_fit + faiss PCAMatrix, my_utils.py:19-37)."""
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=0)
+    std = jnp.std(x, axis=0) if standardize else jnp.ones_like(mean)
+    xs = (x - mean) / (std + _EPS)
+    cov = jnp.dot(xs.T, xs, preferred_element_type=jnp.float32) / x.shape[0]
+    evals, evecs = jnp.linalg.eigh(cov)           # ascending
+    comps = evecs[:, ::-1][:, :d_out]             # top-d_out
+    return PCAState(mean, std, comps)
+
+
+def apply_pca(state: PCAState, x: jax.Array) -> jax.Array:
+    xs = (x.astype(jnp.float32) - state.mean) / (state.std + _EPS)
+    return jnp.dot(xs, state.components, preferred_element_type=jnp.float32)
+
+
+def normalize_and_reduce(x: jax.Array, d_out: int = 50) -> jax.Array:
+    """``normalize_and_transform`` equivalent (my_utils.py:19-37):
+    standardize then PCA-reduce feature dim. x: [N, D] → [N, d_out]."""
+    state = fit_pca(x, d_out)
+    return apply_pca(state, x)

@@ -1,0 +1,305 @@
+"""Host-side dataset layer: directory trees, clip samplers, frame decode.
+
+Reference: data_loader.py — ``build_dataset_tree`` (:509-540, incl. automatic
+video→frame-dir conversion), ``SamplingMode`` (:432-437), ``VideoDataset``
+(:543-767) with per-video frame dirs and aligned annotation dirs,
+``YVOSDataset`` meta.json category mapping (:453-506, 774-796), ``Kinetics``
+(:800-817), split/renaming utilities (:1132-1170).
+
+TPU-first split of responsibilities: this module only *decodes* — every clip
+is returned as fixed-size uint8 numpy (frames square-resized to
+``decode_size``), and all augmentation happens in the fused on-device kernel
+(data/transforms.py). Decode uses OpenCV (vendored C++ JPEG/PNG codecs),
+which is also what the reference used underneath PIL/cv2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import glob
+import json
+import os
+import random
+import re
+import shutil
+from typing import Callable
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+VIDEO_EXTENSIONS = (".mp4", ".avi", ".mov", ".mkv", ".webm")
+FRAME_EXTENSIONS = (".jpg", ".jpeg", ".png")
+
+
+class SamplingMode(enum.Enum):
+    """Clip sampling modes (reference data_loader.py:432-437)."""
+
+    UNIFORM = 0   # sorted sample without replacement (with, if too short)
+    DENSE = 1     # random contiguous window
+    FULL = 2      # all frames
+    REGULAR = 3   # strided window with random base (stride = regular_step)
+
+
+def convert_video_to_frames(video_path: str, out_dir: str) -> int:
+    """Decode a video file into a directory of numbered jpgs
+    (reference data_loader.py:523-532)."""
+    assert cv2 is not None, "OpenCV required for video decode"
+    os.makedirs(out_dir, exist_ok=True)
+    cap = cv2.VideoCapture(video_path)
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        cv2.imwrite(os.path.join(out_dir, f"{n:05d}.jpg"), frame)
+        n += 1
+    cap.release()
+    return n
+
+
+def build_dataset_tree(root: str, convert_videos: bool = True) -> dict[str, list[str]]:
+    """Walk ``root``; return {leaf frame-dir: sorted frame paths}.
+
+    Video files encountered are converted to per-video frame dirs first
+    (reference data_loader.py:509-540).
+    """
+    tree: dict[str, list[str]] = {}
+    for dirpath, dirnames, filenames in os.walk(root):
+        frames = [f for f in sorted(filenames) if f.lower().endswith(FRAME_EXTENSIONS)]
+        videos = [f for f in filenames if f.lower().endswith(VIDEO_EXTENSIONS)]
+        if videos and convert_videos:
+            for v in videos:
+                vdir = os.path.join(dirpath, os.path.splitext(v)[0])
+                if not os.path.isdir(vdir):
+                    convert_video_to_frames(os.path.join(dirpath, v), vdir)
+        if frames:
+            tree[dirpath] = [os.path.join(dirpath, f) for f in frames]
+    return tree
+
+
+def _numeric_key(path: str):
+    m = re.findall(r"\d+", os.path.basename(path))
+    return (int(m[-1]) if m else 0, path)
+
+
+def generate_clip_indices(
+    rng: random.Random,
+    size: int,
+    num_frames: int,
+    num_clips: int,
+    mode: SamplingMode,
+    regular_step: int = 1,
+) -> list[list[int]]:
+    """The four sampling modes (semantics of reference
+    data_loader.py:617-642)."""
+    out = []
+    for _ in range(num_clips):
+        if mode == SamplingMode.UNIFORM:
+            if size < num_frames:
+                idx = rng.choices(range(size), k=num_frames)
+            else:
+                idx = rng.sample(range(size), num_frames)
+            idx.sort()
+        elif mode == SamplingMode.DENSE:
+            base = rng.randint(0, max(size - num_frames, 0))
+            idx = list(range(base, base + num_frames))
+            idx = [min(i, size - 1) for i in idx]
+        elif mode == SamplingMode.FULL:
+            idx = list(range(size))
+        elif mode == SamplingMode.REGULAR:
+            step = size // num_frames if size < num_frames * regular_step else regular_step
+            step = max(step, 1)
+            hi = max(size - num_frames * step, 0)
+            base = rng.randint(0, hi)
+            idx = [min(base + i * step, size - 1) for i in range(num_frames)]
+        else:
+            raise ValueError(mode)
+        out.append(idx)
+    return out
+
+
+def _decode_frame(path: str, size: int, nearest: bool) -> np.ndarray:
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    assert img is not None, f"failed to decode {path}"
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    if img.ndim == 3 and img.shape[2] >= 3:
+        img = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB)
+    img = cv2.resize(img, (size, size), interpolation=interp)
+    return img
+
+
+@dataclasses.dataclass
+class VideoDataset:
+    """Per-video frame dirs (+ aligned annotation dirs).
+
+    ``__getitem__`` → dict with
+      ``frames``      [num_clips, F, decode, decode, 3] uint8
+      ``annotations`` [num_clips, F, decode, decode] uint8 (zeros if absent)
+      ``label``       video index
+    """
+
+    frames_root: str
+    annotations_root: str = ""
+    sampling_mode: SamplingMode = SamplingMode.UNIFORM
+    num_clips: int = 1
+    num_frames: int = 4
+    decode_size: int = 256
+    regular_step: int = 1
+    seed: int = 1
+    map_annotations: Callable[[np.ndarray, str], np.ndarray] | None = None
+
+    def __post_init__(self):
+        self.tree = build_dataset_tree(self.frames_root)
+        self.keys = sorted(self.tree.keys())
+        self.use_annotations = bool(self.annotations_root) and os.path.exists(
+            self.annotations_root
+        )
+        if self.use_annotations:
+            ann_tree = build_dataset_tree(self.annotations_root, convert_videos=False)
+            self.ann_keys = sorted(ann_tree.keys())
+            self.ann_tree = ann_tree
+            assert len(self.ann_keys) == len(self.keys), (
+                f"{len(self.keys)} videos vs {len(self.ann_keys)} annotation dirs"
+            )
+        self._epoch = 0
+
+    def __len__(self):
+        return len(self.keys)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
+    def _rng(self, index: int) -> random.Random:
+        return random.Random((self.seed * 1_000_003 + self._epoch) * 97 + index)
+
+    def video_name(self, index: int) -> str:
+        return os.path.basename(self.keys[index])
+
+    def __getitem__(self, index: int) -> dict:
+        key = self.keys[index]
+        files = self.tree[key]
+        rng = self._rng(index)
+        clip_idx = generate_clip_indices(
+            rng, len(files), self.num_frames, self.num_clips,
+            self.sampling_mode, self.regular_step,
+        )
+        F = len(clip_idx[0])
+        frames = np.zeros(
+            (self.num_clips, F, self.decode_size, self.decode_size, 3), np.uint8
+        )
+        annots = np.zeros(
+            (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
+        )
+        for c, idx in enumerate(clip_idx):
+            for f, i in enumerate(idx):
+                frames[c, f] = _decode_frame(files[i], self.decode_size, nearest=False)
+        if self.use_annotations:
+            ann_files = self.ann_tree[self.ann_keys[index]]
+            for c, idx in enumerate(clip_idx):
+                for f, i in enumerate(idx):
+                    if i < len(ann_files):
+                        a = _decode_frame(ann_files[i], self.decode_size, nearest=True)
+                        if a.ndim == 3:
+                            a = a[..., 0]
+                        if self.map_annotations is not None:
+                            a = self.map_annotations(a, self.ann_keys[index])
+                        annots[c, f] = a
+        return {"frames": frames, "annotations": annots, "label": index}
+
+
+def make_categories_dict(meta_path: str) -> dict[str, dict[str, int]]:
+    """YouTube-VOS meta.json: per-video {object id → category id}
+    (reference ``make_categories_dict``, data_loader.py:453-480)."""
+    with open(meta_path) as f:
+        meta = json.load(f)
+    categories: dict[str, int] = {}
+    mapping: dict[str, dict[str, int]] = {}
+    for vid, info in meta["videos"].items():
+        objs = {}
+        for oid, obj in info["objects"].items():
+            cat = obj["category"]
+            if cat not in categories:
+                categories[cat] = len(categories) + 1
+            objs[oid] = categories[cat]
+        mapping[vid] = objs
+    return mapping
+
+
+class YTVOSDataset(VideoDataset):
+    """VideoDataset + meta.json instance→category remapping
+    (reference ``YVOSDataset.map_instances``, data_loader.py:482-506,
+    774-796)."""
+
+    def __init__(self, *args, meta_file: str | None = None, **kw):
+        super().__init__(*args, **kw)
+        self.instance_map = make_categories_dict(meta_file) if meta_file else None
+
+    def __getitem__(self, index: int) -> dict:
+        item = super().__getitem__(index)
+        if self.instance_map is not None and self.use_annotations:
+            vid = os.path.basename(self.ann_keys[index])
+            objs = self.instance_map.get(vid, {})
+            ann = item["annotations"]
+            out = np.zeros_like(ann)
+            for oid, cat in objs.items():
+                out[ann == int(oid)] = cat
+            item["annotations"] = out
+        return item
+
+
+class KineticsDataset(VideoDataset):
+    """Frame-dir video dataset without annotations
+    (reference data_loader.py:800-817)."""
+
+    def __init__(self, frames_root: str, **kw):
+        kw.pop("annotations_root", None)
+        super().__init__(frames_root, annotations_root="", **kw)
+
+
+# ------------------------------------------------------------------ #
+# dataset-management utilities
+
+def train_val_split(root: str, val_fraction: float, seed: int = 1):
+    """Partition video dirs into train/val name lists
+    (reference data_loader.py:1132-1150)."""
+    names = sorted(
+        d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+    )
+    rng = random.Random(seed)
+    rng.shuffle(names)
+    n_val = int(len(names) * val_fraction)
+    return names[n_val:], names[:n_val]
+
+
+def zero_index_directory(path: str) -> None:
+    """Rename frames to a dense zero-based %05d numbering
+    (reference data_loader.py:1152-1170)."""
+    files = sorted(
+        (f for f in os.listdir(path) if f.lower().endswith(FRAME_EXTENSIONS)),
+        key=_numeric_key,
+    )
+    for i, f in enumerate(files):
+        ext = os.path.splitext(f)[1]
+        src = os.path.join(path, f)
+        dst = os.path.join(path, f"{i:05d}{ext}")
+        if src != dst:
+            shutil.move(src, dst)
+
+
+def diff_annotation_data_directories(frames_root: str, annotations_root: str):
+    """Report videos whose frame/annotation counts disagree
+    (reference data_loader.py:440-450)."""
+    ftree = build_dataset_tree(frames_root, convert_videos=False)
+    atree = build_dataset_tree(annotations_root, convert_videos=False)
+    fkeys = {os.path.basename(k): len(v) for k, v in ftree.items()}
+    akeys = {os.path.basename(k): len(v) for k, v in atree.items()}
+    return {
+        name: (fkeys.get(name, 0), akeys.get(name, 0))
+        for name in set(fkeys) | set(akeys)
+        if fkeys.get(name, 0) != akeys.get(name, 0)
+    }

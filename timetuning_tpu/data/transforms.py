@@ -1,0 +1,287 @@
+"""Clip-consistent augmentations as ONE fused on-device kernel.
+
+The reference augments on the host, frame by frame, through a chain of
+PIL/cv2 transform objects that sample one parameter set per clip and apply it
+to every frame plus (nearest-neighbor) to the aligned annotation clip
+(reference video_transformations.py; training pipeline assembled at
+time_tuning.py:587-593: ColorJitter(0.8,0.8,0.8,0.2)@p0.8 → RandomGrayscale
+→ RandomGaussianBlur, then Resize → RandomResizedCrop(scale 0.4-1, ratio
+3/4-4/3) → RandomHorizontalFlip → ClipToTensor(mean, std=[.228,.224,.225])).
+
+Here the whole chain compiles into a single jitted, vmapped XLA program:
+uint8 clips go in, normalized float clips (and co-transformed annotations)
+come out, with every random parameter drawn from a `jax.random` key — so
+augmentation runs on TPU at HBM bandwidth and is exactly reproducible.
+
+Host-side precondition: frames are decoded and resized to a fixed square
+``decode_size`` (the reference's host-side ``Resize``; fixed size is required
+for static shapes — the aspect-ratio difference vs short-side resize is the
+one documented semantic divergence).
+
+Geometric ops use ``scale_and_translate`` (bilinear, frames) and nearest
+gather (annotations); photometric ops follow torchvision formulas, applied in
+a random order like torchvision ColorJitter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+# The reference's (typo'd) ImageNet std — kept for checkpoint-parity
+# (time_tuning.py:592; leoloader uses the canonical 0.229 — see pascal.py).
+REFERENCE_STD = (0.228, 0.224, 0.225)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    out_size: int = 224
+    crop_scale: tuple[float, float] = (0.4, 1.0)
+    crop_ratio: tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
+    hflip_p: float = 0.5
+    jitter_p: float = 0.8
+    brightness: float = 0.8
+    contrast: float = 0.8
+    saturation: float = 0.8
+    hue: float = 0.2
+    grayscale_p: float = 0.2
+    blur_p: float = 0.5
+    blur_sigma: tuple[float, float] = (0.1, 2.0)
+    blur_ksize: int = 23
+    mean: tuple[float, float, float] = IMAGENET_MEAN
+    std: tuple[float, float, float] = REFERENCE_STD
+
+
+# --------------------------------------------------------------------- #
+# photometric ops (torchvision functional semantics, [F, H, W, 3] in [0,1])
+
+def _blend(a, b, factor):
+    return jnp.clip(a * factor + b * (1.0 - factor), 0.0, 1.0)
+
+
+def _grayscale(x):
+    g = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+    return g[..., None]
+
+
+def _adj_brightness(x, f):
+    return jnp.clip(x * f, 0.0, 1.0)
+
+
+def _adj_contrast(x, f):
+    mean = jnp.mean(_grayscale(x), axis=(-3, -2, -1), keepdims=True)[..., 0][..., None]
+    return _blend(x, jnp.broadcast_to(mean, x.shape), f)
+
+
+def _adj_saturation(x, f):
+    g = jnp.broadcast_to(_grayscale(x), x.shape)
+    return _blend(x, g, f)
+
+
+def _rgb_to_hsv(x):
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    mx = jnp.max(x, axis=-1)
+    mn = jnp.min(x, axis=-1)
+    d = mx - mn
+    safe = jnp.where(d == 0, 1.0, d)
+    h = jnp.where(
+        mx == r, (g - b) / safe,
+        jnp.where(mx == g, 2.0 + (b - r) / safe, 4.0 + (r - g) / safe),
+    )
+    h = jnp.where(d == 0, 0.0, h) / 6.0
+    h = jnp.mod(h, 1.0)
+    s = jnp.where(mx == 0, 0.0, d / jnp.where(mx == 0, 1.0, mx))
+    return h, s, mx
+
+
+def _hsv_to_rgb(h, s, v):
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _adj_hue(x, shift):
+    h, s, v = _rgb_to_hsv(x)
+    return _hsv_to_rgb(jnp.mod(h + shift, 1.0), s, v)
+
+
+def _color_jitter(key, x, cfg: AugmentConfig):
+    """One sampled parameter set per clip, ops in random order."""
+    kb, kc, ks, kh, korder, kapply = jax.random.split(key, 6)
+    fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness)
+    fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - cfg.contrast), maxval=1 + cfg.contrast)
+    fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation)
+    fh = jax.random.uniform(kh, (), minval=-cfg.hue, maxval=cfg.hue)
+    order = jax.random.permutation(korder, 4)
+
+    def apply_op(x, op_idx):
+        return jax.lax.switch(
+            op_idx,
+            [
+                lambda y: _adj_brightness(y, fb),
+                lambda y: _adj_contrast(y, fc),
+                lambda y: _adj_saturation(y, fs),
+                lambda y: _adj_hue(y, fh),
+            ],
+            x,
+        )
+
+    def body(x, idx):
+        return apply_op(x, idx), None
+
+    jittered, _ = jax.lax.scan(body, x, order)
+    do = jax.random.uniform(kapply) < cfg.jitter_p
+    return jnp.where(do, jittered, x)
+
+
+def _gaussian_blur(key, x, cfg: AugmentConfig):
+    kp, ksig = jax.random.split(key)
+    sigma = jax.random.uniform(ksig, (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+    ks = cfg.blur_ksize
+    r = jnp.arange(ks, dtype=jnp.float32) - (ks - 1) / 2
+    kern = jnp.exp(-(r ** 2) / (2.0 * sigma ** 2))
+    kern = kern / jnp.sum(kern)
+    F, H, W, C = x.shape
+    xc = jnp.transpose(x, (0, 3, 1, 2)).reshape(F * C, 1, H, W)
+    pad = ks // 2
+    xc = jnp.pad(xc, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    dn = jax.lax.conv_dimension_numbers(xc.shape, (1, 1, ks, 1), ("NCHW", "OIHW", "NCHW"))
+    xc = jax.lax.conv_general_dilated(xc, kern.reshape(1, 1, ks, 1), (1, 1), "VALID", dimension_numbers=dn)
+    xc = jax.lax.conv_general_dilated(xc, kern.reshape(1, 1, 1, ks), (1, 1), "VALID", dimension_numbers=dn)
+    blurred = jnp.transpose(xc.reshape(F, C, H, W), (0, 2, 3, 1))
+    do = jax.random.uniform(kp) < cfg.blur_p
+    return jnp.where(do, blurred, x)
+
+
+# --------------------------------------------------------------------- #
+# geometric: random resized crop (torchvision sampling), flips
+
+def _sample_rrc_box(key, h: int, w: int, cfg: AugmentConfig):
+    """torchvision RandomResizedCrop.get_params: 10 rejection-sampling tries,
+    fallback to a ratio-clamped center crop. Returns (i, j, ch, cw) floats."""
+    area = h * w
+    keys = jax.random.split(key, 4)
+    scale = jax.random.uniform(keys[0], (10,), minval=cfg.crop_scale[0], maxval=cfg.crop_scale[1])
+    log_r = jax.random.uniform(
+        keys[1], (10,),
+        minval=np.log(cfg.crop_ratio[0]), maxval=np.log(cfg.crop_ratio[1]),
+    )
+    target_area = scale * area
+    ratio = jnp.exp(log_r)
+    cw = jnp.sqrt(target_area * ratio)
+    ch = jnp.sqrt(target_area / ratio)
+    valid = (cw <= w) & (ch <= h) & (cw > 0) & (ch > 0)
+    pick = jnp.argmax(valid)           # first valid try
+    any_valid = jnp.any(valid)
+    cw_s, ch_s = cw[pick], ch[pick]
+    iu = jax.random.uniform(keys[2], (), minval=0.0, maxval=1.0)
+    ju = jax.random.uniform(keys[3], (), minval=0.0, maxval=1.0)
+    i = iu * (h - ch_s)
+    j = ju * (w - cw_s)
+    # fallback: center crop of the full (clamped-ratio) image
+    in_ratio = w / h
+    fw = jnp.where(in_ratio < cfg.crop_ratio[0], float(w), jnp.where(in_ratio > cfg.crop_ratio[1], h * cfg.crop_ratio[1], float(w)))
+    fh = jnp.where(in_ratio < cfg.crop_ratio[0], w / cfg.crop_ratio[0], jnp.where(in_ratio > cfg.crop_ratio[1], float(h), float(h)))
+    fi, fj = (h - fh) / 2.0, (w - fw) / 2.0
+    i = jnp.where(any_valid, i, fi)
+    j = jnp.where(any_valid, j, fj)
+    ch_s = jnp.where(any_valid, ch_s, fh)
+    cw_s = jnp.where(any_valid, cw_s, fw)
+    return i, j, ch_s, cw_s
+
+
+def _crop_resize_frames(x, i, j, ch, cw, out: int):
+    """Bilinear crop+resize via scale_and_translate. x: [F, H, W, C]."""
+    scale_y = out / ch
+    scale_x = out / cw
+    # output pixel p maps to input i + p/scale; scale_and_translate computes
+    # in terms of translation t: in = (p - t)/scale → t = -i*scale
+    return jax.image.scale_and_translate(
+        x,
+        x.shape[:1] + (out, out) + x.shape[3:],
+        spatial_dims=(1, 2),
+        scale=jnp.array([scale_y, scale_x]),
+        translation=jnp.array([-i * scale_y, -j * scale_x]),
+        method="bilinear",
+    )
+
+
+def _crop_resize_nearest(x, i, j, ch, cw, out: int):
+    """Nearest gather for integer annotation maps. x: [F, H, W]."""
+    F, H, W = x.shape
+    ys = i + (jnp.arange(out) + 0.5) * (ch / out) - 0.5
+    xs = j + (jnp.arange(out) + 0.5) * (cw / out) - 0.5
+    yi = jnp.clip(jnp.round(ys), 0, H - 1).astype(jnp.int32)
+    xi = jnp.clip(jnp.round(xs), 0, W - 1).astype(jnp.int32)
+    return x[:, yi][:, :, xi]
+
+
+# --------------------------------------------------------------------- #
+
+def augment_clip(key, frames, annotations, cfg: AugmentConfig):
+    """frames: [F, H, W, 3] uint8; annotations: [F, H, W] uint8 or None.
+    Returns (normalized float32 [F, out, out, 3], annotations [F, out, out])."""
+    kphoto1, kphoto2, kphoto3, kgeo, kflip = jax.random.split(key, 5)
+    x = frames.astype(jnp.float32) / 255.0
+
+    # photometric (frame_transform chain, clip-consistent)
+    x = _color_jitter(kphoto1, x, cfg)
+    do_gray = jax.random.uniform(kphoto2) < cfg.grayscale_p
+    x = jnp.where(do_gray, jnp.broadcast_to(_grayscale(x), x.shape), x)
+    x = _gaussian_blur(kphoto3, x, cfg)
+
+    # geometric (video_transform chain, joint with annotations)
+    H, W = x.shape[1:3]
+    i, j, ch, cw = _sample_rrc_box(kgeo, H, W, cfg)
+    x = _crop_resize_frames(x, i, j, ch, cw, cfg.out_size)
+    do_flip = jax.random.uniform(kflip) < cfg.hflip_p
+    x = jnp.where(do_flip, x[:, :, ::-1], x)
+
+    mean = jnp.asarray(cfg.mean)
+    std = jnp.asarray(cfg.std)
+    x = (jnp.clip(x, 0.0, 1.0) - mean) / std
+
+    ann_out = None
+    if annotations is not None:
+        a = _crop_resize_nearest(annotations, i, j, ch, cw, cfg.out_size)
+        a = jnp.where(do_flip, a[:, :, ::-1], a)
+        ann_out = a
+    return x, ann_out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_annotations"))
+def augment_batch(key, frames, annotations, cfg: AugmentConfig, with_annotations: bool = True):
+    """Batched fused augmentation. frames: [B, F, H, W, 3] uint8."""
+    B = frames.shape[0]
+    keys = jax.random.split(key, B)
+    if with_annotations and annotations is not None:
+        return jax.vmap(lambda k, f, a: augment_clip(k, f, a, cfg))(
+            keys, frames, annotations
+        )
+    out, _ = jax.vmap(lambda k, f: augment_clip(k, f, None, cfg))(keys, frames)
+    return out, None
+
+
+@functools.partial(jax.jit, static_argnames=("out_size", "std"))
+def eval_preprocess_batch(frames, out_size: int = 224, std: tuple = REFERENCE_STD):
+    """Deterministic eval path: resize + normalize
+    (the reference eval pipeline: Resize → ClipToTensor → Normalize)."""
+    x = frames.astype(jnp.float32) / 255.0
+    lead = x.shape[:-3]
+    x = jax.image.resize(x, lead + (out_size, out_size, 3), method="bilinear")
+    mean = jnp.asarray(IMAGENET_MEAN)
+    return (x - mean) / jnp.asarray(std)

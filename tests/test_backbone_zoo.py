@@ -1,0 +1,168 @@
+"""Backbone-zoo forward/shape tests + torch-layout resnet import round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timetuning_tpu.models.registry import (
+    PRETRAINED_URLS,
+    get_backbone,
+    get_backbone_weights,
+)
+
+IMG = 64
+
+
+def test_resnet18_forward():
+    bb = get_backbone("resnet18")
+    feats, attn = bb.apply(jnp.zeros((2, IMG, IMG, 3)))
+    assert feats.shape == (2, (IMG // 32) ** 2, 512)
+    assert attn is None
+    assert bb.spatial_resolution(224) == 7
+
+
+def test_resnet50_forward():
+    bb = get_backbone("resnet50")
+    feats, _ = bb.apply(jnp.zeros((1, IMG, IMG, 3)))
+    assert feats.shape == (1, 4, 2048)
+
+
+def test_dul_forward():
+    bb = get_backbone("dul")
+    feats, _ = bb.apply(jnp.zeros((1, IMG, IMG, 3)))
+    # stride-1 layer3/4 → output stride 8
+    assert feats.shape == (1, (IMG // 8) ** 2, 512)
+
+
+def test_motion_grouping_forward():
+    bb = get_backbone("motion_grouping")
+    combined, recon, masks, slots = bb.module.apply(
+        bb.variables, jnp.zeros((1, 128, 128, 3)), rng=jax.random.PRNGKey(0)
+    )
+    assert combined.shape == (1, 128, 128, 3)
+    assert masks.shape[1] == 5
+    np.testing.assert_allclose(np.asarray(masks.sum(axis=1)), 1.0, atol=1e-5)
+
+
+def test_vit_variants_dispatch():
+    for name, dim, patch in [("dino-s16", 384, 16), ("mocov3-s16", 384, 16)]:
+        bb = get_backbone(name)
+        feats, _ = bb.apply(jnp.zeros((1, 32, 32, 3)))
+        assert feats.shape == (1, (32 // patch) ** 2, dim)
+
+
+def test_mae_encoder_and_masking():
+    from timetuning_tpu.models.mae import MAEViT
+
+    m = MAEViT(img_size=32, patch_size=8, embed_dim=64, depth=2, num_heads=2,
+               decoder_embed_dim=32, decoder_depth=1, decoder_num_heads=2)
+    rng = jax.random.PRNGKey(0)
+    v = m.init(rng, jnp.zeros((1, 32, 32, 3)), mask_ratio=0.75,
+               rng=jax.random.PRNGKey(1), method=MAEViT.pretrain)
+    out = m.apply(v, jnp.zeros((2, 32, 32, 3)))
+    assert out["tokens"].shape == (2, 17, 64)  # CLS + 16 patches
+
+    x = jax.random.normal(rng, (2, 32, 32, 3))
+    loss, pred, mask = m.apply(
+        v, x, 0.75, jax.random.PRNGKey(1), method=MAEViT.pretrain
+    )
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(np.asarray(mask.sum(axis=1)), 12.0)  # 75% of 16
+
+
+def test_moco_contrastive_loss_identity():
+    from timetuning_tpu.models.moco import contrastive_loss
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+    # identical pairs → low loss; mismatched → higher
+    l_same = float(contrastive_loss(q, q))
+    l_diff = float(contrastive_loss(q, jnp.roll(q, 1, axis=0)))
+    assert l_same < l_diff
+
+
+def test_dino_head_and_weight_norm():
+    from timetuning_tpu.models.dino_head import DINOHead
+
+    h = DINOHead(out_dim=32, hidden_dim=16, bottleneck_dim=8)
+    v = h.init(jax.random.PRNGKey(0), jnp.zeros((2, 12)))
+    out = h.apply(v, jax.random.normal(jax.random.PRNGKey(1), (2, 12)))
+    assert out.shape == (2, 32)
+
+
+def test_generic_transformer():
+    from timetuning_tpu.models.generic_transformer import (
+        TransformerDecoder,
+        TransformerEncoder,
+        gumbel_softmax,
+    )
+
+    enc = TransformerEncoder(depth=1, num_heads=2, mlp_dim=32)
+    v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 5, 16)))
+    mem = enc.apply(v, jax.random.normal(jax.random.PRNGKey(1), (1, 5, 16)))
+    assert mem.shape == (1, 5, 16)
+    dec = TransformerDecoder(depth=1, num_heads=2, mlp_dim=32)
+    vd = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16)), mem)
+    out = dec.apply(vd, jnp.zeros((1, 3, 16)), mem)
+    assert out.shape == (1, 3, 16)
+    g = gumbel_softmax(jax.random.PRNGKey(0), jnp.zeros((4, 7)), hard=True)
+    np.testing.assert_allclose(np.asarray(g.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_resnet_torch_import_roundtrip():
+    """Build a torch-layout state dict for a tiny resnet and verify the
+    importer produces numerically identical features to a manual forward."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+
+    # torch reference: conv1+bn1+relu+maxpool then one basic block (tap its
+    # conv2 pre-bn output) — mirrors the flax ResNet stem + block structure.
+    class TinyTorch(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+
+        def forward(self, x):
+            return self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+
+    torch.manual_seed(0)
+    t = TinyTorch().eval()
+    with torch.no_grad():
+        t.bn1.running_mean.normal_()
+        t.bn1.running_var.uniform_(0.5, 2.0)
+        t.bn1.weight.normal_()
+        t.bn1.bias.normal_()
+
+    from timetuning_tpu.models.resnet import resnet_params_from_torch
+
+    sd = {k: v.numpy() for k, v in t.state_dict().items()}
+    vars_ = resnet_params_from_torch(sd)
+
+    import flax.linen as nn
+
+    class TinyFlax(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, name="conv1")(x)
+            from timetuning_tpu.models.resnet import _BN
+
+            x = nn.relu(_BN(name="bn1")(x))
+            return nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+    x = np.random.default_rng(0).normal(size=(1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = t(torch.from_numpy(x)).numpy()
+    got = TinyFlax().apply(vars_, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_weight_urls():
+    assert get_backbone_weights("dino-s16").startswith("https://")
+    with pytest.raises(KeyError):
+        get_backbone_weights("nope")
+    assert "resnet50" in PRETRAINED_URLS

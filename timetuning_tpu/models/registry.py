@@ -1,0 +1,163 @@
+"""Backbone zoo: ``get_backbone`` dispatch over the 13 reference
+architectures + per-arch weight import + feature-extraction recipes.
+
+Reference: models.py:773-900 (``get_backbone``), models.py:76
+(``spatial_resolutions``), models.py:937-1068 (per-arch ``get_features``
+recipes), leopart.py:151-230 (released-weight URL/prefix table).
+
+Zero-egress note: torch.hub downloads are unavailable here; every entry
+accepts a local ``model_path`` checkpoint (the reference also supports this
+for most entries). URLs are recorded for provenance.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from timetuning_tpu.models import mae as mae_mod
+from timetuning_tpu.models import moco as moco_mod
+from timetuning_tpu.models import resnet as resnet_mod
+from timetuning_tpu.models.dul import DulResNet18
+from timetuning_tpu.models.import_torch import (
+    load_torch_state_dict,
+    strip_prefixes,
+    vit_params_from_torch,
+)
+from timetuning_tpu.models.resnet import resnet_params_from_torch
+from timetuning_tpu.models.slot_attention import SlotAttentionAutoEncoder
+from timetuning_tpu.models.vit import VisionTransformer, vit_base, vit_small
+
+# Reference table (models.py:76) — NOTE the resnet values describe the
+# 448-input CBFE configuration; actual resolution is computed from the
+# architecture at runtime (see `spatial_resolution`).
+REFERENCE_SPATIAL_RESOLUTIONS = {
+    "resnet18": 14, "resnet50": 14, "dino": 14, "stego": 28, "leopart": 14,
+    "vit": 14,
+}
+
+# Released-weight provenance (leopart.py:151-216; not downloadable here).
+PRETRAINED_URLS = {
+    "dino-s16": "https://dl.fbaipublicfiles.com/dino/dino_deitsmall16_pretrain/dino_deitsmall16_pretrain.pth",
+    "dino-s8": "https://dl.fbaipublicfiles.com/dino/dino_deitsmall8_pretrain/dino_deitsmall8_pretrain.pth",
+    "dino-b16": "https://dl.fbaipublicfiles.com/dino/dino_vitbase16_pretrain/dino_vitbase16_pretrain.pth",
+    "mocov3-s16": "https://dl.fbaipublicfiles.com/moco-v3/vit-s-300ep/vit-s-300ep.pth.tar",
+    "mocov3-b16": "https://dl.fbaipublicfiles.com/moco-v3/vit-b-300ep/vit-b-300ep.pth.tar",
+    "mae": "https://dl.fbaipublicfiles.com/mae/pretrain/mae_pretrain_vit_base.pth",
+    "msn-s16": "https://dl.fbaipublicfiles.com/msn/vits16_800ep.pth.tar",
+    "swav": "https://dl.fbaipublicfiles.com/deepcluster/swav_800ep_pretrain.pth.tar",
+    "resnet18": "https://download.pytorch.org/models/resnet18-5c106cde.pth",
+    "resnet50": "https://download.pytorch.org/models/resnet50-19c8e357.pth",
+}
+
+
+@dataclasses.dataclass
+class Backbone:
+    """A ready-to-apply backbone: module + variables + metadata."""
+
+    module: Any
+    variables: dict
+    patch_size: int | None
+    feature_dim: int
+    drop_cls: bool
+    name: str
+
+    def spatial_resolution(self, input_size: int = 224) -> int:
+        if self.patch_size is not None:
+            return input_size // self.patch_size
+        return input_size // 32  # standard resnet output stride
+
+    def apply(self, frames, want_attention: bool = False):
+        out = self.module.apply(self.variables, frames, want_attention=want_attention)
+        feats = out["tokens"]
+        if self.drop_cls:
+            feats = feats[:, 1:]
+        return feats, out.get("attention")
+
+
+def _init_variables(module, img=224, rng=None):
+    rng = rng or jax.random.PRNGKey(0)
+    return module.init(rng, jnp.zeros((1, img, img, 3)))
+
+
+def _vit_backbone(cfg, model_path, name, dtype):
+    module = VisionTransformer(cfg)
+    variables = _init_variables(module)
+    if model_path:
+        sd = load_torch_state_dict(model_path)
+        variables = {"params": vit_params_from_torch(sd)}
+    return Backbone(module, variables, cfg.patch_size, cfg.embed_dim, True, name)
+
+
+def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) -> Backbone:
+    """The 13-architecture dispatch (reference models.py:773-900).
+
+    resnet18 / resnet50 / swav (resnet50 weights) / dino-s8 / dino-s16 /
+    dino-b16 / msn-s16 / mae / ibot-s16 / mocov3-s16 / mocov3-b16 / vit
+    (timm supervised) / leopart / stego / motion_grouping / dul.
+    """
+    name = name.lower()
+    if name in ("resnet18", "resnet50", "swav"):
+        module = resnet_mod.resnet18(dtype) if name == "resnet18" else resnet_mod.resnet50(dtype)
+        variables = _init_variables(module)
+        if model_path:
+            variables = resnet_params_from_torch(load_torch_state_dict(model_path))
+        dim = 512 if name == "resnet18" else 2048
+        return Backbone(module, variables, None, dim, False, name)
+
+    if name in ("dino-s16", "msn-s16", "ibot-s16", "leopart"):
+        return _vit_backbone(vit_small(16, dtype=dtype), model_path, name, dtype)
+    if name == "dino-s8":
+        return _vit_backbone(vit_small(8, dtype=dtype), model_path, name, dtype)
+    if name in ("dino-b16", "vit"):
+        return _vit_backbone(vit_base(16, dtype=dtype), model_path, name, dtype)
+    if name == "mocov3-s16":
+        return _vit_backbone(moco_mod.moco_vit_small(dtype=dtype), model_path, name, dtype)
+    if name == "mocov3-b16":
+        return _vit_backbone(moco_mod.moco_vit_base(dtype=dtype), model_path, name, dtype)
+
+    if name == "mae":
+        module = mae_mod.mae_vit_base(dtype=dtype)
+        variables = _init_variables(module)
+        if model_path:
+            sd = strip_prefixes(load_torch_state_dict(model_path))
+            # encoder keys share the timm layout; reuse the ViT mapping for
+            # the encoder subset
+            enc = {k: v for k, v in sd.items() if not k.startswith("decoder") and k != "mask_token"}
+            params = vit_params_from_torch(enc)
+            params["cls_token"] = enc["cls_token"]
+            merged = dict(variables["params"])
+            merged.update(params)
+            variables = {"params": merged}
+        return Backbone(module, variables, 16, 768, True, name)
+
+    if name == "motion_grouping":
+        module = SlotAttentionAutoEncoder()
+        variables = _init_variables(module, img=128)
+        return Backbone(module, variables, None, 64, False, name)
+
+    if name == "dul":
+        module = DulResNet18(dtype)
+        variables = _init_variables(module)
+        return Backbone(module, variables, None, 512, False, name)
+
+    if name == "stego":
+        raise NotImplementedError(
+            "stego requires the external STEGO release; load its projected "
+            "features via a custom Backbone (reference models.py:1045-1053 "
+            "wraps the third-party checkpoint the same way)"
+        )
+
+    raise ValueError(f"unknown backbone {name!r}")
+
+
+def get_backbone_weights(arch: str) -> str:
+    """Released-weight lookup (reference leopart.py:151-216). Returns the
+    canonical URL; download out-of-band and pass the local path to
+    ``get_backbone``."""
+    if arch not in PRETRAINED_URLS:
+        raise KeyError(f"no released weights recorded for {arch!r}")
+    return PRETRAINED_URLS[arch]

@@ -1,0 +1,128 @@
+"""Slot attention + the motion-grouping autoencoder baseline.
+
+Reference: models.py:1219-1289 (``SlotAttention``) and
+motion_grouping_model.py:18-250 (``SoftPositionEmbed``,
+``SlotAttentionAutoEncoder`` with CNN encoder / spatial-broadcast decoder),
+loaded via ``get_backbone("motion_grouping")`` (models.py:876-884).
+
+The slot iteration is a ``lax.scan``; GRU update is flax's GRUCell.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class SlotAttention(nn.Module):
+    num_slots: int = 5
+    dim: int = 64
+    iters: int = 3
+    hidden_dim: int = 128
+    eps: float = 1e-8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, rng=None, num_slots: int | None = None):
+        B, N, D = inputs.shape
+        K = num_slots or self.num_slots
+        scale = self.dim ** -0.5
+        mu = self.param("slots_mu", nn.initializers.xavier_uniform(), (1, 1, self.dim))
+        log_sigma = self.param(
+            "slots_logsigma", nn.initializers.xavier_uniform(), (1, 1, self.dim)
+        )
+        if rng is None:
+            rng = self.make_rng("slots") if self.has_rng("slots") else jax.random.PRNGKey(0)
+        slots = mu + jnp.exp(log_sigma) * jax.random.normal(rng, (B, K, self.dim))
+
+        inputs = nn.LayerNorm(name="norm_input")(inputs)
+        k = nn.Dense(self.dim, use_bias=False, name="to_k")(inputs)
+        v = nn.Dense(self.dim, use_bias=False, name="to_v")(inputs)
+        to_q = nn.Dense(self.dim, use_bias=False, name="to_q")
+        norm_slots = nn.LayerNorm(name="norm_slots")
+        norm_pre_ff = nn.LayerNorm(name="norm_pre_ff")
+        gru = nn.GRUCell(self.dim, name="gru")
+        mlp1 = nn.Dense(self.hidden_dim, name="mlp1")
+        mlp2 = nn.Dense(self.dim, name="mlp2")
+
+        # static unroll: linen submodules cannot be applied inside a raw
+        # lax.scan body, and `iters` is tiny (default 3)
+        attn = None
+        for _ in range(self.iters):
+            prev = slots
+            q = to_q(norm_slots(slots))
+            attn = jax.nn.softmax(
+                jnp.einsum("bkd,bnd->bkn", q, k) * scale, axis=1
+            ) + self.eps
+            attn = attn / jnp.sum(attn, axis=-1, keepdims=True)
+            updates = jnp.einsum("bkn,bnd->bkd", attn, v)
+            new, _ = gru(prev.reshape(-1, self.dim), updates.reshape(-1, self.dim))
+            slots = new.reshape(B, K, self.dim)
+            slots = slots + mlp2(nn.relu(mlp1(norm_pre_ff(slots))))
+        return slots, attn
+
+
+class SoftPositionEmbed(nn.Module):
+    hidden_size: int
+
+    @nn.compact
+    def __call__(self, x):
+        H, W = x.shape[-3:-1]
+        ys = jnp.linspace(0.0, 1.0, H)
+        xs = jnp.linspace(0.0, 1.0, W)
+        gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+        grid = jnp.stack([gy, gx, 1 - gy, 1 - gx], axis=-1)       # [H, W, 4]
+        pos = nn.Dense(self.hidden_size, name="proj")(grid)
+        return x + pos[None]
+
+
+class SlotAttentionAutoEncoder(nn.Module):
+    """Object-discovery autoencoder (reference motion_grouping_model.py:144-250)."""
+
+    resolution: tuple[int, int] = (128, 128)
+    num_slots: int = 5
+    iters: int = 3
+    hidden_dim: int = 64
+
+    def encoder_cnn(self, x):
+        for i in range(4):
+            x = nn.Conv(self.hidden_dim, (5, 5), padding="SAME", name=f"enc{i}")(x)
+            x = nn.relu(x)
+        return x
+
+    @nn.compact
+    def __call__(self, x, rng=None):
+        B = x.shape[0]
+        h = self.encoder_cnn(x)
+        h = SoftPositionEmbed(self.hidden_dim, name="enc_pos")(h)
+        H, W = h.shape[1:3]
+        tokens = h.reshape(B, H * W, self.hidden_dim)
+        tokens = nn.LayerNorm(name="enc_norm")(tokens)
+        tokens = nn.Dense(self.hidden_dim, name="enc_fc1")(tokens)
+        tokens = nn.relu(tokens)
+        tokens = nn.Dense(self.hidden_dim, name="enc_fc2")(tokens)
+
+        slots, attn = SlotAttention(
+            self.num_slots, self.hidden_dim, self.iters, name="slot_attention"
+        )(tokens, rng=rng)
+
+        # spatial broadcast decode at 1/16 res, upsample by conv-transpose
+        dec_res = (self.resolution[0] // 16, self.resolution[1] // 16)
+        d = jnp.broadcast_to(
+            slots.reshape(B * self.num_slots, 1, 1, self.hidden_dim),
+            (B * self.num_slots, dec_res[0], dec_res[1], self.hidden_dim),
+        )
+        d = SoftPositionEmbed(self.hidden_dim, name="dec_pos")(d)
+        for i in range(4):
+            d = nn.ConvTranspose(
+                self.hidden_dim, (5, 5), strides=(2, 2), name=f"dec{i}"
+            )(d)
+            d = nn.relu(d)
+        d = nn.Conv(4, (3, 3), padding="SAME", name="dec_out")(d)
+        d = d.reshape(B, self.num_slots, *d.shape[1:])
+        recon, masks = d[..., :3], jax.nn.softmax(d[..., 3:], axis=1)
+        combined = jnp.sum(recon * masks, axis=1)
+        return combined, recon, masks, slots

@@ -1,0 +1,101 @@
+"""CLI surface tests: parser parity + smoke runs on the synthetic tree."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from timetuning_tpu.cli import cbfe as cli_cbfe
+from timetuning_tpu.cli import evaluate as cli_eval
+from timetuning_tpu.cli import linear_probe as cli_probe
+from timetuning_tpu.cli import propagate as cli_prop
+from timetuning_tpu.cli import train as cli_train
+
+
+def test_train_parser_defaults_match_reference():
+    """Defaults from reference time_tuning.py:673-714."""
+    a = cli_train.build_parser().parse_args([])
+    assert a.architecture == "dino-s16"
+    assert a.batch_size == 128
+    assert a.num_epochs == 100
+    assert a.num_clusters == 200
+    assert a.input_resolution == 224
+    assert a.num_frames == 4
+    assert a.EMA_decay == 0.995
+    assert a.epsilon == 0.05
+    assert a.queue_size == 16384
+    assert a.use_teacher is True
+    assert a.use_queue is False
+    assert a.regular_step == 3
+    assert a.head_lr == 1e-4
+
+
+def test_propagate_parser_defaults():
+    """Defaults from reference mask_propagation.py:847-870."""
+    a = cli_prop.build_parser().parse_args([])
+    assert a.num_frames == 25
+    assert a.n_last_frames == 4
+    assert a.size_mask_neighborhood == 12
+    assert a.topk == 5
+    assert a.uvos is True
+
+
+def test_other_parsers_build():
+    assert cli_eval.build_parser().parse_args([]).evaluation_protocol == "frame-wise"
+    assert cli_probe.build_parser().parse_args(["--pascal_root", "x"]).num_epochs == 50
+    assert cli_cbfe.build_parser().parse_args(["--pascal_root", "x"]).num_clusters == 300
+
+
+@pytest.fixture(scope="module")
+def davis_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("davis_cli")
+    frames = root / "JPEGImages" / "480p"
+    annots = root / "Annotations" / "480p"
+    rng = np.random.default_rng(0)
+    for v in range(2):
+        fdir, adir = frames / f"v{v}", annots / f"v{v}"
+        fdir.mkdir(parents=True)
+        adir.mkdir(parents=True)
+        for f in range(5):
+            cv2.imwrite(
+                str(fdir / f"{f:05d}.jpg"),
+                rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8),
+            )
+            ann = np.zeros((48, 48), np.uint8)
+            ann[10:30, 10:30] = 1
+            cv2.imwrite(str(adir / f"{f:05d}.png"), ann)
+    return str(root)
+
+
+def test_propagate_cli_smoke(davis_tree, capsys):
+    rc = cli_prop.main([
+        "--architecture", "vit-tiny-test",
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--num_frames", "4",
+        "--n_last_frames", "2",
+        "--size_mask_neighborhood", "1",
+        "--input_resolution", "32",
+        "--metric", "jf",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "J&F" in out
+
+
+def test_evaluate_cli_smoke(davis_tree, capsys):
+    rc = cli_eval.main([
+        "--architecture", "vit-tiny-test",
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--batch_size", "2",
+        "--num_frames", "2",
+        "--input_resolution", "32",
+        "--eval_resolution", "16",
+        "--num_clusters", "2",
+        "--evaluation_protocol", "frame-wise",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    assert "score:" in capsys.readouterr().out

@@ -1,0 +1,81 @@
+"""End-to-end training on a synthetic DAVIS tree with a tiny ViT —
+the full driver path: loader → fused augmentation → TimeT step →
+checkpoint → resume (SURVEY.md §4 integration seam)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from timetuning_tpu.core.train import TrainingConfig, run_training
+
+
+@pytest.fixture(scope="module")
+def davis_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("davis_e2e")
+    frames = root / "JPEGImages" / "480p"
+    rng = np.random.default_rng(0)
+    for v in range(4):
+        fdir = frames / f"video{v}"
+        fdir.mkdir(parents=True)
+        for f in range(6):
+            img = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+            cv2.imwrite(str(fdir / f"{f:05d}.jpg"), img)
+    return str(root)
+
+
+def _cfg(davis_tree, tmp_path, **kw):
+    base = dict(
+        architecture="vit-tiny-test",
+        dataset="davis",
+        data_root=davis_tree,
+        pascal_root=None,
+        log_dir=str(tmp_path / "logs"),
+        batch_size=2,
+        num_epochs=2,
+        num_frames=3,
+        num_workers=2,
+        num_clusters=8,
+        input_resolution=32,
+        n_last_frames=2,
+        size_mask_neighborhood=1,
+        decode_size=48,
+        head_dims=(16, 8),
+        unfreeze_layers=("blocks.1",),
+        compute_dtype="float32",
+        use_queue=True,
+        queue_size=64,
+        max_steps_per_epoch=2,
+        use_tensorboard=False,
+        num_devices=2,  # exercise the shard_map path with batch 2
+    )
+    base.update(kw)
+    return TrainingConfig(**base)
+
+
+def test_training_runs_and_checkpoints(davis_tree, tmp_path):
+    cfg = _cfg(davis_tree, tmp_path)
+    result = run_training(cfg)
+    assert result["final_loss"] is not None
+    assert np.isfinite(result["final_loss"])
+    assert result["global_step"] == 4  # 2 epochs × 2 steps
+    run_dir = result["run_dir"]
+    assert os.path.exists(os.path.join(run_dir, "checkpoint"))
+    assert os.path.exists(os.path.join(run_dir, "config.txt"))
+    lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
+    tags = {json.loads(l)["tag"] for l in lines}
+    assert "Loss/train" in tags and "momentum" in tags
+
+
+def test_training_resume(davis_tree, tmp_path):
+    cfg = _cfg(davis_tree, tmp_path)
+    r1 = run_training(cfg)
+    cfg2 = _cfg(davis_tree, tmp_path, load_checkpoint=True, num_epochs=3)
+    r2 = run_training(cfg2)
+    # resumed from the saved epoch-1 checkpoint (saved before epoch 1 ran),
+    # so it continues rather than restarting from scratch
+    assert r2["run_dir"] == r1["run_dir"]
+    assert r2["global_step"] > 0

@@ -1,0 +1,99 @@
+"""Evaluation CLI — the ``python evaluation.py`` equivalent
+(reference evaluation.py:490-563 flag surface)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from timetuning_tpu.cli.train import str2bool
+from timetuning_tpu.runtime import setup_compilation_cache
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("timetuning_tpu.evaluate")
+    p.add_argument("--architecture", type=str, default="dino-s16")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="backbone or TimeT checkpoint (.pth)")
+    p.add_argument("--dataset", type=str, default="davis_val")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_frames", type=int, default=4)
+    p.add_argument("--input_resolution", type=int, default=224)
+    p.add_argument("--eval_resolution", type=int, default=112)
+    p.add_argument("--num_clusters", type=int, default=10)
+    p.add_argument("--evaluation_protocol", type=str, default="frame-wise",
+                   choices=["frame-wise", "sample-wise", "dataset-wise"])
+    p.add_argument("--clustering_algorithm", type=str, default="k-means",
+                   choices=["k-means", "prototypes"])
+    p.add_argument("--many_to_one", type=str2bool, default=False)
+    p.add_argument("--precision_based", type=str2bool, default=False)
+    p.add_argument("--use_mask", type=str2bool, default=False)
+    p.add_argument("--use_annotations", type=str2bool, default=False)
+    p.add_argument("--uvos", type=str2bool, default=False)
+    p.add_argument("--num_workers", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_compilation_cache()
+
+    from timetuning_tpu.data.datasets import SamplingMode
+    from timetuning_tpu.data.loader import make_loader
+    from timetuning_tpu.data.transforms import eval_preprocess_batch
+    from timetuning_tpu.eval.evaluator import Evaluator
+    from timetuning_tpu.models.registry import get_backbone
+
+    bb = get_backbone(args.architecture, args.model_path)
+    res = bb.spatial_resolution(args.input_resolution)
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("want_attention",))
+    def feats_jit(frames_u8, want_attention=False):
+        x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution)
+        out = bb.module.apply(bb.variables, x, want_attention=want_attention)
+        f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
+        return f, out.get("attention")
+
+    def feature_fn(frames, want_attention=False):
+        return feats_jit(jnp.asarray(frames), want_attention)
+
+    loader = make_loader(
+        args.dataset,
+        num_clip_frames=args.num_frames,
+        batch_size=args.batch_size,
+        sampling_mode=SamplingMode.UNIFORM,
+        shuffle=False,
+        num_workers=args.num_workers,
+        root=args.data_root,
+        drop_last=False,
+    )
+    ev = Evaluator(
+        data_iter_factory=lambda: iter(loader),
+        feature_fn=feature_fn,
+        spatial_resolution=res,
+        num_classes=args.num_clusters,
+        involve_bg=True,
+        clustering_algorithm=args.clustering_algorithm,
+        uvos=args.uvos,
+        ignore_index=None,
+    )
+    score = ev.evaluate(
+        many_to_one=args.many_to_one,
+        evaluation_protocol=args.evaluation_protocol,
+        eval_resolution=args.eval_resolution,
+        num_clusters=args.num_clusters,
+        use_mask=args.use_mask,
+        use_annotations=args.use_annotations,
+        precision_based=args.precision_based,
+    )
+    print(f"score: {score}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

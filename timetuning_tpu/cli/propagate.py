@@ -1,0 +1,121 @@
+"""Semi-supervised mask propagation CLI — the ``python mask_propagation.py``
+equivalent (reference mask_propagation.py:717-870: bs=1, 25 uniform frames,
+n_last=4, neighborhood 12, topk 5, uvos binarization; optional optical-flow
+baseline)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from timetuning_tpu.cli.train import str2bool
+from timetuning_tpu.runtime import setup_compilation_cache
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("timetuning_tpu.propagate")
+    p.add_argument("--architecture", type=str, default="dino-s16")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--dataset", type=str, default="davis_val")
+    p.add_argument("--data_root", type=str, default=None)
+    p.add_argument("--num_frames", type=int, default=25)
+    p.add_argument("--n_last_frames", type=int, default=4)
+    p.add_argument("--size_mask_neighborhood", type=int, default=12)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--input_resolution", type=int, default=224)
+    p.add_argument("--uvos", type=str2bool, default=True)
+    p.add_argument("--use_optical_flow", type=str2bool, default=False)
+    p.add_argument("--metric", type=str, default="jf",
+                   choices=["jf", "miou", "propagation"])
+    p.add_argument("--num_workers", type=int, default=4)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_compilation_cache()
+
+    from timetuning_tpu.data.datasets import SamplingMode
+    from timetuning_tpu.data.loader import make_loader
+    from timetuning_tpu.data.transforms import eval_preprocess_batch
+    from timetuning_tpu.eval.evaluator import evaluate_localizations, evaluate_propagation
+    from timetuning_tpu.eval.metrics import PredsmIoU
+    from timetuning_tpu.eval.vos import evaluate_sequence, j_and_f
+    from timetuning_tpu.models.registry import get_backbone
+    from timetuning_tpu.ops.propagation import propagate_labels
+    from timetuning_tpu.ops.resize import resize_bilinear, resize_nearest
+
+    bb = get_backbone(args.architecture, args.model_path)
+    res = bb.spatial_resolution(args.input_resolution)
+
+    @jax.jit
+    def extract(frames_u8):
+        x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution)
+        out = bb.module.apply(bb.variables, x)
+        return out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
+
+    @jax.jit
+    def propagate_clip(feats, first_onehot):
+        segs = propagate_labels(
+            feats, first_onehot,
+            n_last=args.n_last_frames,
+            radius=args.size_mask_neighborhood,
+            topk=args.topk,
+        )                                                 # [T-1, K, N]
+        T1, K, N = segs.shape
+        maps = segs.reshape(T1, K, res, res)
+        up = resize_bilinear(maps, (args.input_resolution, args.input_resolution))
+        return jnp.argmax(up, axis=1)                      # [T-1, S, S]
+
+    loader = make_loader(
+        args.dataset, num_clip_frames=args.num_frames, batch_size=1,
+        sampling_mode=SamplingMode.UNIFORM, shuffle=False,
+        num_workers=args.num_workers, root=args.data_root, drop_last=False,
+    )
+    all_gt, all_pred, sequences = [], [], []
+    S = args.input_resolution
+    for frames, annots, _ in loader:
+        frames, annots = frames[0], annots[0]              # bs 1
+        if args.uvos:
+            annots = (annots > 0).astype(np.uint8)
+        ann = np.asarray(
+            resize_nearest(jnp.asarray(annots, jnp.float32), (S, S))
+        ).astype(np.int64)
+        K = max(int(ann.max()) + 1, 2)
+        if args.use_optical_flow:
+            from timetuning_tpu.eval.optical_flow import propagate_flow
+
+            preds = propagate_flow(frames, ann[0])
+        else:
+            feats = extract(jnp.asarray(frames))
+            first = np.asarray(
+                resize_nearest(jnp.asarray(ann[0:1], jnp.float32), (res, res))
+            )[0].astype(np.int64)
+            onehot = jnp.asarray(np.eye(K, dtype=np.float32)[first].T.reshape(K, -1))
+            preds = np.asarray(propagate_clip(feats, onehot))
+        all_gt.append(ann[1:])
+        all_pred.append(preds)
+        sequences.append(evaluate_sequence(preds, ann[1:]))
+
+    gts = np.stack(all_gt)
+    preds = np.stack(all_pred)
+    if args.metric == "jf":
+        out = j_and_f(sequences)
+        print(f"J&F: {out}")
+    elif args.metric == "propagation":
+        m = PredsmIoU(256, 256, involve_bg=True)
+        print(f"propagation J: {evaluate_propagation(m, gts, preds)}")
+    else:
+        m = PredsmIoU(256, 256, involve_bg=True)
+        print(
+            "mIoU:",
+            evaluate_localizations(m, gts, preds, "sample-wise"),
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,89 @@
+"""Checkpoint / resume / best-model export (Orbax).
+
+Reference: time_tuning.py:460-505 — per-epoch ``{epoch, global_step, model,
+optimizer, scheduler}`` torch saves, most-recent-run directory discovery by
+sorted timestamp glob, and best-mIoU ``{score}_{epoch}.pth`` exports of the
+model state only (:637-641). TPU equivalents: Orbax pytree checkpoints of the
+full ``TrainState`` (params, EMA teacher, prototypes, queue, optimizer
+moments, step), the same timestamped-run-directory convention, and an
+importer for the published PyTorch ``TimeT.pth`` (README.md:66-76 contract).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def make_run_directory(base: str) -> str:
+    """logs/YYYYMMDD/HHMMSS — the reference's layout (time_tuning.py:555-566)."""
+    now = datetime.datetime.now()
+    path = os.path.join(base, now.strftime("%Y%m%d"), now.strftime("%H%M%S"))
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def find_last_run_directory(base: str) -> str | None:
+    """Most recent timestamped run dir (reference
+    ``find_the_last_logging_directory``, time_tuning.py:473-491)."""
+    if not os.path.isdir(base):
+        return None
+    days = sorted(d for d in os.listdir(base) if re.fullmatch(r"\d{8}", d))
+    for day in reversed(days):
+        times = sorted(
+            t for t in os.listdir(os.path.join(base, day))
+            if re.fullmatch(r"\d{6}", t)
+        )
+        if times:
+            return os.path.join(base, day, times[-1])
+    return None
+
+
+def save_checkpoint(state: Any, run_dir: str, epoch: int) -> str:
+    """Write the full TrainState + epoch marker to ``run_dir/checkpoint``."""
+    path = os.path.join(os.path.abspath(run_dir), "checkpoint")
+    payload = {"epoch": np.asarray(epoch), "state": jax.device_get(state)}
+    ckpt = _checkpointer()
+    ckpt.save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(run_dir: str, state_template: Any) -> tuple[Any, int]:
+    """Restore (state, epoch); returns (template, 0) when absent — matching
+    the reference's tolerant resume (time_tuning.py:503-505)."""
+    path = os.path.join(os.path.abspath(run_dir), "checkpoint")
+    if not os.path.exists(path):
+        return state_template, 0
+    ckpt = _checkpointer()
+    template = {"epoch": np.asarray(0), "state": jax.device_get(state_template)}
+    payload = ckpt.restore(path, item=template)
+    return payload["state"], int(payload["epoch"])
+
+
+def export_best(params: Any, run_dir: str, score: float, epoch: int) -> str:
+    """Model-only export named ``{score}_{epoch}`` (time_tuning.py:637-641)."""
+    path = os.path.join(os.path.abspath(run_dir), f"{score:.4f}_{epoch}")
+    _checkpointer().save(path, jax.device_get(params), force=True)
+    return path
+
+
+def import_timet_pth(path: str) -> dict:
+    """Published PyTorch TimeT checkpoint → flax param tree
+    (models/import_torch.timet_params_from_torch)."""
+    from timetuning_tpu.models.import_torch import (
+        load_torch_state_dict,
+        timet_params_from_torch,
+    )
+
+    return timet_params_from_torch(load_torch_state_dict(path))

@@ -108,6 +108,14 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
         dim = 512 if name == "resnet18" else 2048
         return Backbone(module, variables, None, dim, False, name)
 
+    if name == "vit-tiny-test":
+        # minimal ViT for integration tests / dry runs
+        from timetuning_tpu.models.vit import ViTConfig
+
+        cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32, dtype=dtype, attn_impl="xla")
+        return _vit_backbone(cfg, model_path, name, dtype)
+
     if name in ("dino-s16", "msn-s16", "ibot-s16", "leopart"):
         return _vit_backbone(vit_small(16, dtype=dtype), model_path, name, dtype)
     if name == "dino-s8":

@@ -1,0 +1,83 @@
+"""Native runtime tests: C++ Hungarian solver + packed clip cache."""
+
+import os
+
+import numpy as np
+import pytest
+
+from timetuning_tpu.native import (
+    ClipPack,
+    build_clip_pack,
+    hungarian,
+    native_available,
+    write_clip_pack,
+)
+
+
+def test_native_library_builds():
+    assert native_available(), "g++ toolchain present; native lib must build"
+
+
+def test_hungarian_matches_scipy_rect():
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        n, m = rng.integers(1, 40), rng.integers(1, 40)
+        cost = rng.normal(size=(n, m))
+        r1, c1 = hungarian(cost)
+        r2, c2 = linear_sum_assignment(cost)
+        assert len(r1) == min(n, m)
+        assert cost[r1, c1].sum() == pytest.approx(cost[r2, c2].sum())
+
+
+def test_hungarian_through_metric():
+    """PredsmIoU end-to-end uses the native solver."""
+    from timetuning_tpu.eval.metrics import PredsmIoU
+
+    rng = np.random.default_rng(1)
+    gt = rng.integers(0, 4, size=2000)
+    perm = np.array([3, 1, 0, 2])
+    m = PredsmIoU(4, 4, involve_bg=True)
+    m.update(gt, perm[gt])
+    assert m.compute()[0] == pytest.approx(1.0)
+
+
+def test_clip_pack_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, size=(12, 16, 16, 3), dtype=np.uint8)
+    path = str(tmp_path / "a.pack")
+    write_clip_pack(path, frames)
+    p = ClipPack(path)
+    assert (p.n, p.h, p.w, p.c) == (12, 16, 16, 3)
+    ids = np.asarray([5, 0, 11, 5])
+    np.testing.assert_array_equal(p.gather(ids), frames[ids])
+    with pytest.raises(IndexError):
+        p.gather(np.asarray([12]))
+    p.close()
+
+
+def test_packed_dataset_matches_decode(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    from timetuning_tpu.data.datasets import PackedVideoDataset, VideoDataset
+
+    root = tmp_path / "JPEGImages"
+    rng = np.random.default_rng(3)
+    for v in range(2):
+        d = root / f"v{v}"
+        d.mkdir(parents=True)
+        for f in range(5):
+            cv2.imwrite(
+                str(d / f"{f:05d}.jpg"),
+                rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8),
+            )
+    plain = VideoDataset(frames_root=str(root), num_frames=3, decode_size=32)
+    pack_path = str(tmp_path / "set.pack")
+    build_clip_pack(plain, pack_path)
+    packed = PackedVideoDataset(
+        frames_root=str(root), num_frames=3, decode_size=32, pack_path=pack_path
+    )
+    a = plain[1]
+    b = packed[1]
+    # identical sampling rng → identical clips; pack stores the same decode
+    np.testing.assert_array_equal(a["frames"], b["frames"])

@@ -261,6 +261,59 @@ class KineticsDataset(VideoDataset):
         super().__init__(frames_root, annotations_root="", **kw)
 
 
+class PackedVideoDataset(VideoDataset):
+    """VideoDataset reading from a decode-once packed frame cache.
+
+    Build the pack with ``timetuning_tpu.native.build_clip_pack``; training
+    epochs then assemble batches by native threaded memcpy gathers out of
+    the mmap'd pack instead of re-decoding JPEGs (the reference re-decoded
+    every frame every epoch in Python workers, data_loader.py:595-614).
+    Annotations (eval-only, small) still come from the annotation tree.
+    """
+
+    def __init__(self, *args, pack_path: str, **kw):
+        super().__init__(*args, **kw)
+        import json
+
+        from timetuning_tpu.native import ClipPack
+
+        self.pack = ClipPack(pack_path)
+        with open(pack_path + ".index.json") as f:
+            self.pack_index = json.load(f)
+        assert self.pack.h == self.decode_size == self.pack.w, (
+            f"pack built at {self.pack.h}x{self.pack.w}, dataset expects "
+            f"{self.decode_size}"
+        )
+
+    def __getitem__(self, index: int) -> dict:
+        key = self.keys[index]
+        name = os.path.basename(key)
+        start, n = self.pack_index[name]
+        rng = self._rng(index)
+        clip_idx = generate_clip_indices(
+            rng, n, self.num_frames, self.num_clips,
+            self.sampling_mode, self.regular_step,
+        )
+        F = len(clip_idx[0])
+        flat = np.asarray([start + i for c in clip_idx for i in c], np.int64)
+        frames = self.pack.gather(flat).reshape(
+            self.num_clips, F, self.decode_size, self.decode_size, 3
+        )
+        annots = np.zeros(
+            (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
+        )
+        if self.use_annotations:
+            ann_files = self.ann_tree[self.ann_keys[index]]
+            for c, idx in enumerate(clip_idx):
+                for f, i in enumerate(idx):
+                    if i < len(ann_files):
+                        a = _decode_frame(ann_files[i], self.decode_size, nearest=True)
+                        if a.ndim == 3:
+                            a = a[..., 0]
+                        annots[c, f] = a
+        return {"frames": frames, "annotations": annots, "label": index}
+
+
 # ------------------------------------------------------------------ #
 # dataset-management utilities
 

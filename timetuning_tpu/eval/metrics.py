@@ -10,8 +10,9 @@ Re-designs the reference ``PredsmIoU`` (metrics.py:209-505) for TPU:
     information at a vanishing fraction of the cost.
   * ``compute`` pulls the (tiny) confusion matrix to host and reproduces the
     reference matching semantics exactly: IoU or precision score matrix over
-    the *observed* classes, scipy Hungarian (metrics.py:481-488) or greedy
-    many-to-one (metrics.py:490-505), unmatched predictions → background,
+    the *observed* classes, Hungarian matching via the native C++ solver
+    (timetuning_tpu.native; reference used scipy, metrics.py:481-488) or
+    greedy many-to-one (metrics.py:490-505), unmatched predictions → background,
     per-class IoU with optional background exclusion (``involve_bg``),
     fraction-of-clusters-matched-to-bg statistic.
 
@@ -25,7 +26,8 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from scipy.optimize import linear_sum_assignment
+
+from timetuning_tpu.native import hungarian as linear_sum_assignment
 
 
 def confusion_matrix(

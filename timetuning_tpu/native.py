@@ -1,0 +1,206 @@
+"""ctypes bindings for the native runtime (native/*.cpp).
+
+Two components, both with pure-Python fallbacks so the framework works
+without a compiler:
+
+  * ``hungarian``  — C++ shortest-augmenting-path assignment solver used by
+    the evaluation matching (falls back to scipy);
+  * ``ClipPack``   — mmap'd packed-frame store with threaded C++ batch
+    gather, the decode-once data runtime for training (falls back to a
+    numpy memmap gather).
+
+The shared library is built lazily with ``make -C native`` (g++) on first
+use and cached under ``native/build/``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libtimetuning_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+
+_HEADER_BYTES = 5 * 8
+_MAGIC = 0x54504C43
+
+
+def _load_library():
+    global _lib
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_LIB_PATH):
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True, capture_output=True, timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.hungarian_solve.restype = ctypes.c_int
+        lib.hungarian_solve.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.clippack_open.restype = ctypes.c_int64
+        lib.clippack_open.argtypes = [ctypes.c_char_p]
+        lib.clippack_info.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.clippack_gather.restype = ctypes.c_int
+        lib.clippack_gather.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ]
+        lib.clippack_close.argtypes = [ctypes.c_int64]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def hungarian(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Min-cost assignment; returns (row_indices, col_indices) like scipy's
+    ``linear_sum_assignment``. Uses the C++ solver when built."""
+    cost = np.ascontiguousarray(cost, dtype=np.float64)
+    n_rows, n_cols = cost.shape
+    lib = _load_library()
+    if lib is None:
+        from scipy.optimize import linear_sum_assignment
+
+        return linear_sum_assignment(cost)
+    transposed = n_rows > n_cols
+    if transposed:
+        cost = np.ascontiguousarray(cost.T)
+        n_rows, n_cols = n_cols, n_rows
+    out = np.full(n_rows, -1, dtype=np.int32)
+    rc = lib.hungarian_solve(
+        cost.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        n_rows, n_cols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        from scipy.optimize import linear_sum_assignment
+
+        return linear_sum_assignment(cost.T if transposed else cost)
+    rows = np.arange(n_rows)
+    if transposed:
+        return out.astype(np.int64), rows
+    return rows, out.astype(np.int64)
+
+
+# ------------------------------------------------------------------ #
+# packed clip cache
+
+
+def write_clip_pack(path: str, frames: np.ndarray) -> None:
+    """Write frames [N, H, W, C] uint8 into a pack file."""
+    frames = np.ascontiguousarray(frames, dtype=np.uint8)
+    n, h, w, c = frames.shape
+    header = np.asarray([_MAGIC, n, h, w, c], dtype=np.int64)
+    with open(path, "wb") as f:
+        f.write(header.tobytes())
+        f.write(frames.tobytes())
+
+
+def build_clip_pack(
+    dataset, path: str, index_path: str | None = None
+) -> dict:
+    """Decode every frame of a VideoDataset tree once into a pack.
+
+    Returns the index: {video name: (start_frame, n_frames)} and writes it
+    as JSON next to the pack.
+    """
+    import json
+
+    import cv2
+
+    index: dict[str, tuple[int, int]] = {}
+    all_frames = []
+    start = 0
+    for key in dataset.keys:
+        files = dataset.tree[key]
+        for fp in files:
+            img = cv2.cvtColor(cv2.imread(fp), cv2.COLOR_BGR2RGB)
+            img = cv2.resize(
+                img, (dataset.decode_size, dataset.decode_size),
+                interpolation=cv2.INTER_LINEAR,
+            )
+            all_frames.append(img)
+        index[os.path.basename(key)] = (start, len(files))
+        start += len(files)
+    write_clip_pack(path, np.stack(all_frames))
+    ip = index_path or path + ".index.json"
+    with open(ip, "w") as f:
+        json.dump(index, f)
+    return index
+
+
+class ClipPack:
+    """Reader over a pack file: threaded native gather or memmap fallback."""
+
+    def __init__(self, path: str, n_threads: int = 4):
+        self.path = path
+        self.n_threads = n_threads
+        self._lib = _load_library()
+        self._handle = 0
+        if self._lib is not None:
+            self._handle = self._lib.clippack_open(path.encode())
+        if self._handle:
+            info = (ctypes.c_int64 * 4)()
+            self._lib.clippack_info(self._handle, info)
+            self.n, self.h, self.w, self.c = (int(x) for x in info)
+            self._mm = None
+        else:
+            header = np.fromfile(path, dtype=np.int64, count=5)
+            assert header[0] == _MAGIC, f"{path} is not a clip pack"
+            self.n, self.h, self.w, self.c = (int(x) for x in header[1:5])
+            self._mm = np.memmap(
+                path, dtype=np.uint8, mode="r", offset=_HEADER_BYTES,
+                shape=(self.n, self.h, self.w, self.c),
+            )
+
+    @property
+    def using_native(self) -> bool:
+        return bool(self._handle)
+
+    def gather(self, frame_ids: np.ndarray) -> np.ndarray:
+        """frame_ids [K] int → frames [K, H, W, C] uint8."""
+        ids = np.ascontiguousarray(frame_ids, dtype=np.int64)
+        if self._handle:
+            out = np.empty((len(ids), self.h, self.w, self.c), np.uint8)
+            rc = self._lib.clippack_gather(
+                self._handle,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                len(ids),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self.n_threads,
+            )
+            if rc != 0:
+                raise IndexError("frame id out of range")
+            return out
+        return np.asarray(self._mm[ids])
+
+    def close(self):
+        if self._handle:
+            self._lib.clippack_close(self._handle)
+            self._handle = 0
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass

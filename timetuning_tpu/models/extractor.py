@@ -47,6 +47,46 @@ class FeatureExtractor(nn.Module):
         return feats, out.get("attention")
 
 
+class FeatureExtractorV2(nn.Module):
+    """Dual-head extractor: separate projection MLPs for the segmentation
+    (Sinkhorn/prototype) space and the propagation (affinity) space.
+
+    Reference: models.py:1083-1216 — same backbone, ``segmentation_head``
+    and ``propagation_head`` Sequential MLPs selected per forward. Returns
+    ((seg_features, prop_features), attention); either head may be disabled
+    (empty dims → raw backbone features pass through).
+    """
+
+    backbone: nn.Module
+    segmentation_head_dims: Sequence[int] = ()
+    propagation_head_dims: Sequence[int] = ()
+    drop_cls: bool = True
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        use_segmentation_head: bool = True,
+        use_propagation_head: bool = True,
+        want_attention: bool = False,
+    ):
+        out = self.backbone(x, want_attention=want_attention)
+        feats = out["tokens"]
+        if self.drop_cls:
+            feats = feats[:, 1:]
+        seg = feats
+        prop = feats
+        if self.segmentation_head_dims and use_segmentation_head:
+            seg = ProjectionHead(
+                tuple(self.segmentation_head_dims), name="segmentation_head"
+            )(feats)
+        if self.propagation_head_dims and use_propagation_head:
+            prop = ProjectionHead(
+                tuple(self.propagation_head_dims), name="propagation_head"
+            )(feats)
+        return (seg, prop), out.get("attention")
+
+
 def process_attentions(
     attentions: jax.Array,
     spatial_res: int,

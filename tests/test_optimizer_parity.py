@@ -1,0 +1,134 @@
+"""SwAV optimizer chain vs torch AdamW + CosineAnnealingLR + scheduled WD.
+
+The reference optimizer (time_tuning.py:379-429) is AdamW with three
+parameter groups (prototypes@lr, head@lr, backbone@lr/10), bias/1-dim
+params excluded from decay, per-step cosine LR annealing, and the weight
+decay itself re-set each step from a cosine schedule. This test runs both
+implementations on the same tiny problem and compares trajectories.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from timetuning_tpu.core.optimizer import swav_optimizer  # noqa: E402
+from timetuning_tpu.core.schedules import cosine_scheduler  # noqa: E402
+
+STEPS = 5
+LR = 1e-2
+
+
+def _params():
+    rng = np.random.default_rng(0)
+    return {
+        "prototypes": rng.normal(size=(4, 3)).astype(np.float32),
+        "feature_extractor": {
+            "head": {
+                "lin0": {
+                    "kernel": rng.normal(size=(3, 4)).astype(np.float32),
+                    "bias": rng.normal(size=(4,)).astype(np.float32),
+                }
+            },
+            "backbone": {
+                "blocks_1": {
+                    "w": rng.normal(size=(2, 2)).astype(np.float32),
+                },
+                "blocks_0": {
+                    "w": rng.normal(size=(2, 2)).astype(np.float32),
+                },
+            },
+        },
+    }
+
+
+def _loss_jax(p):
+    return (
+        jnp.sum(p["prototypes"] ** 2) * 0.5
+        + jnp.sum(p["feature_extractor"]["head"]["lin0"]["kernel"] ** 2) * 0.25
+        + jnp.sum(p["feature_extractor"]["head"]["lin0"]["bias"] ** 2) * 0.25
+        + jnp.sum(p["feature_extractor"]["backbone"]["blocks_1"]["w"] ** 2) * 0.125
+        + jnp.sum(p["feature_extractor"]["backbone"]["blocks_0"]["w"] ** 2) * 0.125
+    )
+
+
+def test_matches_torch_adamw():
+    import optax
+
+    init = _params()
+    tx, _ = swav_optimizer(
+        jax.tree.map(jnp.asarray, init),
+        lr=LR,
+        num_epochs=1,
+        steps_per_epoch=STEPS,
+        unfreeze_layers=("blocks.1",),
+    )
+    params = jax.tree.map(jnp.asarray, init)
+    opt_state = tx.init(params)
+    for _ in range(STEPS):
+        grads = jax.grad(_loss_jax)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+    # torch mirror
+    t_protos = torch.tensor(init["prototypes"], requires_grad=True)
+    t_kernel = torch.tensor(init["feature_extractor"]["head"]["lin0"]["kernel"],
+                            requires_grad=True)
+    t_bias = torch.tensor(init["feature_extractor"]["head"]["lin0"]["bias"],
+                          requires_grad=True)
+    t_b1 = torch.tensor(init["feature_extractor"]["backbone"]["blocks_1"]["w"],
+                        requires_grad=True)
+    t_b0 = torch.tensor(init["feature_extractor"]["backbone"]["blocks_0"]["w"])
+
+    wd_sched = cosine_scheduler(0.04, 0.4, 1, STEPS)
+    groups = [
+        {"params": [t_protos], "weight_decay": wd_sched[0], "lr": LR},
+        {"params": [t_kernel], "weight_decay": wd_sched[0], "lr": LR},
+        {"params": [t_bias], "weight_decay": 0.0, "lr": LR},
+        {"params": [t_b1], "weight_decay": wd_sched[0], "lr": LR / 10},
+    ]
+    opt = torch.optim.AdamW(groups, LR)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=STEPS, eta_min=0)
+    for step in range(STEPS):
+        loss = (
+            (t_protos ** 2).sum() * 0.5
+            + (t_kernel ** 2).sum() * 0.25
+            + (t_bias ** 2).sum() * 0.25
+            + (t_b1 ** 2).sum() * 0.125
+            + (t_b0 ** 2).sum() * 0.125
+        )
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        # reference re-sets wd from the schedule AFTER stepping
+        # (time_tuning.py:427-429: wd_schedule[global_step] with the
+        # incremented step)
+        for g in opt.param_groups:
+            if g["weight_decay"] != 0:
+                g["weight_decay"] = wd_sched[min(step + 1, STEPS - 1)]
+
+    np.testing.assert_allclose(
+        np.asarray(params["prototypes"]), t_protos.detach().numpy(),
+        rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["feature_extractor"]["head"]["lin0"]["kernel"]),
+        t_kernel.detach().numpy(), rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["feature_extractor"]["head"]["lin0"]["bias"]),
+        t_bias.detach().numpy(), rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["feature_extractor"]["backbone"]["blocks_1"]["w"]),
+        t_b1.detach().numpy(), rtol=1e-4, atol=1e-6,
+    )
+    # frozen leaf untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["feature_extractor"]["backbone"]["blocks_0"]["w"]),
+        init["feature_extractor"]["backbone"]["blocks_0"]["w"],
+    )

@@ -32,7 +32,7 @@ Compute-graph notes (identical math, TPU-shaped):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Any, Sequence  # noqa: F401 — Sequence used in annotations
 
 import flax.linen as nn
 import flax.struct

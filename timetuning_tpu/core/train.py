@@ -172,6 +172,9 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
 
     model, pretrained, spatial_res = build_model(cfg)
 
+    # Per-host data sharding (the DistributedSampler equivalent): each host
+    # loads its slice of the videos and feeds its local devices; the mesh
+    # spans all hosts' devices.
     loader = make_loader(
         cfg.dataset,
         num_clip_frames=cfg.num_frames,
@@ -182,6 +185,8 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         num_workers=cfg.num_workers,
         root=cfg.data_root,
         decode_size=cfg.decode_size,
+        world_size=jax.process_count(),
+        rank=jax.process_index(),
     )
     steps_per_epoch = max(len(loader), 1)
     if cfg.max_steps_per_epoch:

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from timetuning_tpu.models.resnet import BasicBlock, _BN, _conv
+from timetuning_tpu.models.resnet import BasicBlock, _BN
 from timetuning_tpu.ops.kmeans import kmeans
 
 

@@ -14,7 +14,7 @@ models.py:93-144 (process_attentions / apply_attention_mask):
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -13,7 +13,7 @@ for most entries). URLs are recorded for provenance.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ shapes, all fused by XLA, vmappable over the batch.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

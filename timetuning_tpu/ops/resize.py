@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
+
 
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:

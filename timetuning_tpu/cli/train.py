@@ -57,11 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--debug_nans", type=str2bool, default=False)
+    p.add_argument("--multihost", type=str2bool, default=False,
+                   help="call jax.distributed.initialize() (multi-host pods; "
+                        "replaces the reference's MASTER_ADDR/NCCL rendezvous, "
+                        "time_tuning.py:715-717)")
     return p
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
     setup_compilation_cache()
     if args.debug_nans:
         from timetuning_tpu.runtime import enable_debug_nans

@@ -38,24 +38,62 @@ def evaluate_localizations(
     many_to_one: bool = False,
     precision_based: bool = False,
     ignore_index: int | None = None,
+    logging_directory: str | None = None,
 ) -> float:
     """Match cluster maps to annotations under a protocol; returns mean mIoU
-    (reference evaluation.py:250-310, sans gif logging — see obs/viz)."""
+    (reference evaluation.py:250-310). With ``logging_directory``, writes
+    per-clip gifs of the matched (reordered) and raw cluster maps
+    (reference :270-300)."""
+    from timetuning_tpu.obs.viz import colorize_segmentation, write_gif
+
     B, F = preds.shape[:2]
     scores = []
+
+    def log_clip(i, reordered_frames, raw_frames, clip_score):
+        if logging_directory is None:
+            return
+        import os
+
+        sub = os.path.join(logging_directory, evaluation_protocol)
+        os.makedirs(sub, exist_ok=True)
+        write_gif(
+            [colorize_segmentation(f) for f in reordered_frames],
+            os.path.join(sub, f"score_{clip_score:.3f}_reordered_{i}.gif"),
+        )
+        write_gif(
+            [colorize_segmentation(f) for f in raw_frames],
+            os.path.join(sub, f"score_{clip_score:.3f}_inorder_{i}.gif"),
+        )
+
     if evaluation_protocol == "frame-wise":
         for i in range(B):
+            clip_scores, reordered = [], []
             for j in range(F):
                 preds_eval.update(gts[i, j].reshape(-1), preds[i, j].reshape(-1))
-                scores.append(
-                    preds_eval.compute(True, many_to_one, precision_based)[0]
+                s, _, _, _, mapping, _ = preds_eval.compute(
+                    True, many_to_one, precision_based
                 )
+                clip_scores.append(s)
+                if logging_directory is not None:
+                    reordered.append(preds_eval.remap(preds[i, j], mapping))
                 preds_eval.reset()
+            scores += clip_scores
+            log_clip(i, reordered, list(preds[i]), float(np.mean(clip_scores)))
     elif evaluation_protocol == "sample-wise":
         for i in range(B):
             for j in range(F):
                 preds_eval.update(gts[i, j].reshape(-1), preds[i, j].reshape(-1))
-            scores.append(preds_eval.compute(True, many_to_one, precision_based)[0])
+            s, _, _, _, mapping, _ = preds_eval.compute(
+                True, many_to_one, precision_based
+            )
+            scores.append(s)
+            if logging_directory is not None:
+                log_clip(
+                    i,
+                    [preds_eval.remap(preds[i, j], mapping) for j in range(F)],
+                    list(preds[i]),
+                    float(s),
+                )
             preds_eval.reset()
     elif evaluation_protocol == "dataset-wise":
         for i in range(B):

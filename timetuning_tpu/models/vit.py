@@ -40,6 +40,7 @@ class ViTConfig:
     img_size: int = 224
     dtype: Any = jnp.float32  # compute dtype; params are always f32
     attn_impl: str = "auto"   # auto | xla | pallas
+    remat: bool = False       # rematerialize blocks (memory ↔ FLOPs trade)
 
 
 def interpolate_pos_embed(
@@ -107,14 +108,17 @@ class Block(nn.Module):
     qkv_bias: bool = True
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # static module field (not a call arg) so the block stays remat-friendly
+    want_probs: bool = False
 
     @nn.compact
-    def __call__(self, x, return_probs: bool = False):
+    def __call__(self, x, return_probs: bool | None = None):
+        rp = self.want_probs if return_probs is None else return_probs
         D = x.shape[-1]
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y, probs = Attention(
             self.num_heads, self.qkv_bias, self.dtype, self.attn_impl, name="attn"
-        )(y, return_probs=return_probs)
+        )(y, return_probs=rp)
         x = x + y
         y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
         y = Mlp(int(D * self.mlp_ratio), D, self.dtype, name="mlp")(y)
@@ -172,16 +176,18 @@ class VisionTransformer(nn.Module):
         interm = []
         probs = None
         norm = nn.LayerNorm(dtype=cfg.dtype, name="norm")
+        block_cls = nn.remat(Block) if cfg.remat else Block
         for i in range(cfg.depth):
             is_last = i == cfg.depth - 1
-            x, p_i = Block(
+            x, p_i = block_cls(
                 cfg.num_heads,
                 cfg.mlp_ratio,
                 cfg.qkv_bias,
                 cfg.dtype,
                 cfg.attn_impl,
+                want_probs=want_attention and is_last,
                 name=f"blocks_{i}",
-            )(x, return_probs=want_attention and is_last)
+            )(x)
             if p_i is not None:
                 probs = p_i
             if i >= cfg.depth - n_intermediates:

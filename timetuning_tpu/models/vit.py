@@ -79,6 +79,22 @@ class Mlp(nn.Module):
         return x
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-compatible {kernel, bias} params without applying them
+    (the fused kernel consumes raw weights; tree layout matches nn.Dense)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (in_dim, self.features))
+        b = (self.param("bias", nn.initializers.zeros, (self.features,))
+             if self.use_bias else None)
+        return k, b
+
+
 class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
@@ -88,6 +104,23 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x, return_probs: bool = False):
         B, S, D = x.shape
+        impl = self.attn_impl
+        if impl in ("auto", "fused") and not return_probs:
+            from timetuning_tpu.ops.fused_attention import (
+                attention_branch,
+                fused_available,
+            )
+
+            if fused_available() or impl == "fused":
+                # whole branch (qkv → attention → proj) in one Pallas kernel
+                wq, bq = _DenseParams(3 * D, self.qkv_bias, name="qkv")(D)
+                wp, bp = _DenseParams(D, True, name="proj")(D)
+                bq = jnp.zeros((3 * D,), jnp.float32) if bq is None else bq
+                out = attention_branch(
+                    x.astype(self.dtype), wq.astype(self.dtype), bq,
+                    wp.astype(self.dtype), bp, self.num_heads,
+                )
+                return out, None
         Dh = D // self.num_heads
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, self.num_heads, Dh)

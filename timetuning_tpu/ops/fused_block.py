@@ -1,0 +1,273 @@
+"""Whole-transformer-block fusion: two Pallas kernels per ViT block.
+
+  * ``attention_block_branch``:  x + proj(attention(qkv(LN1(x))))
+  * ``mlp_block_branch``:        x + fc2(gelu(fc1(LN2(x))))
+
+Each branch runs as ONE kernel with its weights VMEM-resident — LayerNorm,
+projections, softmax, GELU and the residual add all happen on-chip, so per
+block the only HBM activation traffic is reading x and writing x' (the
+unfused XLA path round-trips ~6 intermediate tensors per block, including
+the [B, H, S, S] probabilities and the [B, S, 4D] MLP hidden).
+
+Backward: custom VJP recomputing through XLA reference compositions (cheap
+at ViT-S scales, keeps the kernels forward-only).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+_LN_EPS = 1e-6
+
+
+# ------------------------------------------------------------------ #
+# XLA reference compositions (also the VJP recompute paths)
+
+def _ln(x, scale, bias):
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias).astype(x.dtype)
+
+
+def attention_block_xla(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
+                        num_heads: int):
+    from timetuning_tpu.ops.fused_attention import attention_branch_xla
+
+    return x + attention_branch_xla(
+        _ln(x, ln_s, ln_b), w_qkv, b_qkv, w_proj, b_proj, num_heads
+    )
+
+
+def mlp_block_xla(x, ln_s, ln_b, w1, b1, w2, b2):
+    h = jnp.einsum("bsd,de->bse", _ln(x, ln_s, ln_b), w1,
+                   preferred_element_type=jnp.float32) + b1
+    h = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    out = jnp.einsum("bse,ed->bsd", h, w2,
+                     preferred_element_type=jnp.float32) + b2
+    return x + out.astype(x.dtype)
+
+
+# ------------------------------------------------------------------ #
+# kernels
+
+def _ln_rows(xf, scale, bias):
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return (xf - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+
+
+def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
+                 bproj_ref, o_ref, *, num_heads, seq_len, block_b):
+    D = x_ref.shape[-1]
+    Dh = D // num_heads
+    scale = 1.0 / math.sqrt(Dh)
+    Sp = x_ref.shape[1]
+    neg = jnp.float32(-1e30)
+    key_valid = jax.lax.broadcasted_iota(jnp.int32, (Sp, Sp), 1) < seq_len
+    lns = lns_ref[:]
+    lnb = lnb_ref[:]
+    wqkv = wqkv_ref[:]
+    bqkv = bqkv_ref[:]
+    wproj = wproj_ref[:]
+    bproj = bproj_ref[:]
+    for g in range(block_b):
+        xg = x_ref[g]
+        xn = _ln_rows(xg.astype(jnp.float32), lns, lnb).astype(xg.dtype)
+        qkv = jax.lax.dot_general(
+            xn, wqkv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bqkv
+        qkv = qkv.astype(xg.dtype)
+        outs = []
+        for h in range(num_heads):
+            q = qkv[:, h * Dh:(h + 1) * Dh]
+            k = qkv[:, D + h * Dh: D + (h + 1) * Dh]
+            v = qkv[:, 2 * D + h * Dh: 2 * D + (h + 1) * Dh]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            s = jnp.where(key_valid, s, neg)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(xg.dtype)
+            outs.append(
+                jax.lax.dot_general(
+                    p, v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(xg.dtype)
+            )
+        merged = jnp.concatenate(outs, axis=-1)
+        out = jax.lax.dot_general(
+            merged, wproj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bproj
+        o_ref[g] = (xg.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (|err| ≤ 1.5e-7) — Mosaic has
+    no erf/erfc lowering, and this is VPU-only arithmetic."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
+
+
+def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                o_ref, *, block_b):
+    lns = lns_ref[:]
+    lnb = lnb_ref[:]
+    w1 = w1_ref[:]
+    b1 = b1_ref[:]
+    w2 = w2_ref[:]
+    b2 = b2_ref[:]
+    for g in range(block_b):
+        xg = x_ref[g]
+        xn = _ln_rows(xg.astype(jnp.float32), lns, lnb).astype(xg.dtype)
+        h = jax.lax.dot_general(
+            xn, w1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b1
+        h = _gelu_exact(h).astype(xg.dtype)
+        out = jax.lax.dot_general(
+            h, w2, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b2
+        o_ref[g] = (xg.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _full_spec(*shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_b", "interpret"))
+def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
+                 num_heads: int, block_b: int = 8, interpret: bool = False):
+    B, S, D = x.shape
+    Sp = ((S + 127) // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+    Bp = ((B + block_b - 1) // block_b) * block_b
+    if Bp != B:
+        xp = jnp.pad(xp, ((0, Bp - B), (0, 0), (0, 0)))
+    x_spec = pl.BlockSpec((block_b, Sp, D), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_attn_kernel, num_heads=num_heads, seq_len=S,
+                          block_b=block_b),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sp, D), x.dtype),
+        grid=(Bp // block_b,),
+        in_specs=[x_spec, _full_spec(1, D), _full_spec(1, D),
+                  _full_spec(D, 3 * D), _full_spec(1, 3 * D),
+                  _full_spec(D, D), _full_spec(1, D)],
+        out_specs=x_spec,
+        interpret=interpret,
+    )(
+        xp,
+        ln_s.astype(jnp.float32).reshape(1, -1),
+        ln_b.astype(jnp.float32).reshape(1, -1),
+        w_qkv.astype(x.dtype),
+        b_qkv.astype(jnp.float32).reshape(1, -1),
+        w_proj.astype(x.dtype),
+        b_proj.astype(jnp.float32).reshape(1, -1),
+    )
+    return out[:B, :S]
+
+
+@functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
+def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int = 8,
+                interpret: bool = False):
+    B, S, D = x.shape
+    Sp = ((S + 127) // 128) * 128
+    xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
+    Bp = ((B + block_b - 1) // block_b) * block_b
+    if Bp != B:
+        xp = jnp.pad(xp, ((0, Bp - B), (0, 0), (0, 0)))
+    Dh = w1.shape[1]
+    x_spec = pl.BlockSpec((block_b, Sp, D), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, block_b=block_b),
+        out_shape=jax.ShapeDtypeStruct((Bp, Sp, D), x.dtype),
+        grid=(Bp // block_b,),
+        in_specs=[x_spec, _full_spec(1, D), _full_spec(1, D),
+                  _full_spec(D, Dh), _full_spec(1, Dh),
+                  _full_spec(Dh, D), _full_spec(1, D)],
+        out_specs=x_spec,
+        interpret=interpret,
+    )(
+        xp,
+        ln_s.astype(jnp.float32).reshape(1, -1),
+        ln_b.astype(jnp.float32).reshape(1, -1),
+        w1.astype(x.dtype),
+        b1.astype(jnp.float32).reshape(1, -1),
+        w2.astype(x.dtype),
+        b2.astype(jnp.float32).reshape(1, -1),
+    )
+    return out[:B, :S]
+
+
+# ------------------------------------------------------------------ #
+# differentiable wrappers
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def attention_block_branch(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
+                           num_heads: int):
+    return _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj, num_heads)
+
+
+def _attn_fwd(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj, num_heads):
+    out = _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj, num_heads)
+    return out, (x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj)
+
+
+def _attn_bwd(num_heads, res, g):
+    _, vjp = jax.vjp(
+        lambda *a: attention_block_xla(*a, num_heads=num_heads), *res
+    )
+    return vjp(g.astype(res[0].dtype))
+
+
+attention_block_branch.defvjp(_attn_fwd, _attn_bwd)
+
+
+@jax.custom_vjp
+def mlp_block_branch(x, ln_s, ln_b, w1, b1, w2, b2):
+    return _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def _mlp_fwd(x, ln_s, ln_b, w1, b1, w2, b2):
+    return _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2), (x, ln_s, ln_b, w1, b1, w2, b2)
+
+
+def _mlp_bwd(res, g):
+    _, vjp = jax.vjp(mlp_block_xla, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+mlp_block_branch.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def fused_block_available() -> bool:
+    return pltpu is not None and jax.default_backend() == "tpu"

@@ -81,19 +81,24 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
     bqkv = bqkv_ref[:]
     wproj = wproj_ref[:]
     bproj = bproj_ref[:]
+
+    # Projections batched over the whole block (M = block_b·Sp keeps the
+    # MXU pipeline full); only the per-head attention core loops.
+    x_all = x_ref[:].reshape(block_b * Sp, D)
+    xn = _ln_rows(x_all.astype(jnp.float32), lns, lnb).astype(x_all.dtype)
+    qkv = jax.lax.dot_general(
+        xn, wqkv, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bqkv
+    qkv = qkv.astype(x_all.dtype).reshape(block_b, Sp, 3 * D)
+
+    merged_all = []
     for g in range(block_b):
-        xg = x_ref[g]
-        xn = _ln_rows(xg.astype(jnp.float32), lns, lnb).astype(xg.dtype)
-        qkv = jax.lax.dot_general(
-            xn, wqkv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bqkv
-        qkv = qkv.astype(xg.dtype)
         outs = []
         for h in range(num_heads):
-            q = qkv[:, h * Dh:(h + 1) * Dh]
-            k = qkv[:, D + h * Dh: D + (h + 1) * Dh]
-            v = qkv[:, 2 * D + h * Dh: 2 * D + (h + 1) * Dh]
+            q = qkv[g, :, h * Dh:(h + 1) * Dh]
+            k = qkv[g, :, D + h * Dh: D + (h + 1) * Dh]
+            v = qkv[g, :, 2 * D + h * Dh: 2 * D + (h + 1) * Dh]
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -101,19 +106,22 @@ def _attn_kernel(x_ref, lns_ref, lnb_ref, wqkv_ref, bqkv_ref, wproj_ref,
             s = jnp.where(key_valid, s, neg)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(xg.dtype)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(x_all.dtype)
             outs.append(
                 jax.lax.dot_general(
                     p, v, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ).astype(xg.dtype)
+                ).astype(x_all.dtype)
             )
-        merged = jnp.concatenate(outs, axis=-1)
-        out = jax.lax.dot_general(
-            merged, wproj, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bproj
-        o_ref[g] = (xg.astype(jnp.float32) + out).astype(o_ref.dtype)
+        merged_all.append(jnp.concatenate(outs, axis=-1))
+    merged = jnp.concatenate(merged_all, axis=0)             # [Gb·Sp, D]
+    out = jax.lax.dot_general(
+        merged, wproj, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bproj
+    o_ref[:] = (x_all.astype(jnp.float32) + out).astype(o_ref.dtype).reshape(
+        block_b, Sp, D
+    )
 
 
 def _erf(x):
@@ -142,19 +150,21 @@ def _mlp_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     b1 = b1_ref[:]
     w2 = w2_ref[:]
     b2 = b2_ref[:]
-    for g in range(block_b):
-        xg = x_ref[g]
-        xn = _ln_rows(xg.astype(jnp.float32), lns, lnb).astype(xg.dtype)
-        h = jax.lax.dot_general(
-            xn, w1, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b1
-        h = _gelu_exact(h).astype(xg.dtype)
-        out = jax.lax.dot_general(
-            h, w2, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + b2
-        o_ref[g] = (xg.astype(jnp.float32) + out).astype(o_ref.dtype)
+    Gb, Sp, D = x_ref.shape
+    x_all = x_ref[:].reshape(Gb * Sp, D)
+    xn = _ln_rows(x_all.astype(jnp.float32), lns, lnb).astype(x_all.dtype)
+    h = jax.lax.dot_general(
+        xn, w1, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1
+    h = _gelu_exact(h).astype(x_all.dtype)
+    out = jax.lax.dot_general(
+        h, w2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2
+    o_ref[:] = (x_all.astype(jnp.float32) + out).astype(o_ref.dtype).reshape(
+        Gb, Sp, D
+    )
 
 
 def _full_spec(*shape):
@@ -164,7 +174,11 @@ def _full_spec(*shape):
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_b", "interpret"))
 def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
-                 num_heads: int, block_b: int = 8, interpret: bool = False):
+                 num_heads: int, block_b: int | None = None,
+                 interpret: bool = False):
+    if block_b is None:
+        # the flattened [Gb·Sp, 3D] f32 QKV accumulator dominates VMEM
+        block_b = 4 if x.dtype == jnp.bfloat16 else 2
     B, S, D = x.shape
     Sp = ((S + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
@@ -196,8 +210,11 @@ def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
 
 
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
-def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int = 8,
+def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int | None = None,
                 interpret: bool = False):
+    if block_b is None:
+        # the [Gb·Sp, 4D] f32 hidden dominates VMEM
+        block_b = 4 if x.dtype == jnp.bfloat16 else 2
     B, S, D = x.shape
     Sp = ((S + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))

@@ -73,9 +73,12 @@ def build_dataset_tree(root: str, convert_videos: bool = True) -> dict[str, list
         videos = [f for f in filenames if f.lower().endswith(VIDEO_EXTENSIONS)]
         if videos and convert_videos:
             for v in videos:
-                vdir = os.path.join(dirpath, os.path.splitext(v)[0])
+                stem = os.path.splitext(v)[0]
+                vdir = os.path.join(dirpath, stem)
                 if not os.path.isdir(vdir):
                     convert_video_to_frames(os.path.join(dirpath, v), vdir)
+                if stem not in dirnames:
+                    dirnames.append(stem)  # let os.walk descend into it
         if frames:
             tree[dirpath] = [os.path.join(dirpath, f) for f in frames]
     return tree

@@ -6,7 +6,7 @@ import json
 import os
 
 import numpy as np
-import pytest
+import pytest  # noqa: F401
 
 cv2 = pytest.importorskip("cv2")
 
@@ -68,6 +68,43 @@ def test_training_runs_and_checkpoints(davis_tree, tmp_path):
     lines = open(os.path.join(run_dir, "metrics.jsonl")).read().splitlines()
     tags = {json.loads(l)["tag"] for l in lines}
     assert "Loss/train" in tags and "momentum" in tags
+
+
+@pytest.fixture(scope="module")
+def voc_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc_e2e")
+    (root / "images").mkdir()
+    (root / "SegmentationClass").mkdir()
+    (root / "sets").mkdir()
+    rng = np.random.default_rng(0)
+    names = [f"p{i}" for i in range(4)]
+    for n in names:
+        img = np.full((48, 48, 3), 30, np.uint8)
+        mask = np.zeros((48, 48), np.uint8)
+        img[10:34, 10:34] = [210, 50, 50]
+        mask[10:34, 10:34] = 1
+        cv2.imwrite(str(root / "images" / f"{n}.jpg"), img[..., ::-1])
+        cv2.imwrite(str(root / "SegmentationClass" / f"{n}.png"), mask)
+    (root / "sets" / "val.txt").write_text("\n".join(names))
+    return str(root)
+
+
+def test_training_with_pascal_eval(davis_tree, voc_tree, tmp_path):
+    """The in-training eval loop: Scores/localization logged + best export
+    (reference time_tuning.py:634-645)."""
+    cfg = _cfg(
+        davis_tree, tmp_path, pascal_root=voc_tree, eval_every=1,
+        eval_resolution=16, eval_num_clusters=2, num_epochs=1,
+    )
+    result = run_training(cfg)
+    assert result["last_eval"] is not None
+    assert 0.0 <= result["last_eval"] <= 1.0
+    assert result["best_score"] == result["last_eval"]
+    lines = open(os.path.join(result["run_dir"], "metrics.jsonl")).read()
+    assert "Scores/localization" in lines
+    # best-model export directory exists
+    exports = [d for d in os.listdir(result["run_dir"]) if d.endswith("_0")]
+    assert exports, os.listdir(result["run_dir"])
 
 
 def test_training_resume(davis_tree, tmp_path):

@@ -190,7 +190,8 @@ class Block(nn.Module):
                 mlp_block_branch,
             )
 
-            if fused_block_available() or self.attn_impl == "fused":
+            S = x.shape[1]
+            if fused_block_available(S) or self.attn_impl == "fused":
                 # whole block as two Pallas kernels (LN + branch + residual
                 # fused each); param tree identical to the unfused path
                 s1, bl1 = _LNParams(D, name="norm1")()

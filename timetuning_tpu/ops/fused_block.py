@@ -176,10 +176,14 @@ def _full_spec(*shape):
 def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
                  num_heads: int, block_b: int | None = None,
                  interpret: bool = False):
-    if block_b is None:
-        # the flattened [Gb·Sp, 3D] f32 QKV accumulator dominates VMEM
-        block_b = 4 if x.dtype == jnp.bfloat16 else 2
     B, S, D = x.shape
+    if block_b is None:
+        # the flattened [Gb·Sp, 3D] f32 QKV accumulator and the per-item
+        # [Sp, Sp] scores dominate VMEM; scale the block down with sequence
+        # length (ViT-S/16@224: Sp=256 → 4; S/8 or 448-res: Sp≈896 → 1)
+        sp = ((S + 127) // 128) * 128
+        base = 4 if x.dtype == jnp.bfloat16 else 2
+        block_b = max(1, (base * 256) // sp)
     Sp = ((S + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b
@@ -212,10 +216,12 @@ def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
 @functools.partial(jax.jit, static_argnames=("block_b", "interpret"))
 def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int | None = None,
                 interpret: bool = False):
+    B, S, D = x.shape
     if block_b is None:
         # the [Gb·Sp, 4D] f32 hidden dominates VMEM
-        block_b = 4 if x.dtype == jnp.bfloat16 else 2
-    B, S, D = x.shape
+        sp = ((S + 127) // 128) * 128
+        base = 4 if x.dtype == jnp.bfloat16 else 2
+        block_b = max(1, (base * 256) // sp)
     Sp = ((S + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b
@@ -286,5 +292,11 @@ def _mlp_bwd(res, g):
 mlp_block_branch.defvjp(_mlp_fwd, _mlp_bwd)
 
 
-def fused_block_available() -> bool:
-    return pltpu is not None and jax.default_backend() == "tpu"
+def fused_block_available(seq_len: int | None = None) -> bool:
+    """Whole-block kernels apply on TPU for sequences whose [Sp, Sp] score
+    tile fits VMEM; beyond that the caller should use the flash-style
+    per-head path (ops/attention) or XLA."""
+    ok = pltpu is not None and jax.default_backend() == "tpu"
+    if seq_len is not None:
+        ok = ok and seq_len <= 1024
+    return ok

@@ -99,3 +99,35 @@ def test_evaluate_cli_smoke(davis_tree, capsys):
     ])
     assert rc == 0
     assert "score:" in capsys.readouterr().out
+
+
+def test_propagate_cli_other_metrics(davis_tree, capsys):
+    for metric, marker in [("propagation", "propagation J"), ("miou", "mIoU")]:
+        rc = cli_prop.main([
+            "--architecture", "vit-tiny-test",
+            "--dataset", "davis_val",
+            "--data_root", davis_tree,
+            "--num_frames", "3",
+            "--n_last_frames", "2",
+            "--size_mask_neighborhood", "1",
+            "--input_resolution", "32",
+            "--metric", metric,
+            "--num_workers", "2",
+        ])
+        assert rc == 0
+        assert marker in capsys.readouterr().out
+
+
+def test_propagate_cli_optical_flow(davis_tree, capsys):
+    rc = cli_prop.main([
+        "--architecture", "vit-tiny-test",
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--num_frames", "3",
+        "--input_resolution", "32",
+        "--use_optical_flow", "true",
+        "--metric", "jf",
+        "--num_workers", "2",
+    ])
+    assert rc == 0
+    assert "J&F" in capsys.readouterr().out

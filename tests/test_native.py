@@ -81,3 +81,33 @@ def test_packed_dataset_matches_decode(tmp_path):
     b = packed[1]
     # identical sampling rng → identical clips; pack stores the same decode
     np.testing.assert_array_equal(a["frames"], b["frames"])
+
+
+def test_make_loader_with_pack(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    import numpy as np
+
+    from timetuning_tpu.data.datasets import VideoDataset
+    from timetuning_tpu.data.loader import make_loader
+
+    root = tmp_path / "JPEGImages"
+    rng = np.random.default_rng(5)
+    for v in range(2):
+        d = root / f"v{v}"
+        d.mkdir(parents=True)
+        for f in range(4):
+            cv2.imwrite(
+                str(d / f"{f:05d}.jpg"),
+                rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8),
+            )
+    plain = VideoDataset(frames_root=str(root), num_frames=2, decode_size=32)
+    pack_path = str(tmp_path / "set.pack")
+    build_clip_pack(plain, pack_path)
+    loader = make_loader(
+        "davis", num_clip_frames=2, batch_size=2, root=str(tmp_path),
+        decode_size=32, pack_path=pack_path, shuffle=False, drop_last=False,
+        num_workers=1,
+    )
+    frames, annots, labels = next(iter(loader))
+    assert frames.shape == (2, 2, 32, 32, 3)
+    assert loader.dataset.pack.using_native

@@ -86,9 +86,15 @@ def main(argv=None) -> int:
         ).astype(np.int64)
         K = max(int(ann.max()) + 1, 2)
         if args.use_optical_flow:
+            import cv2
+
             from timetuning_tpu.eval.optical_flow import propagate_flow
 
-            preds = propagate_flow(frames, ann[0])
+            frames_s = np.stack(
+                [cv2.resize(f, (S, S), interpolation=cv2.INTER_LINEAR)
+                 for f in frames]
+            )
+            preds = propagate_flow(frames_s, ann[0])
         else:
             feats = extract(jnp.asarray(frames))
             first = np.asarray(

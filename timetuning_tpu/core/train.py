@@ -133,7 +133,9 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
         return base_step(state, clips, k_step)
 
     if mesh is None or mesh.size == 1:
-        return jax.jit(full)
+        # donate the state: params/opt/teacher/queue buffers are reused
+        # in place instead of copied every step
+        return jax.jit(full, donate_argnums=(0,))
     from jax.sharding import PartitionSpec as P
 
     specs = jax.tree.map(lambda _: P(), state_like)
@@ -143,7 +145,8 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
             in_specs=(specs, P("data"), P()),
             out_specs=(specs, P()),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0,),
     )
 
 

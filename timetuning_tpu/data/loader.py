@@ -154,8 +154,14 @@ def _davis_layout(root, split_file=None):
 @register_dataset("visor")
 @register_dataset("visor_val")
 @register_dataset("epic-kitchen")
-def _build_davis_like(name, root, **kw):
+def _build_davis_like(name, root, pack_path=None, **kw):
     frames, annots = _davis_layout(root)
+    if pack_path:
+        from timetuning_tpu.data.datasets import PackedVideoDataset
+
+        return PackedVideoDataset(
+            frames_root=frames, annotations_root=annots, pack_path=pack_path, **kw
+        )
     return VideoDataset(frames_root=frames, annotations_root=annots, **kw)
 
 
@@ -196,6 +202,7 @@ def make_loader(
     decode_size: int = 256,
     num_clips: int = 1,
     drop_last: bool = True,
+    pack_path: str | None = None,
     **kw,
 ) -> ClipLoader:
     """Reference-compatible factory (data_loader.py:1047-1110 flag surface,
@@ -209,6 +216,8 @@ def make_loader(
         raise ValueError(
             f"unknown dataset {dataset_name!r}; known: {sorted(_DATASET_BUILDERS)}"
         )
+    if pack_path is not None:
+        kw["pack_path"] = pack_path
     ds = builder(
         dataset_name,
         root,

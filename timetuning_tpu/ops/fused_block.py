@@ -179,11 +179,12 @@ def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
     B, S, D = x.shape
     if block_b is None:
         # the flattened [Gb·Sp, 3D] f32 QKV accumulator and the per-item
-        # [Sp, Sp] scores dominate VMEM; scale the block down with sequence
-        # length (ViT-S/16@224: Sp=256 → 4; S/8 or 448-res: Sp≈896 → 1)
+        # [Sp, Sp] scores dominate VMEM; scale the block inversely with
+        # sequence length AND width (ViT-S/16@224 → 4; ViT-B/16 → 2;
+        # S/8 @224 → 1)
         sp = ((S + 127) // 128) * 128
         base = 4 if x.dtype == jnp.bfloat16 else 2
-        block_b = max(1, (base * 256) // sp)
+        block_b = max(1, (base * 256 * 384) // (sp * D))
     Sp = ((S + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b
@@ -218,10 +219,11 @@ def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int | None = None,
                 interpret: bool = False):
     B, S, D = x.shape
     if block_b is None:
-        # the [Gb·Sp, 4D] f32 hidden dominates VMEM
+        # the [Gb·Sp, hidden] f32 hidden dominates VMEM; scale with both
+        # sequence length and width
         sp = ((S + 127) // 128) * 128
         base = 4 if x.dtype == jnp.bfloat16 else 2
-        block_b = max(1, (base * 256) // sp)
+        block_b = max(1, (base * 256 * 384) // (sp * D))
     Sp = ((S + 127) // 128) * 128
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b

@@ -54,10 +54,12 @@ def main() -> None:
 
     make = jax.jit(lambda key: jax.random.normal(key, (B, F, 224, 224, 3)))
     bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
-    state, m = step(state, bufs[0], jax.random.PRNGKey(0))
+    # warmup: first post-compile steps run slower (cache/queue effects)
+    for i in range(6):
+        state, m = step(state, bufs[i % 2], jax.random.PRNGKey(i))
     float(m["loss"])  # sync
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for i in range(iters):
         state, m = step(state, bufs[i % 2], jax.random.PRNGKey(i))

@@ -89,3 +89,21 @@ def test_propagation_is_jittable():
     out = fn(jnp.asarray(feats), jnp.asarray(seg))
     assert out.shape == (4, 6, 49)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_kth_largest_matches_topk():
+    from timetuning_tpu.ops.propagation import kth_largest_value
+
+    rng = np.random.default_rng(0)
+    # random values + heavy duplicates (zeros from masked affinities)
+    x = rng.random((50, 60)).astype(np.float32)
+    x[x < 0.5] = 0.0
+    for k in [1, 3, 5, 10]:
+        want = np.asarray(jax.lax.top_k(jnp.asarray(x), k)[0][:, -1])
+        got = np.asarray(kth_largest_value(jnp.asarray(x), k))
+        np.testing.assert_array_equal(got, want)
+    # all-identical rows
+    y = jnp.ones((4, 8))
+    np.testing.assert_array_equal(
+        np.asarray(kth_largest_value(y, 3)), np.ones(4)
+    )

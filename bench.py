@@ -48,9 +48,10 @@ def main() -> None:
     )
     bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
 
-    # compile + warmup (block via scalar readback — robust on all platforms)
-    float(forward(params, bufs[0]).mean())
-    float(forward(params, bufs[1]).mean())
+    # compile + warmup (block via scalar readback — robust on all platforms;
+    # several passes: first post-compile dispatches run slow)
+    for i in range(4):
+        float(forward(params, bufs[i % 2]).mean())
 
     iters = 40
     t0 = time.perf_counter()

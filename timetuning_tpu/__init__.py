@@ -22,3 +22,29 @@ Layer map (mirrors SURVEY.md §1/§7):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (kept lazy so `import timetuning_tpu`
+    stays cheap and backend-agnostic)."""
+    lazy = {
+        "TimeT": ("timetuning_tpu.core.timet", "TimeT"),
+        "TimeTConfig": ("timetuning_tpu.core.timet", "TimeTConfig"),
+        "make_train_step": ("timetuning_tpu.core.timet", "make_train_step"),
+        "TrainingConfig": ("timetuning_tpu.core.train", "TrainingConfig"),
+        "run_training": ("timetuning_tpu.core.train", "run_training"),
+        "FeatureExtractor": ("timetuning_tpu.models.extractor", "FeatureExtractor"),
+        "get_backbone": ("timetuning_tpu.models.registry", "get_backbone"),
+        "make_loader": ("timetuning_tpu.data.loader", "make_loader"),
+        "pascal_loader": ("timetuning_tpu.data.pascal", "pascal_loader"),
+        "Evaluator": ("timetuning_tpu.eval.evaluator", "Evaluator"),
+        "PredsmIoU": ("timetuning_tpu.eval.metrics", "PredsmIoU"),
+        "propagate_labels": ("timetuning_tpu.ops.propagation", "propagate_labels"),
+        "sinkhorn": ("timetuning_tpu.ops.sinkhorn", "sinkhorn"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'timetuning_tpu' has no attribute {name!r}")

@@ -144,7 +144,6 @@ def test_dp_matches_single_device():
             mesh=mesh,
             in_specs=(state_specs, P("data"), rep),
             out_specs=(state_specs, rep),
-            check_vma=False,
         )
     )
     s_shard, m_shard = shard_step(state2, clip, rng)

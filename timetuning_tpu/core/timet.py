@@ -146,7 +146,14 @@ def init_state(
     pretrained_params=None,
 ) -> TrainState:
     """Initialize params (optionally grafting imported pretrained weights),
-    teacher copy, queue, optimizer state."""
+    teacher copy, queue, optimizer state.
+
+    The queue is allocated at its *global* size ``queue_size * world_size``:
+    under ``shard_map`` it is sharded ``P('data')`` so each device owns a
+    private ``queue_size``-row FIFO — the reference's per-rank queue of
+    ``queue_size/world`` rows (time_tuning.py:617-618). Inside the step the
+    queue argument is therefore always the [queue_size, D] local shard.
+    """
     variables = model.init(rng, sample_frame)
     params = variables["params"]
     if pretrained_params is not None:
@@ -154,7 +161,9 @@ def init_state(
     queue = None
     if cfg.use_queue:
         dim = params["prototypes"].shape[-1]
-        queue = jnp.zeros((cfg.queue_size, dim), jnp.float32)
+        queue = jnp.zeros(
+            (cfg.queue_size * max(cfg.world_size, 1), dim), jnp.float32
+        )
     return TrainState(
         params=params,
         opt_state=tx.init(params),
@@ -180,6 +189,24 @@ def _graft(params, pretrained):
         else:
             raise KeyError(f"pretrained key {'/'.join(k)} not in model tree")
     return tu.unflatten_dict(flat)
+
+
+def state_partition_specs(state: TrainState, axis_name: str = "data"):
+    """PartitionSpecs for a TrainState on a 1-D data mesh.
+
+    Every leaf is replicated except the feature queue, which is sharded along
+    the mesh axis so each device keeps its own ``queue_size``-row FIFO — the
+    reference's per-rank queue (time_tuning.py:617-618, :250-261). The FIFO
+    update inside the step is computed from the *local* batch shard, so a
+    replicated out-spec would be a lie: XLA would keep one device's queue and
+    silently discard every other device's stored features.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    specs = jax.tree.map(lambda _: P(), state)
+    if state.queue is not None:
+        specs = specs.replace(queue=P(axis_name))
+    return specs
 
 
 def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransformation):

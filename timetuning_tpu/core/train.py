@@ -126,8 +126,12 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     over the data mesh when it has more than one device."""
     base_step = make_train_step(model, tcfg, tx)
 
-    def full(state, frames_u8, key):
+    def full(state, frames_u8, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
+        if sharded:
+            # decorrelate per-device augmentation streams (the reference's
+            # per-rank DataLoader-worker RNG streams)
+            k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index("data"))
         clips, _ = augment_batch(k_aug, frames_u8, None, aug_cfg,
                                  with_annotations=False)
         return base_step(state, clips, k_step)
@@ -138,13 +142,15 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
         return jax.jit(full, donate_argnums=(0,))
     from jax.sharding import PartitionSpec as P
 
-    specs = jax.tree.map(lambda _: P(), state_like)
+    from timetuning_tpu.core.timet import state_partition_specs
+
+    specs = state_partition_specs(state_like, "data")
     return jax.jit(
         jax.shard_map(
-            full, mesh=mesh,
+            lambda st, f, k: full(st, f, k, sharded=True),
+            mesh=mesh,
             in_specs=(specs, P("data"), P()),
             out_specs=(specs, P()),
-            check_vma=False,
         ),
         donate_argnums=(0,),
     )

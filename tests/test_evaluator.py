@@ -110,3 +110,77 @@ def test_evaluator_prototypes_path():
         evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3
     )
     assert score > 0.8
+
+
+def _stateless_setup(n_batches=3, B=2, F=2):
+    """Frames that encode their own patch layout (red channel = class id per
+    4x4 block), with a stateless feature_fn — re-iterable for the two-pass
+    streaming protocol."""
+    rng = np.random.default_rng(7)
+    centers = np.asarray(
+        [[4, 0, 0, 0], [0, 4, 0, 0], [0, 0, 4, 0]], np.float32
+    )
+    batches = []
+    for _ in range(n_batches):
+        layout = rng.integers(0, 3, size=(B, F, 7, 7))
+        frames = np.kron(
+            layout.astype(np.float32), np.ones((4, 4), np.float32)
+        )[..., None].repeat(3, axis=-1)                       # [B,F,28,28,3]
+        ann = np.kron(layout, np.ones((4, 4), int))
+        batches.append((frames, ann))
+    def feature_fn(frames, use_mask):
+        BF = frames.shape[0]
+        lay = np.asarray(frames)[:, ::4, ::4, 0].reshape(BF, 49).astype(int)
+        # noise must be a pure function of the batch content — the streaming
+        # protocol extracts features twice (two passes over the data)
+        seed = int(lay.sum()) % (2 ** 31)
+        noise = np.random.default_rng(seed)
+        feats = centers[lay] + 0.01 * noise.normal(size=(BF, 49, 4)).astype(
+            np.float32
+        )
+        return jnp.asarray(feats), None
+
+    return batches, feature_fn
+
+
+def test_streaming_dataset_wise_matches_in_memory():
+    """With an uncapped pixel sample the streaming path is the in-memory
+    computation: same PCA (from moments), same k-means fit (same point order
+    + seed), same assignments → same score."""
+    batches, feature_fn = _stateless_setup()
+    kw = dict(
+        data_iter_factory=lambda: list(batches),
+        feature_fn=feature_fn,
+        spatial_resolution=7,
+        num_classes=3,
+        involve_bg=True,
+        ignore_index=None,
+    )
+    s_mem = Evaluator(**kw).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3
+    )
+    s_stream = Evaluator(**kw).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3,
+        streaming=True, sample_cap=10_000_000,
+    )
+    assert s_stream == pytest.approx(s_mem, abs=1e-3)
+    assert s_mem > 0.8
+
+
+def test_streaming_dataset_wise_bounded_sample():
+    """A tight sample cap (the faiss max_points_per_centroid regime) still
+    recovers the easy clustering; memory stays O(batch) by construction."""
+    batches, feature_fn = _stateless_setup(n_batches=4)
+    ev = Evaluator(
+        data_iter_factory=lambda: list(batches),
+        feature_fn=feature_fn,
+        spatial_resolution=7,
+        num_classes=3,
+        involve_bg=True,
+        ignore_index=None,
+    )
+    score = ev.evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3,
+        streaming=True, sample_cap=768,
+    )
+    assert score > 0.8

@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_annotations", type=str2bool, default=False)
     p.add_argument("--uvos", type=str2bool, default=False)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--streaming", type=str2bool, default=False,
+                   help="bounded-memory dataset-wise protocol (two passes, "
+                        "never concatenates the dataset's features)")
+    p.add_argument("--sample_cap", type=int, default=None,
+                   help="k-means fit sample size for --streaming "
+                        "(default max(256*k, 16384), the faiss subsample rule)")
     return p
 
 
@@ -90,6 +96,8 @@ def main(argv=None) -> int:
         use_mask=args.use_mask,
         use_annotations=args.use_annotations,
         precision_based=args.precision_based,
+        streaming=args.streaming,
+        sample_cap=args.sample_cap,
     )
     print(f"score: {score}")
     return 0

@@ -187,6 +187,155 @@ class Evaluator:
             )
         raise ValueError(self.clustering_algorithm)
 
+    def _mask_batch(self, feats, offset):
+        """Apply precomputed FG masks to a feature batch (patch-level
+        multiply, same as the in-memory path)."""
+        if self.fg_masks is None:
+            return feats
+        B, F = feats.shape[:2]
+        m = jnp.asarray(self.fg_masks[offset:offset + B], jnp.float32)
+        m = resize_nearest(m.reshape(B, F, *m.shape[-2:]), (self.res, self.res))
+        return feats * m.reshape(B, F, -1, 1)
+
+    def _evaluate_dataset_streaming(
+        self,
+        many_to_one: bool,
+        eval_resolution: int,
+        num_clusters: int,
+        use_mask: bool,
+        precision_based: bool,
+        pca_dim: int = 50,
+        sample_cap: int | None = None,
+    ) -> float:
+        """Bounded-memory dataset-wise protocol.
+
+        The in-memory path concatenates every batch's [B, F, N, D] features
+        on device before clustering — fine for Pascal val (~0.4 GB), OOM for
+        YTVOS-scale sets (the reference streamed to host instead,
+        evaluation.py:417-430). This path never holds more than one batch:
+
+          pass 1  PCA sufficient statistics (Σx, Σxxᵀ on device, folded into
+                  float64 host accumulators) + a bounded uniform sample of
+                  *upsampled* pixels for the k-means fit. faiss itself trains
+                  on ≤ 256·k subsampled points (``max_points_per_centroid``),
+                  so a sampled fit is the reference's own semantics.
+          pass 2  reduce (patch level) → bilinear upsample → nearest-centroid
+                  assign → confusion-matrix update, batch by batch.
+
+        Since standardize+PCA and bilinear upsampling are both linear,
+        reduce-then-upsample equals upsample-then-reduce; with an uncapped
+        sample this path reproduces the in-memory result exactly (tested).
+        """
+        from timetuning_tpu.ops.kmeans import (
+            apply_pca,
+            init_moments,
+            kmeans,
+            kmeans_assign,
+            pca_from_moments,
+            update_moments,
+        )
+        from timetuning_tpu.ops.resize import patch_grid_to_image
+
+        k = num_clusters
+        r = eval_resolution
+        if sample_cap is None:
+            sample_cap = max(256 * k, 16384)
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def sample_pixels(feats, key, n):
+            B, F, N, D = feats.shape
+            res = int(round(N ** 0.5))
+            maps = patch_grid_to_image(
+                feats.reshape(B * F, N, D), (res, res), (r, r)
+            ).reshape(B * F * r * r, D)
+            if n >= maps.shape[0]:
+                return maps  # keep original order → bit-compatible with the
+                # in-memory fit when the cap covers every pixel
+            idx = jax.random.choice(key, maps.shape[0], (n,), replace=False)
+            return maps[idx]
+
+        # ---- pass 1: moments + pixel sample --------------------------------
+        moments = None
+        samples = []
+        key = jax.random.PRNGKey(1)   # reference pins seed=1 (clustering.py:38)
+        offset = 0
+        n_batches = 0
+        for batch in self.data_iter_factory():
+            frames, annotations = batch[0], batch[1]
+            frames = jnp.asarray(frames)
+            if frames.ndim == 4:
+                frames = frames[:, None]
+            feats = self._mask_batch(self._extract(frames, use_mask), offset)
+            B, F, N, D = feats.shape
+            if moments is None:
+                moments = init_moments(D)
+            moments = update_moments(moments, feats.reshape(B * F * N, D))
+            key, k_s = jax.random.split(key)
+            n_pix = B * F * r * r
+            n_take = min(max(sample_cap // 8, 1024), n_pix)
+            samples.append(np.asarray(sample_pixels(feats, k_s, n_take)))
+            offset += B
+            n_batches += 1
+        if moments is None:
+            raise ValueError("empty evaluation dataset")
+
+        pca = pca_from_moments(moments, min(pca_dim, samples[0].shape[-1]))
+        sample = np.concatenate(samples, axis=0)
+        if sample.shape[0] > sample_cap:
+            keep = np.random.default_rng(1).choice(
+                sample.shape[0], sample_cap, replace=False
+            )
+            sample = sample[keep]
+        reduced_sample = apply_pca(pca, jnp.asarray(sample))
+        fit = kmeans(reduced_sample, k, jax.random.PRNGKey(1), n_iter=50, n_redo=5)
+        self.logger.info(
+            "streaming dataset-wise: fit k=%d on %d sampled pixels "
+            "(%d batches, objective %.4g)",
+            k, sample.shape[0], n_batches, float(fit.objective),
+        )
+
+        @jax.jit
+        def assign_batch(feats):
+            B, F, N, D = feats.shape
+            res = int(round(N ** 0.5))
+            red = apply_pca(pca, feats.reshape(B * F * N, D))
+            maps = patch_grid_to_image(
+                red.reshape(B * F, N, -1), (res, res), (r, r)
+            )
+            a = kmeans_assign(maps.reshape(B * F * r * r, -1), fit.centroids)
+            return a.reshape(B, F, r, r)
+
+        # ---- pass 2: assign + streaming confusion update --------------------
+        offset = 0
+        for batch in self.data_iter_factory():
+            frames, annotations = batch[0], batch[1]
+            frames = jnp.asarray(frames)
+            if frames.ndim == 4:
+                frames = frames[:, None]
+                annotations = np.asarray(annotations)[:, None]
+            feats = self._mask_batch(self._extract(frames, use_mask), offset)
+            preds = np.asarray(assign_batch(feats))
+            annots = np.asarray(
+                resize_nearest(jnp.asarray(np.asarray(annotations), jnp.float32),
+                               (r, r))
+            ).astype(np.int64)
+            B, F = preds.shape[:2]
+            for i in range(B):
+                for j in range(F):
+                    g = annots[i, j].reshape(-1)
+                    p = preds[i, j].reshape(-1)
+                    if self.ignore_index is not None:
+                        keep = g != self.ignore_index
+                        g, p = g[keep], p[keep]
+                    self.metric.update(g, p)
+            offset += B
+        score = self.metric.compute(True, many_to_one, precision_based)[0]
+        self.metric.reset()
+        self.logger.info("dataset-wise score %s (streaming)", score)
+        return score
+
     def evaluate(
         self,
         many_to_one: bool = False,
@@ -196,7 +345,18 @@ class Evaluator:
         use_mask: bool = False,
         use_annotations: bool = False,
         precision_based: bool = False,
+        streaming: bool = False,
+        sample_cap: int | None = None,
     ) -> float:
+        if evaluation_protocol == "dataset-wise" and streaming:
+            return self._evaluate_dataset_streaming(
+                many_to_one=many_to_one,
+                eval_resolution=eval_resolution,
+                num_clusters=num_clusters,
+                use_mask=use_mask,
+                precision_based=precision_based,
+                sample_cap=sample_cap,
+            )
         if evaluation_protocol == "dataset-wise":
             feats_all, annots_all = [], []
             for batch in self.data_iter_factory():

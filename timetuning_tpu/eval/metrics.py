@@ -41,32 +41,75 @@ def confusion_matrix(
 
 
 class PredsmIoU:
-    """API-compatible with the reference metric: update / reset / compute."""
+    """API-compatible with the reference metric: update / reset / compute.
+
+    Capacity follows the data: the reference inferred class counts from the
+    observed uniques at compute time (metrics.py:255-267); here the confusion
+    matrix grows whenever an update carries an id beyond the current
+    capacity (rounded up to the next power of two to bound recompiles of the
+    jitted bincount), so k>capacity clusterings (e.g. CBFE's k=300
+    overclustering) can never silently alias into the wrong row.
+    """
 
     def __init__(self, num_pred_classes: int, num_gt_classes: int, involve_bg: bool = False):
-        self.num_pred_classes = num_pred_classes
-        self.num_gt_classes = num_gt_classes
         self.involve_bg = involve_bg
-        self._conf = np.zeros((num_gt_classes, num_pred_classes), np.int64)
-        self._update_fn = jax.jit(
-            lambda g, p: confusion_matrix(g, p, num_gt_classes, num_pred_classes)
-        )
+        self.num_pred_classes = 0
+        self.num_gt_classes = 0
+        self._update_fn = None
+        self._conf = np.zeros((0, 0), np.int64)
         # propagation-score mode keeps per-frame confusions (small)
         self._frames: list[np.ndarray] = []
+        self._ensure_capacity(num_gt_classes, num_pred_classes)
+
+    def _ensure_capacity(self, num_gt: int, num_pred: int) -> None:
+        if num_gt <= self.num_gt_classes and num_pred <= self.num_pred_classes:
+            return
+
+        def grow(cur, need):
+            if need <= cur:
+                return cur
+            cap = max(cur, 1)
+            while cap < need:
+                cap *= 2
+            return cap
+
+        new_gt = grow(self.num_gt_classes, num_gt) if num_gt > self.num_gt_classes else self.num_gt_classes
+        new_pred = grow(self.num_pred_classes, num_pred) if num_pred > self.num_pred_classes else self.num_pred_classes
+        conf = np.zeros((new_gt, new_pred), np.int64)
+        conf[: self.num_gt_classes, : self.num_pred_classes] = self._conf
+        self._conf = conf
+        self._frames = [
+            np.pad(f, ((0, new_gt - f.shape[0]), (0, new_pred - f.shape[1])))
+            for f in self._frames
+        ]
+        self.num_gt_classes, self.num_pred_classes = new_gt, new_pred
+        self._update_fn = jax.jit(
+            lambda g, p: confusion_matrix(g, p, new_gt, new_pred)
+        )
 
     def reset(self) -> None:
         self._conf[:] = 0
         self._frames = []
 
+    def _count(self, gt, pred) -> np.ndarray | None:
+        gt, pred = np.asarray(gt), np.asarray(pred)
+        if gt.size == 0:
+            return None
+        self._ensure_capacity(int(gt.max()) + 1, int(pred.max()) + 1)
+        return np.asarray(self._update_fn(jnp.asarray(gt), jnp.asarray(pred)))
+
     def update(self, gt, pred) -> None:
-        c = np.asarray(self._update_fn(jnp.asarray(gt), jnp.asarray(pred)))
-        self._conf += c
+        c = self._count(gt, pred)
+        if c is not None:
+            self._conf += c
 
     def update_frame(self, gt, pred) -> None:
         """Per-frame accumulation for the VOS propagation score
         (reference compute_propagation_score keeps frames separate,
         metrics.py:271-346)."""
-        c = np.asarray(self._update_fn(jnp.asarray(gt), jnp.asarray(pred)))
+        c = self._count(gt, pred)
+        if c is None:
+            c = np.zeros_like(self._conf)
         self._frames.append(c)
         self._conf += c
 

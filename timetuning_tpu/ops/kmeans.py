@@ -109,10 +109,83 @@ def kmeans(
     return KMeansResult(c, a, obj)
 
 
+def kmeans_assign(x: jax.Array, centroids: jax.Array, chunk: int = 8192) -> jax.Array:
+    """Nearest-centroid assignment for points that were not part of the fit
+    (the faiss ``index.search`` step after ``Kmeans.train``). x: [N, D]."""
+    x = x.astype(jnp.float32)
+    if x.shape[0] % chunk != 0:
+        chunk = x.shape[0]
+    a, _ = _assign_chunked(x, centroids.astype(jnp.float32), chunk)
+    return a
+
+
 class PCAState(NamedTuple):
     mean: jax.Array     # [D]
     std: jax.Array      # [D]
     components: jax.Array  # [D, d_out]
+
+
+class PCAMoments(NamedTuple):
+    """Streaming sufficient statistics for standardize+PCA: count, Σx, Σxxᵀ.
+
+    Lets the dataset-wise Evaluator fit the exact same PCA as ``fit_pca``
+    without ever materializing the full feature set (the reference's chunked
+    ``StandardScaler.partial_fit`` pass, my_utils.py:19-37, made bounded-
+    memory end to end). Accumulated on host in float64 so millions of rows
+    don't lose the tail digits of the second moment.
+    """
+
+    count: float
+    s1: "jax.Array"   # [D] float64 (host numpy)
+    s2: "jax.Array"   # [D, D] float64 (host numpy)
+
+
+def init_moments(d: int) -> PCAMoments:
+    import numpy as np
+
+    return PCAMoments(0.0, np.zeros(d, np.float64), np.zeros((d, d), np.float64))
+
+
+@jax.jit
+def _batch_moments(x):
+    x = x.astype(jnp.float32)
+    return (
+        jnp.sum(x, axis=0),
+        jnp.dot(x.T, x, preferred_element_type=jnp.float32),
+    )
+
+
+def update_moments(m: PCAMoments, x: jax.Array) -> PCAMoments:
+    """Fold a [N, D] batch into the running statistics (device matmul for the
+    second moment, host float64 accumulation)."""
+    import numpy as np
+
+    s1, s2 = _batch_moments(x)
+    return PCAMoments(
+        m.count + float(x.shape[0]),
+        m.s1 + np.asarray(s1, np.float64),
+        m.s2 + np.asarray(s2, np.float64),
+    )
+
+
+def pca_from_moments(m: PCAMoments, d_out: int, standardize: bool = True) -> PCAState:
+    """Fit the same standardize+PCA as ``fit_pca`` from streaming moments:
+    cov(x̂) = (E[xxᵀ] − μμᵀ) / (σ+ε)(σ+ε)ᵀ."""
+    import numpy as np
+
+    mean = m.s1 / m.count
+    cov_raw = m.s2 / m.count - np.outer(mean, mean)
+    if standardize:
+        std = np.sqrt(np.maximum(np.diag(cov_raw), 0.0))
+    else:
+        std = np.ones_like(mean)
+    denom = np.outer(std + _EPS, std + _EPS)
+    cov = (cov_raw / denom).astype(np.float32)
+    evals, evecs = jnp.linalg.eigh(jnp.asarray(cov))
+    comps = evecs[:, ::-1][:, :d_out]
+    return PCAState(
+        jnp.asarray(mean, jnp.float32), jnp.asarray(std, jnp.float32), comps
+    )
 
 
 def fit_pca(x: jax.Array, d_out: int, standardize: bool = True) -> PCAState:

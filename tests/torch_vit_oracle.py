@@ -1,89 +1,11 @@
-"""Minimal PyTorch ViT oracle for golden-parity tests.
-
-A standard pre-norm ViT (the timm/DINO ``vit_small_patch16_224`` layout) kept
-deliberately tiny and written from the textbook definition. Its state_dict
-uses the exact timm key names, so it doubles as a fixture for the
-torch→flax importer (timetuning_tpu.models.import_torch).
-"""
+"""Torch ViT oracle for golden-parity tests — re-exported from the product's
+parity harness (timetuning_tpu/eval/parity_oracle.py) so tests and the
+real-artifact parity CLI share one reference implementation."""
 
 from __future__ import annotations
 
-import math
-
-import torch
-import torch.nn as nn
+from timetuning_tpu.eval.parity_oracle import build_oracle
 
 
-class OracleBlock(nn.Module):
-    def __init__(self, dim, heads, mlp_ratio=4.0):
-        super().__init__()
-        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
-        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
-        self.heads = heads
-        self.attn = nn.ModuleDict(
-            {"qkv": nn.Linear(dim, dim * 3), "proj": nn.Linear(dim, dim)}
-        )
-        h = int(dim * mlp_ratio)
-        self.mlp = nn.ModuleDict({"fc1": nn.Linear(dim, h), "fc2": nn.Linear(h, dim)})
-
-    def attend(self, x, return_probs=False):
-        B, S, D = x.shape
-        H = self.heads
-        qkv = self.attn["qkv"](x).reshape(B, S, 3, H, D // H).permute(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        scores = q @ k.transpose(-2, -1) / math.sqrt(D // H)
-        probs = scores.softmax(dim=-1)
-        out = (probs @ v).transpose(1, 2).reshape(B, S, D)
-        return self.attn["proj"](out), (probs if return_probs else None)
-
-    def forward(self, x, return_probs=False):
-        y, probs = self.attend(self.norm1(x), return_probs)
-        x = x + y
-        y = self.norm2(x)
-        y = self.mlp["fc2"](torch.nn.functional.gelu(self.mlp["fc1"](y)))
-        return x + y, probs
-
-
-class OracleViT(nn.Module):
-    def __init__(self, img_size=224, patch_size=16, dim=384, depth=12, heads=6):
-        super().__init__()
-        self.patch_size = patch_size
-        n = (img_size // patch_size) ** 2
-        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
-        self.pos_embed = nn.Parameter(torch.zeros(1, n + 1, dim))
-        self.patch_embed = nn.ModuleDict(
-            {"proj": nn.Conv2d(3, dim, patch_size, stride=patch_size)}
-        )
-        self.blocks = nn.ModuleList(OracleBlock(dim, heads) for _ in range(depth))
-        self.norm = nn.LayerNorm(dim, eps=1e-6)
-        with torch.no_grad():
-            for p in self.parameters():
-                p.normal_(0, 0.02)
-
-    def interp_pos(self, hp, wp):
-        n = self.pos_embed.shape[1] - 1
-        n0 = int(round(n ** 0.5))
-        if (hp, wp) == (n0, n0):
-            return self.pos_embed
-        cls_pos = self.pos_embed[:, :1]
-        grid = self.pos_embed[:, 1:].reshape(1, n0, n0, -1).permute(0, 3, 1, 2)
-        grid = torch.nn.functional.interpolate(
-            grid, size=(hp, wp), mode="bicubic", align_corners=False
-        )
-        grid = grid.permute(0, 2, 3, 1).reshape(1, hp * wp, -1)
-        return torch.cat([cls_pos, grid], dim=1)
-
-    def forward(self, x, return_probs=False):
-        # x: [B, 3, H, W]
-        B = x.shape[0]
-        x = self.patch_embed["proj"](x)
-        hp, wp = x.shape[-2:]
-        x = x.flatten(2).transpose(1, 2)
-        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
-        x = x + self.interp_pos(hp, wp)
-        probs = None
-        for i, blk in enumerate(self.blocks):
-            x, p = blk(x, return_probs and i == len(self.blocks) - 1)
-            if p is not None:
-                probs = p
-        return self.norm(x), probs
+def OracleViT(img_size=224, patch_size=16, dim=384, depth=12, heads=6):
+    return build_oracle(img_size, patch_size, dim, depth, heads)

@@ -1,0 +1,298 @@
+"""Real-artifact parity harness — one command, run the moment the published
+checkpoint / datasets are mounted.
+
+    python -m timetuning_tpu.cli.parity --timet_pth TimeT.pth \
+        [--davis_root /data/davis] [--pascal_root /data/voc] \
+        [--expected_davis_jf 0.65] [--expected_pascal_miou 0.125]
+
+Stages (each runs only if its artifact is given):
+
+  1. **Import fidelity** (needs only the .pth): imports the checkpoint per
+     the README.md:66-76 contract, then compares our Flax forward against a
+     torch reference ViT loaded from the *same* state dict
+     (eval/parity_oracle.py) on a fixed random batch — the BASELINE.md
+     "patch-embedding parity vs TimeT.pth" gate, plus full dense features,
+     projection-head output and prototype scores.
+  2. **DAVIS propagation** (reference mask_propagation.py:717-842 protocol:
+     25 uniform frames, n_last=4, neighborhood 12, topk 5, uvos): J, F, J&F
+     and sample-wise mIoU.
+  3. **Pascal dataset-wise clustering mIoU** (reference evaluation.py:373-485
+     protocol: k=21, eval resolution 112, k-means, dataset-wise Hungarian).
+
+Each stage prints a side-by-side row; stages with an ``--expected_*`` value
+are gated (|ours − expected| ≤ tolerance, BASELINE.md "within 0.5" default);
+without one they report the number for manual comparison. Exit code 1 if any
+gate fails.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from timetuning_tpu.cli.train import str2bool
+from timetuning_tpu.runtime import setup_compilation_cache
+
+_HEADS = {  # timm geometry per supported parity architecture
+    "dino-s16": 6, "dino-s8": 6, "msn-s16": 6, "ibot-s16": 6, "leopart": 6,
+    "dino-b16": 12, "vit": 12, "vit-tiny-test": 2,
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("timetuning_tpu.parity")
+    p.add_argument("--timet_pth", type=str, required=True,
+                   help="published TimeT.pth (or any backbone .pth with the "
+                        "feature_extractor.backbone.<timm key> contract)")
+    p.add_argument("--architecture", type=str, default="dino-s16",
+                   choices=sorted(_HEADS))
+    p.add_argument("--davis_root", type=str, default=None)
+    p.add_argument("--pascal_root", type=str, default=None)
+    p.add_argument("--input_resolution", type=int, default=224)
+    p.add_argument("--eval_resolution", type=int, default=None,
+                   help="default input/2 (reference time_tuning.py:603)")
+    p.add_argument("--pascal_clusters", type=int, default=21)
+    p.add_argument("--num_frames", type=int, default=25)
+    p.add_argument("--n_last_frames", type=int, default=4)
+    p.add_argument("--size_mask_neighborhood", type=int, default=12)
+    p.add_argument("--topk", type=int, default=5)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--expected_davis_jf", type=float, default=None,
+                   help="reference J&F to gate against")
+    p.add_argument("--expected_davis_miou", type=float, default=None)
+    p.add_argument("--expected_pascal_miou", type=float, default=None)
+    p.add_argument("--tolerance", type=float, default=0.5,
+                   help="metric gate half-width, in metric points "
+                        "(BASELINE.md: 'within 0.5 of the reference')")
+    p.add_argument("--feature_atol", type=float, default=5e-3,
+                   help="max |Δ| gate for dense features vs the torch oracle")
+    p.add_argument("--embed_atol", type=float, default=1e-4,
+                   help="max |Δ| gate for the patch-embedding tokens")
+    p.add_argument("--streaming", type=str2bool, default=False,
+                   help="bounded-memory Pascal dataset-wise protocol")
+    return p
+
+
+class _Report:
+    def __init__(self):
+        self.rows = []
+        self.failed = False
+
+    def add(self, name, ours, expected, tol):
+        if expected is None:
+            status = "REPORT"
+        elif abs(ours - expected) <= tol:
+            status = "PASS"
+        else:
+            status = "FAIL"
+            self.failed = True
+        self.rows.append((name, ours, expected, tol, status))
+        exp = "—" if expected is None else f"{expected:.6g}"
+        print(f"{name:<38} ours={ours:<12.6g} ref={exp:<10} "
+              f"tol={tol:<8.3g} {status}")
+
+    def summary(self):
+        n_pass = sum(r[-1] == "PASS" for r in self.rows)
+        n_fail = sum(r[-1] == "FAIL" for r in self.rows)
+        n_rep = sum(r[-1] == "REPORT" for r in self.rows)
+        print(f"\nparity: {n_pass} passed, {n_fail} failed, "
+              f"{n_rep} report-only")
+        return 1 if self.failed else 0
+
+
+def _import_stage(args, report: _Report):
+    """Stage 1: checkpoint import + torch-oracle numerical parity."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from timetuning_tpu.core.timet import TimeT, _graft
+    from timetuning_tpu.models.extractor import FeatureExtractor
+    from timetuning_tpu.models.import_torch import (
+        load_torch_state_dict,
+        timet_params_from_torch,
+    )
+    from timetuning_tpu.models.registry import get_backbone
+    from timetuning_tpu.eval.parity_oracle import (
+        build_oracle_head,
+        oracle_from_state_dict,
+    )
+
+    sd = load_torch_state_dict(args.timet_pth)
+    imported = timet_params_from_torch(sd)
+    head_dims = tuple(
+        imported["feature_extractor"]["head"][k]["kernel"].shape[1]
+        for k in sorted(imported["feature_extractor"].get("head", {}))
+    )
+    n_protos = imported.get("prototypes", np.zeros((200, 1))).shape[0]
+
+    bb = get_backbone(args.architecture)
+    img = args.input_resolution
+    model = TimeT(
+        feature_extractor=FeatureExtractor(
+            backbone=bb.module, head_dims=head_dims, drop_cls=bb.drop_cls
+        ),
+        n_prototypes=n_protos,
+        prototype_dim=None if head_dims else bb.feature_dim,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 3)))[
+        "params"
+    ]
+    params = _graft(params, imported)
+
+    # torch side from the same state dict
+    backbone_sd = {
+        k[len("feature_extractor.backbone."):]: v
+        for k, v in sd.items()
+        if k.startswith("feature_extractor.backbone.")
+    }
+    oracle = oracle_from_state_dict(
+        backbone_sd, img, _HEADS[args.architecture]
+    )
+    x = np.random.default_rng(0).normal(size=(2, 3, img, img)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        embed_t = oracle.embed(torch.from_numpy(x)).numpy()
+        tokens_t, _ = oracle(torch.from_numpy(x))
+        tokens_t = tokens_t.numpy()
+        want_feats = tokens_t[:, 1:]
+        if head_dims:
+            head = build_oracle_head(head_dims, tokens_t.shape[-1])
+            tsd = {}
+            for j in range(len(head_dims)):
+                tsd[f"{2*j}.weight"] = torch.as_tensor(
+                    sd[f"feature_extractor.head.{2*j}.weight"])
+                tsd[f"{2*j}.bias"] = torch.as_tensor(
+                    sd[f"feature_extractor.head.{2*j}.bias"])
+            head.load_state_dict(tsd)
+            want_feats = head(torch.from_numpy(want_feats)).numpy()
+        want_scores = None
+        if "prototypes" in imported:
+            f = torch.nn.functional.normalize(
+                torch.from_numpy(want_feats), dim=-1
+            )
+            p = torch.as_tensor(np.asarray(imported["prototypes"]))
+            want_scores = (f @ p.t()).numpy()
+
+    xj = jnp.asarray(x.transpose(0, 2, 3, 1))
+    embed_j = np.asarray(_flax_patch_embed(bb, params, xj))
+    feats_j, _ = model.apply({"params": params}, xj, use_head=bool(head_dims))
+    feats_j = np.asarray(feats_j)
+
+    report.add("patch_embed max|Δ| (vs torch)",
+               float(np.abs(embed_j - embed_t).max()), 0.0, args.embed_atol)
+    report.add("dense features max|Δ| (vs torch)",
+               float(np.abs(feats_j - want_feats).max()), 0.0,
+               args.feature_atol)
+    if want_scores is not None:
+        scores_j = np.asarray(
+            model.apply({"params": params}, jnp.asarray(feats_j),
+                        method=TimeT.similarity)
+        )
+        report.add("prototype scores max|Δ| (vs torch)",
+                   float(np.abs(scores_j - want_scores).max()), 0.0,
+                   args.feature_atol)
+    return params
+
+
+def _flax_patch_embed(bb, params, xj):
+    """Patch-embedding tokens from the flax side: conv + flatten (matches
+    OracleViT.embed)."""
+    import jax
+    import jax.numpy as jnp
+
+    p = params["feature_extractor"]["backbone"]["patch_embed"]
+    k = jnp.asarray(p["kernel"])
+    b = jnp.asarray(p["bias"])
+    patch = k.shape[0]
+    y = jax.lax.conv_general_dilated(
+        xj, k, window_strides=(patch, patch), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b
+    B, hp, wp, D = y.shape
+    return y.reshape(B, hp * wp, D)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_compilation_cache()
+    report = _Report()
+
+    print(f"== stage 1: checkpoint import fidelity ({args.timet_pth}) ==")
+    _import_stage(args, report)
+
+    if args.davis_root:
+        print("\n== stage 2: DAVIS semi-supervised propagation ==")
+        from timetuning_tpu.cli import propagate as cli_prop
+
+        pargs = cli_prop.build_parser().parse_args([
+            "--architecture", args.architecture,
+            "--model_path", args.timet_pth,
+            "--dataset", "davis_val",
+            "--data_root", args.davis_root,
+            "--num_frames", str(args.num_frames),
+            "--n_last_frames", str(args.n_last_frames),
+            "--size_mask_neighborhood", str(args.size_mask_neighborhood),
+            "--topk", str(args.topk),
+            "--input_resolution", str(args.input_resolution),
+            "--num_workers", str(args.num_workers),
+        ])
+        res = cli_prop.run_propagation(pargs)
+        report.add("DAVIS J (propagation)", float(res["jf"]["J"]), None,
+                   args.tolerance)
+        report.add("DAVIS J&F (propagation)", float(res["jf"]["J&F"]),
+                   args.expected_davis_jf, args.tolerance)
+        report.add("DAVIS mIoU (sample-wise)", float(res["miou"]),
+                   args.expected_davis_miou, args.tolerance)
+
+    if args.pascal_root:
+        print("\n== stage 3: Pascal dataset-wise clustering mIoU ==")
+        import jax
+        import jax.numpy as jnp
+
+        from timetuning_tpu.data.pascal import pascal_loader
+        from timetuning_tpu.data.transforms import eval_preprocess_batch
+        from timetuning_tpu.eval.evaluator import Evaluator
+        from timetuning_tpu.models.registry import get_backbone
+
+        bb = get_backbone(args.architecture, args.timet_pth)
+        res_sp = bb.spatial_resolution(args.input_resolution)
+        eval_res = args.eval_resolution or args.input_resolution // 2
+
+        @jax.jit
+        def feats_jit(frames_u8):
+            x = eval_preprocess_batch(
+                frames_u8, out_size=args.input_resolution
+            )
+            out = bb.module.apply(bb.variables, x)
+            f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
+            return f, None
+
+        loader = pascal_loader(
+            60, args.pascal_root, "val", eval_res, args.input_resolution
+        )
+        ev = Evaluator(
+            data_iter_factory=lambda: iter(loader),
+            feature_fn=lambda frames, want_attention=False: feats_jit(
+                jnp.asarray(frames)),
+            spatial_resolution=res_sp,
+            num_classes=args.pascal_clusters,
+            involve_bg=True,
+            ignore_index=255,
+        )
+        score = ev.evaluate(
+            evaluation_protocol="dataset-wise",
+            eval_resolution=eval_res,
+            num_clusters=args.pascal_clusters,
+            streaming=args.streaming,
+        )
+        report.add("Pascal mIoU (dataset-wise, k=21)", float(score),
+                   args.expected_pascal_miou, args.tolerance)
+
+    return report.summary()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -34,10 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    setup_compilation_cache()
-
+def run_propagation(args) -> dict:
+    """Propagate GT first-frame masks through every clip of the dataset and
+    score all three metric variants. Returns ``{"jf": {...}, "miou": float,
+    "propagation": float}``. Shared by this CLI and cli.parity."""
     from timetuning_tpu.data.datasets import SamplingMode
     from timetuning_tpu.data.loader import make_loader
     from timetuning_tpu.data.transforms import eval_preprocess_batch
@@ -108,18 +108,27 @@ def main(argv=None) -> int:
 
     gts = np.stack(all_gt)
     preds = np.stack(all_pred)
+    return {
+        "jf": j_and_f(sequences),
+        "miou": evaluate_localizations(
+            PredsmIoU(256, 256, involve_bg=True), gts, preds, "sample-wise"
+        ),
+        "propagation": evaluate_propagation(
+            PredsmIoU(256, 256, involve_bg=True), gts, preds
+        ),
+    }
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_compilation_cache()
+    results = run_propagation(args)
     if args.metric == "jf":
-        out = j_and_f(sequences)
-        print(f"J&F: {out}")
+        print(f"J&F: {results['jf']}")
     elif args.metric == "propagation":
-        m = PredsmIoU(256, 256, involve_bg=True)
-        print(f"propagation J: {evaluate_propagation(m, gts, preds)}")
+        print(f"propagation J: {results['propagation']}")
     else:
-        m = PredsmIoU(256, 256, involve_bg=True)
-        print(
-            "mIoU:",
-            evaluate_localizations(m, gts, preds, "sample-wise"),
-        )
+        print("mIoU:", results["miou"])
     return 0
 
 

@@ -111,7 +111,7 @@ class Attention(nn.Module):
                 fused_available,
             )
 
-            if fused_available() or impl == "fused":
+            if fused_available(S) or (impl == "fused" and S <= 1024):
                 # whole branch (qkv → attention → proj) in one Pallas kernel
                 wq, bq = _DenseParams(3 * D, self.qkv_bias, name="qkv")(D)
                 wp, bp = _DenseParams(D, True, name="proj")(D)

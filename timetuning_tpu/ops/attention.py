@@ -154,11 +154,17 @@ def attention(
     impl: str = "auto",
 ):
     """Dispatch: pallas fused kernel on TPU (differentiable via custom VJP)
-    unless probabilities are requested; XLA otherwise.
+    unless probabilities are requested; XLA otherwise. Sequences longer than
+    1024 tokens route to the tiled-online-softmax flash kernel
+    (ops/flash_attention) whose VMEM footprint is linear in S.
     ``impl``: auto | xla | pallas."""
     if impl == "auto":
         on_tpu = pltpu is not None and jax.default_backend() == "tpu"
         impl = "pallas" if (on_tpu and not return_probs) else "xla"
     if impl == "pallas":
+        if q.shape[2] > 1024:
+            from timetuning_tpu.ops.flash_attention import flash_attention
+
+            return flash_attention(q, k, v), None
         return _attention_fused(q, k, v), None
     return attention_xla(q, k, v, return_probs=return_probs)

@@ -1,0 +1,201 @@
+"""True flash attention (tiled online softmax) for long ViT sequences.
+
+The short-sequence kernels (ops/attention.py, ops/fused_block.py) keep the
+whole [S, S] score matrix of one (batch, head) in VMEM — the right call for
+197-785 tokens, impossible above ~1024 (ViT-S/8 @448 is 3137 tokens →
+a 3200² f32 tile is 41 MB against ~16 MB of VMEM). This kernel never
+materializes the score matrix:
+
+  * grid = (batch·heads, query tiles); K/V of the current (b, h) live in
+    VMEM (linear in S — 1.6 MB at S=3200), queries are tiled;
+  * the kernel streams over key tiles with the online-softmax recurrence
+    (running row max ``m``, normalizer ``l``, output accumulator ``acc``
+    rescaled by ``exp(m_old − m_new)`` each step — Dao et al.'s
+    FlashAttention, computed exactly, not an approximation);
+  * VMEM per program is O(Tq·Tk + S·Dh), so sequence length is bounded by
+    K/V residency only (~16k tokens at Dh=64), not by S².
+
+Backward: custom VJP with the analytic softmax-attention gradient evaluated
+in query chunks via ``lax.map`` — peak memory O(Tq·S) per (b, h) instead of
+the O(S²) full-probability tensor the short-sequence path recomputes.
+
+Reference scope note: the reference supports dino-s8 at high input
+resolutions through plain torch SDPA (models.py:76, 3137 tokens @448);
+this kernel is what makes those configurations memory-linear on TPU
+(SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is unavailable on CPU-only builds
+    from jax.experimental.pallas import tpu as pltpu
+except Exception:  # pragma: no cover
+    pltpu = None
+
+_NEG = -1e30
+
+
+def _pad_to(s: int, m: int) -> int:
+    return ((s + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
+                  block_k: int):
+    """One grid step: one query tile of one (batch·head) pair.
+
+    q_ref: [1, Tq, Dp]; k_ref, v_ref: [1, Skp, Dp]; o_ref: [1, Tq, Dp].
+    """
+    Tq, Dp = q_ref.shape[1], q_ref.shape[2]
+    Skp = k_ref.shape[1]
+    n_kt = Skp // block_k
+    q = q_ref[0]
+
+    def body(kt, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(kt * block_k, block_k), :]
+        v = v_ref[0, pl.ds(kt * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                              # [Tq, Tk] f32
+        col = (
+            jax.lax.broadcasted_iota(jnp.int32, (Tq, block_k), 1)
+            + kt * block_k
+        )
+        s = jnp.where(col < seq_len, s, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * corr + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l, acc
+
+    m0 = jnp.full((Tq, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((Tq, 1), jnp.float32)
+    acc0 = jnp.zeros((Tq, Dp), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kt, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-20)).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_fwd_pallas(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    block_q: int = 256, block_k: int = 1024, interpret: bool = False,
+) -> jax.Array:
+    # Tile defaults measured on v5e at S=3137 (ViT-S/8 @448): 3.4 ms for
+    # B=2,H=6 bf16 — 42x faster than XLA full attention (144 ms); larger
+    # k-tiles were within 5% while this choice keeps the [Tq, Tk] f32 score
+    # tile ≤ 1 MB at any sequence length.
+    """q, k, v: [B, H, S, Dh] → [B, H, S, Dh]. Exact softmax attention."""
+    B, H, S, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    G = B * H
+    Dp = _pad_to(Dh, 128)
+    block_q = min(block_q, _pad_to(S, 128))
+    block_k = min(block_k, _pad_to(S, 128))
+    Sqp = _pad_to(S, block_q)
+    Skp = _pad_to(S, block_k)
+
+    def prep(x, sp):
+        x = x.reshape(G, S, Dh)
+        return jnp.pad(x, ((0, 0), (0, sp - S), (0, Dp - Dh)))
+
+    qp = prep(q, Sqp)
+    kp = prep(k, Skp)
+    vp = prep(v, Skp)
+
+    q_spec = pl.BlockSpec((1, block_q, Dp), lambda g, i: (g, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, Skp, Dp), lambda g, i: (g, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, seq_len=S,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((G, Sqp, Dp), q.dtype),
+        grid=(G, Sqp // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :S, :Dh].reshape(B, H, S, Dh)
+
+
+def flash_attention_xla(q, k, v):
+    """Reference composition (tests / non-TPU fallback)."""
+    from timetuning_tpu.ops.attention import attention_xla
+
+    return attention_xla(q, k, v)[0]
+
+
+def _chunked_bwd(q, k, v, g, block_q: int = 256):
+    """Analytic softmax-attention gradient, streamed over query chunks —
+    peak activation O(Tq·S) instead of the O(S²) probability tensor."""
+    B, H, S, Dh = q.shape
+    scale = 1.0 / math.sqrt(Dh)
+    Sqp = _pad_to(S, block_q)
+    nc = Sqp // block_q
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Sqp - S), (0, 0)))
+        # [nc, B, H, Tq, Dh]: chunk axis leading for lax.map
+        return jnp.moveaxis(
+            x.reshape(B, H, nc, block_q, Dh), 2, 0
+        )
+
+    qc = prep(q.astype(jnp.float32))
+    gc = prep(g.astype(jnp.float32))
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    def one_chunk(args):
+        q_c, g_c = args                                    # [B, H, Tq, Dh]
+        s = jnp.einsum("bhqd,bhkd->bhqk", q_c, kf,
+                       preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(s, axis=-1)
+        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p, g_c,
+                          preferred_element_type=jnp.float32)
+        dp = jnp.einsum("bhqd,bhkd->bhqk", g_c, vf,
+                        preferred_element_type=jnp.float32)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
+                          preferred_element_type=jnp.float32) * scale
+        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, q_c,
+                          preferred_element_type=jnp.float32) * scale
+        return dq_c, dk_c, dv_c
+
+    dq_chunks, dk_chunks, dv_chunks = jax.lax.map(one_chunk, (qc, gc))
+    dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(B, H, Sqp, Dh)[:, :, :S]
+    dk = jnp.sum(dk_chunks, axis=0)
+    dv = jnp.sum(dv_chunks, axis=0)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+@jax.custom_vjp
+def flash_attention(q, k, v):
+    """Differentiable exact attention for long sequences ([B, H, S, Dh])."""
+    if pltpu is not None and jax.default_backend() == "tpu":
+        return flash_attention_fwd_pallas(q, k, v)
+    return flash_attention_xla(q, k, v)
+
+
+def _fwd(q, k, v):
+    return flash_attention(q, k, v), (q, k, v)
+
+
+def _bwd(res, g):
+    return _chunked_bwd(*res, g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -151,5 +151,11 @@ def _bwd(num_heads, res, g):
 attention_branch.defvjp(_fwd, _bwd)
 
 
-def fused_available() -> bool:
-    return pltpu is not None and jax.default_backend() == "tpu"
+def fused_available(seq_len: int | None = None) -> bool:
+    """Whole-branch fusion holds the [Sp, Sp] score tile in VMEM — valid up
+    to 1024 tokens; longer sequences route to the flash kernel via the
+    ops.attention dispatcher."""
+    ok = pltpu is not None and jax.default_backend() == "tpu"
+    if seq_len is not None:
+        ok = ok and seq_len <= 1024
+    return ok

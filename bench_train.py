@@ -101,15 +101,19 @@ def main() -> None:
         n_prototypes=200, use_teacher=True, use_queue=False,
         num_epochs=1, steps_per_epoch=max(n_steps, 100),
         spatial_resolution=14,
+        frozen_trunk_blocks=10,  # reference unfreezes blocks 10/11 only
     )
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, 224, 224, 3))
     params = model.init(rng, sample)["params"]
-    tx, _ = swav_optimizer(
+    tx, trainable_mask = swav_optimizer(
         params, lr=1e-4, num_epochs=1, steps_per_epoch=max(n_steps, 100)
     )
     state = init_state(model, tcfg, tx, rng, sample)
-    step = jax.jit(make_train_step(model, tcfg, tx), donate_argnums=(0,))
+    step = jax.jit(
+        make_train_step(model, tcfg, tx, trainable_mask=trainable_mask),
+        donate_argnums=(0,),
+    )
 
     if args.steps:
         # ---- loss-curve mode: N real optimization steps on structured clips

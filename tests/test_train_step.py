@@ -155,3 +155,58 @@ def test_dp_matches_single_device():
         np.asarray(s_single.params["prototypes"]),
         rtol=1e-3, atol=1e-5,
     )
+
+
+def test_split_trunk_matches_full_step():
+    """frozen_trunk_blocks (shared trunk across the three passes) must be a
+    pure FLOP optimization: same loss, same updated params as the full
+    three-pass step."""
+    import dataclasses
+
+    model, cfg, tx, state, step = make_everything()
+    clip = _clip(11)
+    rng = jax.random.PRNGKey(5)
+    s_full, m_full = jax.jit(step)(state, clip, rng)
+
+    cfg_split = dataclasses.replace(cfg, frozen_trunk_blocks=1)
+    step_split = make_train_step(model, cfg_split, tx)
+    s_split, m_split = jax.jit(step_split)(state, clip, rng)
+
+    np.testing.assert_allclose(
+        float(m_split["loss"]), float(m_full["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_split.params), jax.tree.leaves(s_full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_split.teacher_params),
+                    jax.tree.leaves(s_full.teacher_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_split_trunk_with_queue_and_trainable_mask():
+    """Split trunk composes with the queue and the restricted-autodiff
+    trainable mask."""
+    import dataclasses
+
+    from timetuning_tpu.core.optimizer import swav_optimizer
+
+    model, cfg, tx, state, step = make_everything(use_queue=True)
+    rng0 = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    params = model.init(rng0, sample)["params"]
+    tx2, mask = swav_optimizer(params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
+                               unfreeze_layers=("blocks.1",))
+    cfg_split = dataclasses.replace(cfg, frozen_trunk_blocks=1)
+    step2 = make_train_step(model, cfg_split, tx2, trainable_mask=mask)
+    s1, m1 = jax.jit(step2)(state, _clip(3), jax.random.PRNGKey(7))
+    s_ref, m_ref = jax.jit(make_train_step(model, cfg, tx2))(
+        state, _clip(3), jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["prototypes"]),
+        np.asarray(s_ref.params["prototypes"]), rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(s1.queue), np.asarray(s_ref.queue),
+                               rtol=1e-4, atol=1e-6)

@@ -123,6 +123,14 @@ class TimeTConfig:
     num_epochs: int = 100
     steps_per_epoch: int = 1000
     spatial_resolution: int = 14
+    # When only a *suffix* of the backbone trains (the reference default:
+    # blocks 10/11, time_tuning.py:574), blocks [0, frozen_trunk_blocks) are
+    # identical across student and EMA teacher for the whole run (the EMA of
+    # never-moving leaves never moves), so the trunk is computed ONCE per
+    # step over all frames and shared by the no-grad, teacher and student
+    # passes — ~40% fewer backbone FLOPs at the reference configuration.
+    # None disables the split (full three-pass computation).
+    frozen_trunk_blocks: int | None = None
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -209,10 +217,24 @@ def state_partition_specs(state: TrainState, axis_name: str = "data"):
     return specs
 
 
-def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransformation):
+def make_train_step(
+    model: TimeT,
+    cfg: TimeTConfig,
+    tx: optax.GradientTransformation,
+    trainable_mask=None,
+):
     """Build the jittable train step. Returns ``step_fn(state, clip, rng)``.
 
     clip: [B, F, H, W, 3] normalized frames (NHWC).
+
+    ``trainable_mask`` (the bool pytree from ``swav_optimizer``) restricts
+    autodiff to the trainable subtree: the reference default trains only
+    blocks 10/11 + head + prototypes (time_tuning.py:574), so
+    differentiating w.r.t. the frozen ten blocks builds a backward through
+    the whole backbone whose output the optimizer then zeroes
+    (optax.set_to_zero on frozen leaves). Closing the frozen leaves over
+    the loss instead lets XLA skip that backward entirely — same gradients,
+    ~20% faster step at the reference configuration.
     """
     momentum_schedule = cosine_scheduler(
         cfg.ema_start, cfg.ema_end, cfg.num_epochs, cfg.steps_per_epoch
@@ -225,6 +247,24 @@ def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransforma
 
     def similarity(params, feats):
         return model.apply({"params": params}, feats, method=TimeT.similarity)
+
+    fe = model.feature_extractor
+    split = cfg.frozen_trunk_blocks
+
+    def tail_apply(params, hidden, use_head, want_attention=False):
+        """Blocks [split, depth) + norm (+ head) from shared trunk tokens."""
+        out = fe.backbone.apply(
+            {"params": params["feature_extractor"]["backbone"]}, hidden,
+            start_block=split, want_attention=want_attention,
+        )
+        feats = out["tokens"][:, 1:] if fe.drop_cls else out["tokens"]
+        if fe.head_dims and use_head:
+            from timetuning_tpu.models.heads import ProjectionHead
+
+            feats = ProjectionHead(tuple(fe.head_dims)).apply(
+                {"params": params["feature_extractor"]["head"]}, feats
+            )
+        return feats, out.get("attention")
 
     def assign(params, feats, queue, queue_ready):
         """First-frame Sinkhorn codes, optionally over batch+queue
@@ -267,17 +307,37 @@ def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransforma
         # --- no-grad context ------------------------------------------------
         # Backbone (no-head) features over all frames → propagation substrate
         # (reference time_tuning.py:238-239).
-        bb_feats, _ = apply(state.params, frames, use_head=False)
+        code_params = state.teacher_params if cfg.use_teacher else state.params
+        trunk_bf = None
+        if split is not None:
+            # shared frozen trunk over ALL frames, once (see TimeTConfig);
+            # valid because blocks [0, split) are frozen and therefore
+            # identical between student and EMA teacher for the whole run
+            trunk = fe.backbone.apply(
+                {"params": state.params["feature_extractor"]["backbone"]},
+                frames, stop_block=split,
+            )["hidden"]
+            trunk = jax.lax.stop_gradient(trunk)           # [B*F, 1+N, D]
+            bb_feats, _ = tail_apply(state.params, trunk, use_head=False)
+            trunk_bf = trunk.reshape(B, F, *trunk.shape[1:])
+        else:
+            bb_feats, _ = apply(state.params, frames, use_head=False)
         bb_feats = jax.lax.stop_gradient(bb_feats)
         Nb, Db = bb_feats.shape[-2:]
         bb_feats = bb_feats.reshape(B, F, Nb, Db)
 
         # Source codes q: teacher first frame if enabled, else student
         # (time_tuning.py:263-268).
-        code_params = state.teacher_params if cfg.use_teacher else state.params
-        src_feats, src_attn = apply(
-            code_params, first, use_head=True, want_attention=cfg.mask_features
-        )
+        if split is not None:
+            src_feats, src_attn = tail_apply(
+                code_params, trunk_bf[:, 0], use_head=True,
+                want_attention=cfg.mask_features,
+            )
+        else:
+            src_feats, src_attn = apply(
+                code_params, first, use_head=True,
+                want_attention=cfg.mask_features,
+            )
         src_feats = jax.lax.stop_gradient(src_feats)
         if cfg.mask_features:
             masked, _ = apply_attention_mask(src_feats[:, None], src_attn, res)
@@ -299,9 +359,16 @@ def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransforma
 
         # --- grad path ------------------------------------------------------
         def loss_fn(params):
-            s_feats, s_attn = apply(
-                params, last, use_head=True, want_attention=cfg.mask_features
-            )                                                  # [B, N, Dh]
+            if split is not None:
+                s_feats, s_attn = tail_apply(
+                    params, trunk_bf[:, -1], use_head=True,
+                    want_attention=cfg.mask_features,
+                )                                              # [B, N, Dh]
+            else:
+                s_feats, s_attn = apply(
+                    params, last, use_head=True,
+                    want_attention=cfg.mask_features,
+                )                                              # [B, N, Dh]
             if cfg.mask_features:
                 masked, mask = apply_attention_mask(s_feats[:, None], s_attn, res)
                 s_feats = masked[:, 0]
@@ -314,7 +381,26 @@ def make_train_step(model: TimeT, cfg: TimeTConfig, tx: optax.GradientTransforma
                 ce = ce * mask[:, 0]
             return ce.mean()
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if trainable_mask is None:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        else:
+            import flax.traverse_util as tu
+
+            flat_mask = tu.flatten_dict(trainable_mask)
+            flat_p = tu.flatten_dict(state.params)
+            train_p = {k: v for k, v in flat_p.items() if flat_mask[k]}
+            frozen_p = {k: v for k, v in flat_p.items() if not flat_mask[k]}
+
+            def loss_trainable(tp):
+                return loss_fn(tu.unflatten_dict({**frozen_p, **tp}))
+
+            loss, g_t = jax.value_and_grad(loss_trainable)(train_p)
+            grads = tu.unflatten_dict(
+                {
+                    k: (g_t[k] if k in g_t else jnp.zeros_like(v))
+                    for k, v in flat_p.items()
+                }
+            )
         if cfg.axis_name is not None:
             grads = jax.lax.pmean(grads, cfg.axis_name)
             loss = jax.lax.pmean(loss, cfg.axis_name)

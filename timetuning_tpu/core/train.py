@@ -101,6 +101,33 @@ class TrainingConfig:
     num_devices: int | None = None          # None → all visible devices
 
 
+def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
+    """Largest k such that blocks [0, k) are all frozen — enables the
+    shared-trunk train step (TimeTConfig.frozen_trunk_blocks). Valid only
+    for ViT backbones whose unfreeze patterns are all block names."""
+    import re
+
+    from timetuning_tpu.models.vit import VisionTransformer
+
+    if not isinstance(backbone_module, VisionTransformer):
+        return None
+    idxs = []
+    for u in unfreeze_layers:
+        m = re.fullmatch(r"blocks[._](\d+)", str(u))
+        if not m:
+            return None  # a non-block unfreeze could touch the trunk
+        idxs.append(int(m.group(1)))
+    if not idxs:
+        return None
+    lo = min(i for i in idxs)
+    depth = backbone_module.config.depth
+    # patterns naming nonexistent blocks (e.g. blocks.10 on a depth-2 test
+    # arch) leave everything frozen — no valid tail to differentiate
+    if lo <= 0 or lo >= depth or max(idxs) >= depth:
+        return None
+    return lo
+
+
 def build_model(cfg: TrainingConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(cfg.architecture, cfg.model_path, dtype=dtype)
@@ -121,10 +148,10 @@ def build_model(cfg: TrainingConfig):
 
 
 def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
-                   mesh=None, state_like=None):
+                   mesh=None, state_like=None, trainable_mask=None):
     """uint8 batch → augment → TimeT step, one jitted program; shard_map'd
     over the data mesh when it has more than one device."""
-    base_step = make_train_step(model, tcfg, tx)
+    base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask)
 
     def full(state, frames_u8, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
@@ -218,12 +245,15 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         num_epochs=cfg.num_epochs,
         steps_per_epoch=steps_per_epoch,
         spatial_resolution=spatial_res,
+        frozen_trunk_blocks=frozen_trunk_split(
+            cfg.unfreeze_layers, model.feature_extractor.backbone
+        ),
     )
 
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, cfg.input_resolution, cfg.input_resolution, 3))
     params_init = model.init(rng, sample)["params"]
-    tx, _ = swav_optimizer(
+    tx, trainable_mask = swav_optimizer(
         params_init,
         lr=cfg.head_lr,
         backbone_lr=cfg.head_lr / 10,
@@ -237,7 +267,8 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         state, start_epoch = load_checkpoint(run_dir, state)
 
     aug_cfg = AugmentConfig(out_size=cfg.input_resolution)
-    step_fn = make_full_step(model, tcfg, tx, aug_cfg, mesh, state_like=state)
+    step_fn = make_full_step(model, tcfg, tx, aug_cfg, mesh, state_like=state,
+                             trainable_mask=trainable_mask)
 
     evaluator = None
     if cfg.pascal_root:

@@ -241,39 +241,56 @@ class VisionTransformer(nn.Module):
         x: jax.Array,
         want_attention: bool = False,
         n_intermediates: int = 1,
+        start_block: int = 0,
+        stop_block: int | None = None,
     ):
+        """``start_block``/``stop_block`` run a sub-range of the blocks:
+
+          * ``stop_block=k`` — embed + blocks [0, k); returns
+            ``{"hidden": [B, 1+N, D], "grid": (hp, wp)}`` (pre-norm).
+          * ``start_block=k`` — ``x`` is a hidden-token tensor [B, 1+N, D];
+            runs blocks [k, depth) + final norm.
+
+        This lets callers compute a frozen trunk once and fan several
+        differently-parameterized tails out of it (core/timet.py shares
+        blocks [0, split) across the student / teacher / no-grad passes when
+        only a suffix of the backbone is trainable).
+        """
         cfg = self.config
-        B, H, W, _ = x.shape
-        p = cfg.patch_size
-        x = nn.Conv(
-            cfg.embed_dim,
-            kernel_size=(p, p),
-            strides=(p, p),
-            dtype=cfg.dtype,
-            name="patch_embed",
-        )(x)
-        hp, wp = x.shape[1], x.shape[2]
-        x = x.reshape(B, hp * wp, cfg.embed_dim)
+        hp = wp = None
+        if start_block == 0:
+            B, H, W, _ = x.shape
+            p = cfg.patch_size
+            x = nn.Conv(
+                cfg.embed_dim,
+                kernel_size=(p, p),
+                strides=(p, p),
+                dtype=cfg.dtype,
+                name="patch_embed",
+            )(x)
+            hp, wp = x.shape[1], x.shape[2]
+            x = x.reshape(B, hp * wp, cfg.embed_dim)
 
-        cls_token = self.param(
-            "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim)
-        )
-        pos_embed = self.param(
-            "pos_embed",
-            nn.initializers.truncated_normal(0.02),
-            (1, 1 + (cfg.img_size // p) ** 2, cfg.embed_dim),
-        )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)).astype(x.dtype), x],
-            axis=1,
-        )
-        x = x + interpolate_pos_embed(pos_embed, hp, wp, p).astype(x.dtype)
+            cls_token = self.param(
+                "cls_token", nn.initializers.truncated_normal(0.02), (1, 1, cfg.embed_dim)
+            )
+            pos_embed = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, 1 + (cfg.img_size // p) ** 2, cfg.embed_dim),
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)).astype(x.dtype), x],
+                axis=1,
+            )
+            x = x + interpolate_pos_embed(pos_embed, hp, wp, p).astype(x.dtype)
 
+        stop = cfg.depth if stop_block is None else stop_block
         interm = []
         probs = None
         norm = nn.LayerNorm(dtype=cfg.dtype, name="norm")
         block_cls = nn.remat(Block) if cfg.remat else Block
-        for i in range(cfg.depth):
+        for i in range(start_block, stop):
             is_last = i == cfg.depth - 1
             x, p_i = block_cls(
                 cfg.num_heads,
@@ -289,6 +306,8 @@ class VisionTransformer(nn.Module):
             if i >= cfg.depth - n_intermediates:
                 interm.append(norm(x))
 
+        if stop < cfg.depth:
+            return {"hidden": x, "grid": (hp, wp)}
         return {
             "tokens": interm[-1],
             "attention": probs,

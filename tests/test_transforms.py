@@ -115,3 +115,56 @@ def test_eval_preprocess():
     assert out.shape == (2, 32, 32, 3)
     want = (1.0 - 0.485) / 0.228
     np.testing.assert_allclose(float(out[0, 0, 0, 0]), want, atol=1e-4)
+
+
+def test_random_rotation_matches_scipy():
+    """Arbitrary-angle RandomRotation (reference video_transformations.py:
+    517-556): bilinear frames + nearest annotations, one angle per clip,
+    validated against scipy.ndimage.rotate."""
+    from scipy import ndimage
+
+    from timetuning_tpu.data.transforms import random_rotation
+
+    rng = np.random.default_rng(0)
+    clip = rng.random((3, 20, 24, 3)).astype(np.float32)
+    ann = rng.integers(0, 4, size=(3, 20, 24)).astype(np.uint8)
+    key = jax.random.PRNGKey(3)
+    frames, ann_out = jax.jit(
+        lambda k, c, a: random_rotation(k, c, 40.0, a)
+    )(key, jnp.asarray(clip), jnp.asarray(ann))
+
+    angle_deg = float(
+        jax.random.uniform(key, (), minval=-40.0, maxval=40.0)
+    )
+    # interior comparison: scipy and jax differ in how partially
+    # out-of-bounds edge samples mix with the constant fill
+    sl = np.s_[4:-4, 4:-4]
+    for f in range(3):
+        want = ndimage.rotate(clip[f], angle_deg, reshape=False, order=1,
+                              mode="constant", axes=(0, 1))
+        np.testing.assert_allclose(np.asarray(frames[f])[sl], want[sl],
+                                   rtol=1e-4, atol=1e-4)
+        want_a = ndimage.rotate(ann[f].astype(np.float32), angle_deg,
+                                reshape=False, order=0, mode="constant")
+        np.testing.assert_array_equal(np.asarray(ann_out[f])[sl],
+                                      want_a.astype(np.uint8)[sl])
+    # annotation values stay in the original label set (nearest resampling)
+    assert set(np.unique(np.asarray(ann_out))) <= set(np.unique(ann)) | {0}
+
+
+def test_random_resize_is_scale_dependent():
+    """random_resize now actually resamples by the sampled scale
+    (reference RandomResize, video_transformations.py:322-349)."""
+    from timetuning_tpu.data.transforms import random_resize
+
+    clip = jnp.ones((2, 32, 32, 3))
+    small = random_resize(jax.random.PRNGKey(0), clip, (0.5, 0.5))
+    assert small.shape == (2, 16, 16, 3)
+    big = random_resize(jax.random.PRNGKey(0), clip, (2.0, 2.0))
+    assert big.shape == (2, 64, 64, 3)
+    # sampled scale in range, deterministic per key
+    a = random_resize(jax.random.PRNGKey(1), clip, (0.5, 2.0))
+    b = random_resize(jax.random.PRNGKey(1), clip, (0.5, 2.0))
+    assert a.shape == b.shape and 16 <= a.shape[1] <= 64
+    fixed = random_resize(jax.random.PRNGKey(1), clip, (0.5, 2.0), out_size=24)
+    assert fixed.shape == (2, 24, 24, 3)

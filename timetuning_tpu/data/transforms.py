@@ -309,25 +309,82 @@ def random_crop(key, clip, size: int):
     return clip[:, idx_y][:, :, idx_x]
 
 
-def random_resize(key, clip, ratio: tuple[float, float], out_size: int):
-    """Resample the clip by a random scale, then resize to ``out_size``
-    (composition has the same distribution as the reference's RandomResize
-    followed by a fixed resize — static output shapes require the final
-    resize)."""
-    del ratio  # scale cancels under the final fixed resize; kept for API
+def random_resize(key, clip, ratio: tuple[float, float], out_size: int | None = None):
+    """The reference ``RandomResize`` (video_transformations.py:322-349):
+    one scale sampled uniformly from ``ratio`` per clip, bilinear resize of
+    every frame to ``(round(H·s), round(W·s))``.
+
+    The output shape depends on the sampled scale, so this exact form is
+    host-eager (not jittable) — it syncs the scale to pick the shape. The
+    fused training pipeline instead composes the scale into its
+    RandomResizedCrop (static shapes); pass ``out_size`` to append the fixed
+    resize that makes the composition shape-static.
+    """
     lead = clip.shape[:1]
     tail = clip.shape[3:]
-    return jax.image.resize(
-        clip, lead + (out_size, out_size) + tail, method="bilinear"
-    )
+    s = float(jax.random.uniform(key, (), minval=ratio[0], maxval=ratio[1]))
+    H, W = clip.shape[1:3]
+    new_h, new_w = max(int(round(H * s)), 1), max(int(round(W * s)), 1)
+    out = jax.image.resize(clip, lead + (new_h, new_w) + tail, method="bilinear")
+    if out_size is not None:
+        out = jax.image.resize(
+            out, lead + (out_size, out_size) + tail, method="bilinear"
+        )
+    return out
 
 
 def rotate90(clip, k: int = 1):
-    """Right-angle rotation (the jit-friendly subset of RandomRotation —
-    arbitrary-angle rotation of annotation maps requires resampling and is
-    intentionally not part of the fused training path, matching the
-    reference training pipeline which never enables RandomRotation)."""
+    """Right-angle rotation (jnp.rot90 fast path; see ``random_rotation``
+    for the reference's arbitrary-angle transform)."""
     return jnp.rot90(clip, k=k, axes=(1, 2))
+
+
+def _rotate_one(img, angle_rad, order: int):
+    """Rotate one [H, W] plane by ``angle_rad`` (CCW, skimage/scipy
+    convention), constant-0 fill, shape preserved (expand=False)."""
+    H, W = img.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    yy, xx = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    yo, xo = yy - cy, xx - cx
+    c, s = jnp.cos(-angle_rad), jnp.sin(-angle_rad)  # inverse map out→in
+    yin = cy + c * yo - s * xo
+    xin = cx + s * yo + c * xo
+    return jax.scipy.ndimage.map_coordinates(
+        img.astype(jnp.float32), [yin, xin], order=order, mode="constant"
+    )
+
+
+def random_rotation(key, clip, degrees, annotations=None):
+    """The reference ``RandomRotation`` (video_transformations.py:517-556):
+    ONE angle sampled uniformly from ``degrees`` (a scalar means
+    ``(-d, +d)``) applied to every frame of the clip — bilinear for frames
+    (the skimage.transform.rotate path), nearest for the annotation
+    co-transform, constant-0 fill, shape preserved. Fully jittable (static
+    shapes; the resampling is a gather).
+
+    clip: [F, H, W, C]; annotations: optional [F, h, w] integer maps.
+    Returns clip or (clip, annotations).
+    """
+    if isinstance(degrees, (int, float)):
+        degrees = (-float(degrees), float(degrees))
+    angle = jax.random.uniform(
+        key, (), minval=degrees[0], maxval=degrees[1]
+    ) * (jnp.pi / 180.0)
+
+    frames = jax.vmap(
+        jax.vmap(lambda p: _rotate_one(p, angle, order=1), in_axes=-1,
+                 out_axes=-1)
+    )(clip.astype(jnp.float32))
+    if annotations is None:
+        return frames
+    ann = jax.vmap(lambda p: _rotate_one(p, angle, order=0))(
+        annotations.astype(jnp.float32)
+    ).astype(annotations.dtype)
+    return frames, ann
 
 
 @functools.partial(jax.jit, static_argnames=("out_size", "std"))

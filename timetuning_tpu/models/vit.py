@@ -111,7 +111,12 @@ class Attention(nn.Module):
                 fused_available,
             )
 
-            if fused_available(S) or (impl == "fused" and S <= 1024):
+            # dtype contract: 'auto' fuses only in bf16 — the fused kernels'
+            # f32 results drift ~1e-2 from XLA over 12 layers (matmul pass
+            # ordering), so f32 eval stays on the bit-faithful XLA path;
+            # 'fused' forces the kernel regardless
+            auto_ok = self.dtype == jnp.bfloat16 and fused_available(S)
+            if auto_ok or (impl == "fused" and S <= 1024):
                 # whole branch (qkv → attention → proj) in one Pallas kernel
                 wq, bq = _DenseParams(3 * D, self.qkv_bias, name="qkv")(D)
                 wp, bp = _DenseParams(D, True, name="proj")(D)
@@ -191,7 +196,9 @@ class Block(nn.Module):
             )
 
             S = x.shape[1]
-            if fused_block_available(S) or self.attn_impl == "fused":
+            # same dtype contract as Attention: bf16 → fused, f32 → XLA
+            auto_ok = self.dtype == jnp.bfloat16 and fused_block_available(S)
+            if auto_ok or self.attn_impl == "fused":
                 # whole block as two Pallas kernels (LN + branch + residual
                 # fused each); param tree identical to the unfused path
                 s1, bl1 = _LNParams(D, name="norm1")()

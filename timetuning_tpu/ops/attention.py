@@ -160,7 +160,12 @@ def attention(
     ``impl``: auto | xla | pallas."""
     if impl == "auto":
         on_tpu = pltpu is not None and jax.default_backend() == "tpu"
-        impl = "pallas" if (on_tpu and not return_probs) else "xla"
+        # dtype contract: bf16 → fused kernels; f32 stays on the
+        # bit-faithful XLA path EXCEPT above 1024 tokens, where flash is
+        # the only VMEM-feasible kernel (exact online softmax, ~6e-4 f32
+        # reordering drift vs 1e-2 for the whole-block fusion)
+        wants_kernel = q.dtype == jnp.bfloat16 or q.shape[2] > 1024
+        impl = "pallas" if (on_tpu and not return_probs and wants_kernel) else "xla"
     if impl == "pallas":
         if q.shape[2] > 1024:
             from timetuning_tpu.ops.flash_attention import flash_attention

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epsilon", type=float, default=0.05)
     p.add_argument("--sinkhorn_iterations", type=int, default=10)
     p.add_argument("--use_projection_head", type=str2bool, default=True)
+    p.add_argument("--streaming_eval", type=str2bool, default=False,
+                   help="bounded-memory dataset-wise in-training eval")
     p.add_argument("--use_queue", type=str2bool, default=False)
     p.add_argument("--queue_size", type=int, default=16384)
     p.add_argument("--use_mask", type=str2bool, default=False)
@@ -104,6 +106,7 @@ def main(argv=None) -> int:
         use_projection_head=args.use_projection_head,
         use_queue=args.use_queue,
         queue_size=args.queue_size,
+        streaming_eval=args.streaming_eval,
         use_mask=args.use_mask,
         use_teacher=args.use_teacher,
         ema_decay=args.EMA_decay,

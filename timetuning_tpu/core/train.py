@@ -99,6 +99,7 @@ class TrainingConfig:
     max_steps_per_epoch: int | None = None  # test hook
     use_tensorboard: bool = True
     num_devices: int | None = None          # None → all visible devices
+    streaming_eval: bool = False            # bounded-memory dataset-wise eval
 
 
 def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
@@ -323,6 +324,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 num_clusters=cfg.eval_num_clusters,
                 use_mask=cfg.use_mask,
                 precision_based=cfg.precision_based,
+                streaming=cfg.streaming_eval,
             )
             writer.scalar("Scores/localization", score, epoch)
             last_eval = score

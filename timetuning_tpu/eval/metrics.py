@@ -209,6 +209,11 @@ class PredsmIoU:
 
     # ------------------------------------------------------------------ #
 
+    # Inventory alias: the reference kept a second, near-duplicate
+    # torchmetrics variant ``PredsmIoU_1`` (metrics.py:24-205) alongside the
+    # plain-module one; a single implementation serves both names here.
+    # (Assigned after the class body — see module tail.)
+
     def compute_propagation_score(self, is_global_zero: bool = True):
         """Per-object J with the reference's running-cumulative-per-frame
         averaging (metrics.py:271-346): for each non-background object,
@@ -236,3 +241,6 @@ class PredsmIoU:
             if n_present > 0:
                 scores.append(acc / n_present)
         return scores
+
+
+PredsmIoU_1 = PredsmIoU

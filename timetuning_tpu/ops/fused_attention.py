@@ -102,7 +102,9 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
 def _branch_pallas(x_ln, w_qkv, b_qkv, w_proj, b_proj,
                    num_heads: int, block_b: int = 8, interpret: bool = False):
     B, S, D = x_ln.shape
-    Sp = ((S + 127) // 128) * 128
+    from timetuning_tpu.ops.fused_block import _seq_pad
+
+    Sp = _seq_pad(S, x_ln.dtype)
     xp = jnp.pad(x_ln, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b
     if Bp != B:

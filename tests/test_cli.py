@@ -131,3 +131,24 @@ def test_propagate_cli_optical_flow(davis_tree, capsys):
     ])
     assert rc == 0
     assert "J&F" in capsys.readouterr().out
+
+
+def test_export_cli_roundtrip(tmp_path, capsys):
+    """AOT export → serialized StableHLO → reload without model code →
+    identical features."""
+    from timetuning_tpu.cli import export as cli_export
+
+    out = str(tmp_path / "feat.stablehlo")
+    rc = cli_export.main([
+        "--architecture", "vit-tiny-test",
+        "--batch_size", "2",
+        "--input_resolution", "32",
+        "--compute_dtype", "float32",
+        "--out", out,
+        "--check", "true",
+    ])
+    stdout = capsys.readouterr().out
+    assert rc == 0, stdout
+    assert "round-trip check" in stdout
+    import os
+    assert os.path.getsize(out) > 1000

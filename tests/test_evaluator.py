@@ -184,3 +184,30 @@ def test_streaming_dataset_wise_bounded_sample():
         streaming=True, sample_cap=768,
     )
     assert score > 0.8
+
+
+def test_streaming_respects_fg_masks():
+    """Streaming dataset-wise with precomputed FG masks == in-memory with
+    the same masks (mask applied at patch level in both passes)."""
+    batches, feature_fn = _stateless_setup(n_batches=2)
+    total = sum(b[0].shape[0] for b in batches)
+    F = batches[0][0].shape[1]
+    rng = np.random.default_rng(5)
+    fg = (rng.random((total, F, 7, 7)) > 0.3).astype(np.float32)
+    kw = dict(
+        data_iter_factory=lambda: list(batches),
+        feature_fn=feature_fn,
+        spatial_resolution=7,
+        num_classes=3,
+        involve_bg=True,
+        ignore_index=None,
+        fg_masks=fg,
+    )
+    s_mem = Evaluator(**kw).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3
+    )
+    s_stream = Evaluator(**kw).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3,
+        streaming=True, sample_cap=10_000_000,
+    )
+    assert s_stream == pytest.approx(s_mem, abs=1e-3)

@@ -129,3 +129,22 @@ def test_parity_gate_fails_on_wrong_expectation(timet_pth, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "FAIL" in out
+
+
+def test_parity_accepts_plain_backbone_checkpoint(tmp_path, capsys):
+    """A backbone-only release (e.g. dino_deitsmall16_pretrain.pth layout,
+    optionally under a stripped prefix) runs the import-fidelity stage."""
+    torch.manual_seed(1)
+    oracle = build_oracle(img_size=32, patch_size=8, dim=32, depth=2, heads=2)
+    sd = {f"teacher.backbone.{k}": v for k, v in oracle.state_dict().items()}
+    path = tmp_path / "dino_small.pth"
+    torch.save(sd, str(path))
+    rc = cli_parity.main([
+        "--timet_pth", str(path),
+        "--architecture", "vit-tiny-test",
+        "--input_resolution", "32",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "dense features max|Δ|" in out
+    assert "prototype scores" not in out  # no prototypes in a backbone ckpt

@@ -120,6 +120,16 @@ def _import_stage(args, report: _Report):
     )
 
     sd = load_torch_state_dict(args.timet_pth)
+    if not any(k.startswith("feature_extractor.backbone.") for k in sd):
+        # plain backbone release (dino_deitsmall16_pretrain.pth, MSN, iBOT,
+        # MoCo-v3 — assorted prefixes stripped by the importer): lift it
+        # into the TimeT.pth key contract so one code path gates both
+        from timetuning_tpu.models.import_torch import strip_prefixes
+
+        sd = {
+            f"feature_extractor.backbone.{k}": v
+            for k, v in strip_prefixes(sd).items()
+        }
     imported = timet_params_from_torch(sd)
     head_dims = tuple(
         imported["feature_extractor"]["head"][k]["kernel"].shape[1]

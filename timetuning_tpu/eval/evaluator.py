@@ -253,7 +253,9 @@ class Evaluator:
             if n >= maps.shape[0]:
                 return maps  # keep original order → bit-compatible with the
                 # in-memory fit when the cap covers every pixel
-            idx = jax.random.choice(key, maps.shape[0], (n,), replace=False)
+            # with-replacement draw (negligible collisions at sampling scale;
+            # avoids sorting the whole pixel pool on device)
+            idx = jax.random.randint(key, (n,), 0, maps.shape[0])
             return maps[idx]
 
         # ---- pass 1: moments + pixel sample --------------------------------

@@ -72,7 +72,10 @@ def _lloyd(x, init_centroids, n_iter: int, chunk: int):
     return centroids, a, jnp.sum(dmin)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "n_iter", "n_redo", "chunk"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "n_iter", "n_redo", "chunk", "max_points_per_centroid"),
+)
 def kmeans(
     x: jax.Array,
     k: int,
@@ -80,33 +83,47 @@ def kmeans(
     n_iter: int = 50,
     n_redo: int = 5,
     chunk: int = 8192,
+    max_points_per_centroid: int | None = 256,
 ) -> KMeansResult:
-    """Lloyd k-means with restarts, fully on device. x: [N, D] float."""
+    """Lloyd k-means with restarts, fully on device. x: [N, D] float.
+
+    ``max_points_per_centroid`` reproduces faiss's default training-set
+    subsampling (faiss Clustering: when N > 256·k, train on a random
+    256·k-point subset, then assign everything) — the reference's
+    ``faiss.Kmeans(d, k, niter=50, nredo=5)`` runs with exactly this
+    behavior, so fitting on *all* points would be both slower and
+    unfaithful at dataset-wise scale (Pascal val = 18.2M pixels, fit set =
+    5,376). ``None`` disables subsampling.
+    """
     x = x.astype(jnp.float32)
     N = x.shape[0]
-    if N % chunk != 0:
-        chunk = N  # single chunk for ragged sizes (still one matmul)
+    cap = N if max_points_per_centroid is None else k * max_points_per_centroid
+    if N > cap:
+        key, k_sub = jax.random.split(key)
+        # with-replacement draw: collision probability ~cap²/2N is negligible
+        # at the scales where subsampling triggers, and it avoids the
+        # full-pool sort a without-replacement choice would lower to
+        # (seconds for 18M keys on TPU)
+        fit_x = x[jax.random.randint(k_sub, (cap,), 0, N)]
+    else:
+        fit_x = x
+    Nf = fit_x.shape[0]
+    fit_chunk = chunk if Nf % chunk == 0 and Nf > chunk else Nf
 
     def one_restart(carry, key_r):
-        best_c, best_a, best_obj = carry
-        idx = jax.random.choice(key_r, N, (k,), replace=False)
-        c0 = x[idx]
-        c, a, obj = _lloyd(x, c0, n_iter, chunk)
+        best_c, best_obj = carry
+        idx = jax.random.choice(key_r, Nf, (k,), replace=False)
+        c0 = fit_x[idx]
+        c, _, obj = _lloyd(fit_x, c0, n_iter, fit_chunk)
         better = obj < best_obj
-        best = (
-            jnp.where(better, c, best_c),
-            jnp.where(better, a, best_a),
-            jnp.minimum(obj, best_obj),
-        )
-        return best, None
+        return (jnp.where(better, c, best_c), jnp.minimum(obj, best_obj)), None
 
-    init = (
-        jnp.zeros((k, x.shape[1]), jnp.float32),
-        jnp.zeros((N,), jnp.int32),
-        jnp.asarray(jnp.inf),
-    )
-    (c, a, obj), _ = jax.lax.scan(one_restart, init, jax.random.split(key, n_redo))
-    return KMeansResult(c, a, obj)
+    init = (jnp.zeros((k, x.shape[1]), jnp.float32), jnp.asarray(jnp.inf))
+    (c, obj), _ = jax.lax.scan(one_restart, init, jax.random.split(key, n_redo))
+    if N % chunk != 0:
+        chunk = N
+    a, dmin = _assign_chunked(x, c, chunk)
+    return KMeansResult(c, a, jnp.sum(dmin))
 
 
 def kmeans_assign(x: jax.Array, centroids: jax.Array, chunk: int = 8192) -> jax.Array:

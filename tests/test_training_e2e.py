@@ -116,3 +116,39 @@ def test_training_resume(davis_tree, tmp_path):
     # so it continues rather than restarting from scratch
     assert r2["run_dir"] == r1["run_dir"]
     assert r2["global_step"] > 0
+
+
+def test_preemption_saves_and_resumes(davis_tree, tmp_path):
+    """SIGTERM mid-training → checkpoint written + clean 'preempted' exit;
+    --load_checkpoint resumes from the saved state (SURVEY.md §5.3 — the
+    reference has no preemption handling)."""
+    import signal
+    import threading
+
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=50, max_steps_per_epoch=2)
+    timer = threading.Timer(
+        6.0, lambda: signal.raise_signal(signal.SIGTERM)
+    )
+    timer.start()
+    try:
+        result = run_training(cfg)
+    finally:
+        timer.cancel()
+    assert result["preempted"] is True
+    assert result["global_step"] < 100
+    run_dir = result["run_dir"]
+    assert os.path.exists(os.path.join(run_dir, "checkpoint"))
+
+    # resume: picks up the latest run dir and continues briefly
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=1, load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert result2["preempted"] is False
+    assert result2["run_dir"] == run_dir
+
+
+def test_periodic_mid_epoch_checkpoints(davis_tree, tmp_path):
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1,
+               checkpoint_every_steps=1, max_steps_per_epoch=2)
+    result = run_training(cfg)
+    assert os.path.exists(os.path.join(result["run_dir"], "checkpoint"))
+    assert result["preempted"] is False

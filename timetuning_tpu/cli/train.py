@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_projection_head", type=str2bool, default=True)
     p.add_argument("--streaming_eval", type=str2bool, default=False,
                    help="bounded-memory dataset-wise in-training eval")
+    p.add_argument("--checkpoint_every_steps", type=int, default=None,
+                   help="additional mid-epoch checkpoint cadence")
+    p.add_argument("--handle_preemption", type=str2bool, default=True,
+                   help="SIGTERM → save checkpoint + clean exit")
     p.add_argument("--use_queue", type=str2bool, default=False)
     p.add_argument("--queue_size", type=int, default=16384)
     p.add_argument("--use_mask", type=str2bool, default=False)
@@ -107,6 +111,8 @@ def main(argv=None) -> int:
         use_queue=args.use_queue,
         queue_size=args.queue_size,
         streaming_eval=args.streaming_eval,
+        checkpoint_every_steps=args.checkpoint_every_steps,
+        handle_preemption=args.handle_preemption,
         use_mask=args.use_mask,
         use_teacher=args.use_teacher,
         ema_decay=args.EMA_decay,

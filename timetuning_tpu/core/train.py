@@ -100,6 +100,8 @@ class TrainingConfig:
     use_tensorboard: bool = True
     num_devices: int | None = None          # None → all visible devices
     streaming_eval: bool = False            # bounded-memory dataset-wise eval
+    checkpoint_every_steps: int | None = None  # mid-epoch periodic saves
+    handle_preemption: bool = True          # SIGTERM → save + clean exit
 
 
 def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
@@ -305,6 +307,36 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     else:
         evaluator_factory = None
 
+    # Preemption handling (beyond reference — SURVEY.md §5.3 notes the
+    # reference has none): on SIGTERM, finish the in-flight step, write a
+    # full checkpoint and exit cleanly so `--load_checkpoint` resumes.
+    preempt = {"flag": False}
+    prev_handler = None
+    if cfg.handle_preemption:
+        import signal
+        import threading
+
+        if threading.current_thread() is threading.main_thread():
+            prev_handler = signal.signal(
+                signal.SIGTERM, lambda *_: preempt.update(flag=True)
+            )
+
+    def _finish(preempted: bool = False):
+        if prev_handler is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_handler)
+        writer.close()
+        return {
+            "run_dir": run_dir,
+            "final_loss": last_loss,
+            "best_score": best_score,
+            "last_eval": last_eval,
+            "global_step": global_step,
+            "state": state,
+            "preempted": preempted,
+        }
+
     global_step = int(state.step)
     best_score = -1.0
     last_eval = None
@@ -343,16 +375,21 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             if jax.process_index() == 0:
                 writer.scalar("Loss/train", last_loss, global_step)
                 writer.scalar("momentum", float(metrics["momentum"]), global_step)
+            if (
+                cfg.checkpoint_every_steps
+                and global_step % cfg.checkpoint_every_steps == 0
+            ):
+                save_checkpoint(state, run_dir, epoch)
+            if preempt["flag"]:
+                save_checkpoint(state, run_dir, epoch)
+                logger.info(
+                    "preemption signal — checkpoint saved at step %d "
+                    "(epoch %d); resume with --load_checkpoint",
+                    global_step, epoch,
+                )
+                return _finish(preempted=True)
         logger.info(
             "epoch %d done in %.1fs (loss %s)", epoch, time.time() - t0, last_loss
         )
 
-    writer.close()
-    return {
-        "run_dir": run_dir,
-        "final_loss": last_loss,
-        "best_score": best_score,
-        "last_eval": last_eval,
-        "global_step": global_step,
-        "state": state,
-    }
+    return _finish()

@@ -98,6 +98,11 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
     resnet18 / resnet50 / swav (resnet50 weights) / dino-s8 / dino-s16 /
     dino-b16 / msn-s16 / mae / ibot-s16 / mocov3-s16 / mocov3-b16 / vit
     (timm supervised) / leopart / stego / motion_grouping / dul.
+
+    Spatial resolutions derive from patch size and input resolution (a
+    /16 ViT at 224 → 14), rather than the reference's hardcoded table —
+    whose "msn-s16": 28 entry contradicts its own /16 patch embedding
+    (models.py:76 vs :983-987; 196 tokens cannot form a 28² grid).
     """
     name = name.lower()
     if name in ("resnet18", "resnet50", "swav"):

@@ -196,9 +196,11 @@ class Block(nn.Module):
             )
 
             S = x.shape[1]
-            # same dtype contract as Attention: bf16 → fused, f32 → XLA
+            # same dtype contract as Attention: bf16 → fused, f32 → XLA;
+            # forcing 'fused' still cannot hold an [S, S] tile over 1024
+            # tokens — those route through the flash dispatcher below
             auto_ok = self.dtype == jnp.bfloat16 and fused_block_available(S)
-            if auto_ok or self.attn_impl == "fused":
+            if auto_ok or (self.attn_impl == "fused" and S <= 1024):
                 # whole block as two Pallas kernels (LN + branch + residual
                 # fused each); param tree identical to the unfused path
                 s1, bl1 = _LNParams(D, name="norm1")()

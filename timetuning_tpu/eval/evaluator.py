@@ -206,6 +206,7 @@ class Evaluator:
         precision_based: bool,
         pca_dim: int = 50,
         sample_cap: int | None = None,
+        use_annotations: bool = False,
     ) -> float:
         """Bounded-memory dataset-wise protocol.
 
@@ -264,11 +265,16 @@ class Evaluator:
         key = jax.random.PRNGKey(1)   # reference pins seed=1 (clustering.py:38)
         offset = 0
         n_batches = 0
+        uniq: set = set()
         for batch in self.data_iter_factory():
             frames, annotations = batch[0], batch[1]
             frames = jnp.asarray(frames)
             if frames.ndim == 4:
                 frames = frames[:, None]
+            if use_annotations:
+                # k = #unique labels (reference clustering.py:31-32),
+                # counted streaming over the raw annotations
+                uniq |= set(np.unique(np.asarray(annotations)).tolist())
             feats = self._mask_batch(self._extract(frames, use_mask), offset)
             B, F, N, D = feats.shape
             if moments is None:
@@ -282,6 +288,8 @@ class Evaluator:
             n_batches += 1
         if moments is None:
             raise ValueError("empty evaluation dataset")
+        if use_annotations and uniq:
+            k = len(uniq)
 
         pca = pca_from_moments(moments, min(pca_dim, samples[0].shape[-1]))
         sample = np.concatenate(samples, axis=0)
@@ -358,6 +366,7 @@ class Evaluator:
                 use_mask=use_mask,
                 precision_based=precision_based,
                 sample_cap=sample_cap,
+                use_annotations=use_annotations,
             )
         if evaluation_protocol == "dataset-wise":
             feats_all, annots_all = [], []

@@ -33,9 +33,9 @@ def make_clip_generator(B: int, F: int, size: int):
     xx = jnp.linspace(0.0, 1.0, size)[None, :, None]
 
     def one_clip(key):
-        k_bg, k_col, k_pos, k_vel, k_sz = jax.random.split(key, 5)
+        k_bg, k_bg2, k_col, k_pos, k_vel, k_sz = jax.random.split(key, 6)
         bg_a = jax.random.uniform(k_bg, (1, 1, 3), minval=-1.0, maxval=1.0)
-        bg_b = jax.random.uniform(k_col, (1, 1, 3), minval=-1.0, maxval=1.0)
+        bg_b = jax.random.uniform(k_bg2, (1, 1, 3), minval=-1.0, maxval=1.0)
         colors = jax.random.uniform(k_col, (K_OBJ, 3), minval=-2.0, maxval=2.0)
         pos0 = jax.random.uniform(k_pos, (K_OBJ, 2), minval=0.15, maxval=0.85)
         vel = jax.random.uniform(k_vel, (K_OBJ, 2), minval=-0.06, maxval=0.06)

@@ -211,3 +211,31 @@ def test_streaming_respects_fg_masks():
         streaming=True, sample_cap=10_000_000,
     )
     assert s_stream == pytest.approx(s_mem, abs=1e-3)
+
+
+def test_streaming_prototypes_matches_in_memory():
+    """streaming=True must honor clustering_algorithm='prototypes' (one-pass
+    argmax path) and match the in-memory prototype protocol."""
+    batches, feature_fn = _stateless_setup(n_batches=2)
+    protos = jnp.asarray(
+        np.asarray([[4, 0, 0, 0], [0, 4, 0, 0], [0, 0, 4, 0]], np.float32)
+    )
+    kw = dict(
+        data_iter_factory=lambda: list(batches),
+        feature_fn=feature_fn,
+        spatial_resolution=7,
+        num_classes=3,
+        involve_bg=True,
+        ignore_index=None,
+        clustering_algorithm="prototypes",
+        prototypes=protos,
+    )
+    s_mem = Evaluator(**kw).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3
+    )
+    s_stream = Evaluator(**kw).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3,
+        streaming=True,
+    )
+    assert s_stream == pytest.approx(s_mem, abs=1e-6)
+    assert s_mem > 0.8

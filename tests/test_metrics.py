@@ -158,3 +158,13 @@ def test_capacity_growth_preserves_earlier_counts():
     assert len({f.shape for f in m2._frames}) == 1
     scores = m2.compute_propagation_score(True)
     assert len(scores) == 1
+
+
+def test_propagation_score_after_asymmetric_growth():
+    """A gt object id beyond the pred capacity must widen BOTH axes —
+    compute_propagation_score indexes the matrix square-wise."""
+    m = PredsmIoU(4, 4, involve_bg=True)
+    m.update_frame(np.array([0, 20, 20]), np.array([0, 1, 1]))
+    m.update_frame(np.array([20, 20]), np.array([1, 1]))
+    scores = m.compute_propagation_score(True)
+    assert len(scores) >= 1 and all(np.isfinite(s) for s in scores)

@@ -34,10 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def run_propagation(args) -> dict:
+def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dict:
     """Propagate GT first-frame masks through every clip of the dataset and
-    score all three metric variants. Returns ``{"jf": {...}, "miou": float,
-    "propagation": float}``. Shared by this CLI and cli.parity."""
+    score the requested metric variants. Returns a dict with any of
+    ``{"jf": {...}, "miou": float, "propagation": float}``. Shared by this
+    CLI (one metric) and cli.parity (all three)."""
     from timetuning_tpu.data.datasets import SamplingMode
     from timetuning_tpu.data.loader import make_loader
     from timetuning_tpu.data.transforms import eval_preprocess_batch
@@ -108,21 +109,24 @@ def run_propagation(args) -> dict:
 
     gts = np.stack(all_gt)
     preds = np.stack(all_pred)
-    return {
-        "jf": j_and_f(sequences),
-        "miou": evaluate_localizations(
+    out = {}
+    if "jf" in metrics:
+        out["jf"] = j_and_f(sequences)
+    if "miou" in metrics:
+        out["miou"] = evaluate_localizations(
             PredsmIoU(256, 256, involve_bg=True), gts, preds, "sample-wise"
-        ),
-        "propagation": evaluate_propagation(
+        )
+    if "propagation" in metrics:
+        out["propagation"] = evaluate_propagation(
             PredsmIoU(256, 256, involve_bg=True), gts, preds
-        ),
-    }
+        )
+    return out
 
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     setup_compilation_cache()
-    results = run_propagation(args)
+    results = run_propagation(args, metrics=(args.metric,))
     if args.metric == "jf":
         print(f"J&F: {results['jf']}")
     elif args.metric == "propagation":

@@ -50,10 +50,21 @@ def find_last_run_directory(base: str) -> str | None:
     return None
 
 
+def _to_host(x):
+    """device → host, handling leaves sharded across non-addressable devices
+    (the P('data')-sharded feature queue in multi-host runs: device_get on a
+    multi-host array raises, so gather the global value first)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x))
+    return jax.device_get(x)
+
+
 def save_checkpoint(state: Any, run_dir: str, epoch: int) -> str:
     """Write the full TrainState + epoch marker to ``run_dir/checkpoint``."""
     path = os.path.join(os.path.abspath(run_dir), "checkpoint")
-    payload = {"epoch": np.asarray(epoch), "state": jax.device_get(state)}
+    payload = {"epoch": np.asarray(epoch), "state": jax.tree.map(_to_host, state)}
     ckpt = _checkpointer()
     ckpt.save(path, payload, force=True)
     return path

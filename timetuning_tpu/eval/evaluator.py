@@ -197,6 +197,45 @@ class Evaluator:
         m = resize_nearest(m.reshape(B, F, *m.shape[-2:]), (self.res, self.res))
         return feats * m.reshape(B, F, -1, 1)
 
+    def _evaluate_dataset_streaming_protos(
+        self, many_to_one, eval_resolution, num_clusters, use_mask,
+        precision_based,
+    ) -> float:
+        """Bounded-memory dataset-wise prototype-argmax protocol: scores are
+        per-batch argmaxes against the fixed prototype bank, so one pass
+        suffices (matches the in-memory proto_clustering path)."""
+        assert self.prototypes is not None
+        r = eval_resolution
+        offset = 0
+        for batch in self.data_iter_factory():
+            frames, annotations = batch[0], batch[1]
+            frames = jnp.asarray(frames)
+            if frames.ndim == 4:
+                frames = frames[:, None]
+                annotations = np.asarray(annotations)[:, None]
+            feats = self._mask_batch(self._extract(frames, use_mask), offset)
+            preds = np.asarray(
+                proto_clustering(feats, self.prototypes, r,
+                                 num_classes=num_clusters)
+            )
+            annots = np.asarray(
+                resize_nearest(jnp.asarray(np.asarray(annotations),
+                                           jnp.float32), (r, r))
+            ).astype(np.int64)
+            for i in range(preds.shape[0]):
+                for j in range(preds.shape[1]):
+                    g = annots[i, j].reshape(-1)
+                    p = preds[i, j].reshape(-1)
+                    if self.ignore_index is not None:
+                        keep = g != self.ignore_index
+                        g, p = g[keep], p[keep]
+                    self.metric.update(g, p)
+            offset += preds.shape[0]
+        score = self.metric.compute(True, many_to_one, precision_based)[0]
+        self.metric.reset()
+        self.logger.info("dataset-wise score %s (streaming, prototypes)", score)
+        return score
+
     def _evaluate_dataset_streaming(
         self,
         many_to_one: bool,
@@ -239,6 +278,11 @@ class Evaluator:
 
         k = num_clusters
         r = eval_resolution
+        if self.clustering_algorithm == "prototypes":
+            # prototype-argmax needs no fit — one streaming pass
+            return self._evaluate_dataset_streaming_protos(
+                many_to_one, r, k, use_mask, precision_based
+            )
         if sample_cap is None:
             sample_cap = max(256 * k, 16384)
 
@@ -272,9 +316,16 @@ class Evaluator:
             if frames.ndim == 4:
                 frames = frames[:, None]
             if use_annotations:
-                # k = #unique labels (reference clustering.py:31-32),
-                # counted streaming over the raw annotations
-                uniq |= set(np.unique(np.asarray(annotations)).tolist())
+                # k = #unique labels (reference clustering.py:31-32) — the
+                # in-memory path infers from annotations already resized to
+                # eval resolution, so count the same thing
+                resized = np.asarray(
+                    resize_nearest(
+                        jnp.asarray(np.asarray(annotations), jnp.float32),
+                        (r, r),
+                    )
+                ).astype(np.int64)
+                uniq |= set(np.unique(resized).tolist())
             feats = self._mask_batch(self._extract(frames, use_mask), offset)
             B, F, N, D = feats.shape
             if moments is None:

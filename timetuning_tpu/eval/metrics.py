@@ -75,6 +75,10 @@ class PredsmIoU:
 
         new_gt = grow(self.num_gt_classes, num_gt) if num_gt > self.num_gt_classes else self.num_gt_classes
         new_pred = grow(self.num_pred_classes, num_pred) if num_pred > self.num_pred_classes else self.num_pred_classes
+        # grow square: compute_propagation_score indexes the matrix
+        # symmetrically (c[obj, obj], c[:, obj]), so a gt id beyond the pred
+        # capacity (or vice versa) must widen both axes
+        new_gt = new_pred = max(new_gt, new_pred)
         conf = np.zeros((new_gt, new_pred), np.int64)
         conf[: self.num_gt_classes, : self.num_pred_classes] = self._conf
         self._conf = conf

@@ -158,6 +158,10 @@ def attention(
     1024 tokens route to the tiled-online-softmax flash kernel
     (ops/flash_attention) whose VMEM footprint is linear in S.
     ``impl``: auto | xla | pallas."""
+    if impl == "fused":
+        # callers forcing the fused path (e.g. Block with attn_impl='fused'
+        # above the whole-block 1024-token bound) mean "use the kernels"
+        impl = "pallas"
     if impl == "auto":
         on_tpu = pltpu is not None and jax.default_backend() == "tpu"
         # dtype contract: bf16 → fused kernels; f32 stays on the

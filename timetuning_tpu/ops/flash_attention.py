@@ -159,26 +159,29 @@ def _chunked_bwd(q, k, v, g, block_q: int = 256):
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
 
-    def one_chunk(args):
+    def scan_body(carry, args):
+        dk_acc, dv_acc = carry
         q_c, g_c = args                                    # [B, H, Tq, Dh]
         s = jnp.einsum("bhqd,bhkd->bhqk", q_c, kf,
                        preferred_element_type=jnp.float32) * scale
         p = jax.nn.softmax(s, axis=-1)
-        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p, g_c,
-                          preferred_element_type=jnp.float32)
+        dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, g_c,
+                                     preferred_element_type=jnp.float32)
         dp = jnp.einsum("bhqd,bhkd->bhqk", g_c, vf,
                         preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dq_c = jnp.einsum("bhqk,bhkd->bhqd", ds, kf,
                           preferred_element_type=jnp.float32) * scale
-        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, q_c,
-                          preferred_element_type=jnp.float32) * scale
-        return dq_c, dk_c, dv_c
+        dk_acc = dk_acc + jnp.einsum("bhqk,bhqd->bhkd", ds, q_c,
+                                     preferred_element_type=jnp.float32) * scale
+        return (dk_acc, dv_acc), dq_c
 
-    dq_chunks, dk_chunks, dv_chunks = jax.lax.map(one_chunk, (qc, gc))
+    # dk/dv accumulate in the scan carry so peak memory stays O(Tq·S) +
+    # the dq output (same size as q) — stacking per-chunk dk/dv first would
+    # be O(nc·S·Dh), quadratic in S
+    zeros = jnp.zeros((B, H, S, Dh), jnp.float32)
+    (dk, dv), dq_chunks = jax.lax.scan(scan_body, (zeros, zeros), (qc, gc))
     dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(B, H, Sqp, Dh)[:, :, :S]
-    dk = jnp.sum(dk_chunks, axis=0)
-    dv = jnp.sum(dv_chunks, axis=0)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

@@ -132,3 +132,26 @@ def test_matches_torch_adamw():
         np.asarray(params["feature_extractor"]["backbone"]["blocks_0"]["w"]),
         init["feature_extractor"]["backbone"]["blocks_0"]["w"],
     )
+
+
+def test_unfreeze_matches_full_segments_only():
+    """'blocks.1' must not unfreeze blocks_10/11 (substring false match)."""
+    import jax.numpy as jnp
+
+    from timetuning_tpu.core.optimizer import build_masks
+
+    params = {
+        "feature_extractor": {
+            "backbone": {
+                f"blocks_{i}": {"w": jnp.zeros((2, 2))} for i in (0, 1, 10, 11)
+            }
+        },
+        "prototypes": jnp.zeros((4, 2)),
+    }
+    groups, trainable, _ = build_masks(params, ("blocks.1",))
+    bb = trainable["feature_extractor"]["backbone"]
+    assert bb["blocks_1"]["w"] is True
+    assert bb["blocks_10"]["w"] is False
+    assert bb["blocks_11"]["w"] is False
+    assert bb["blocks_0"]["w"] is False
+    assert trainable["prototypes"] is True

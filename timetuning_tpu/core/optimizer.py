@@ -40,6 +40,15 @@ def _norm(pattern: str) -> str:
     return pattern.replace(".", "/").replace("blocks/", "blocks_")
 
 
+def _matches(pattern: str, path_str: str) -> bool:
+    """Pattern matches a contiguous run of FULL path segments — substring
+    matching would make "blocks_1" also unfreeze blocks_10..19."""
+    want = _norm(pattern).split("/")
+    segs = path_str.split("/")
+    n = len(want)
+    return any(segs[i:i + n] == want for i in range(len(segs) - n + 1))
+
+
 def build_masks(params, unfreeze_layers: Sequence[str]):
     """Return (trainable_mask, lr_factor_tree, decay_mask) pytrees of floats/bools.
 
@@ -47,14 +56,14 @@ def build_masks(params, unfreeze_layers: Sequence[str]):
     if their path contains one of ``unfreeze_layers`` (reference
     models.py:929-935 + time_tuning.py:574).
     """
-    patterns = [_norm(u) for u in unfreeze_layers]
+    patterns = list(unfreeze_layers)
 
     def classify(path, leaf):
         s = _path_str(path)
-        in_backbone = "backbone" in s
+        in_backbone = "backbone" in s.split("/")
         if not in_backbone:
             return "head"  # prototypes / projection head / probe params
-        return "backbone" if any(p in s for p in patterns) else "frozen"
+        return "backbone" if any(_matches(p, s) for p in patterns) else "frozen"
 
     groups = jax.tree_util.tree_map_with_path(classify, params)
     trainable = jax.tree.map(lambda g: g != "frozen", groups)

@@ -152,6 +152,7 @@ def init_state(
     rng: jax.Array,
     sample_frame: jax.Array,
     pretrained_params=None,
+    params=None,
 ) -> TrainState:
     """Initialize params (optionally grafting imported pretrained weights),
     teacher copy, queue, optimizer state.
@@ -162,8 +163,8 @@ def init_state(
     ``queue_size/world`` rows (time_tuning.py:617-618). Inside the step the
     queue argument is therefore always the [queue_size, D] local shard.
     """
-    variables = model.init(rng, sample_frame)
-    params = variables["params"]
+    if params is None:
+        params = model.init(rng, sample_frame)["params"]
     if pretrained_params is not None:
         params = _graft(params, pretrained_params)
     queue = None
@@ -250,6 +251,23 @@ def make_train_step(
 
     fe = model.feature_extractor
     split = cfg.frozen_trunk_blocks
+    if split is not None and trainable_mask is not None:
+        # the shared trunk is only valid when every block below the split is
+        # frozen — a trainable trunk leaf would get exactly-zero grads (the
+        # trunk is computed under stop_gradient) while weight decay keeps
+        # shrinking it, silently
+        import flax.traverse_util as tu
+
+        for kpath, t in tu.flatten_dict(trainable_mask).items():
+            s = "/".join(str(p) for p in kpath)
+            import re as _re
+
+            m = _re.search(r"blocks_(\d+)", s)
+            if t and m and int(m.group(1)) < split and "backbone" in s:
+                raise ValueError(
+                    f"frozen_trunk_blocks={split} but trainable leaf {s} "
+                    "lies inside the trunk"
+                )
 
     def tail_apply(params, hidden, use_head, want_attention=False):
         """Blocks [split, depth) + norm (+ head) from shared trunk tokens."""

@@ -264,7 +264,8 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         steps_per_epoch=steps_per_epoch,
         unfreeze_layers=cfg.unfreeze_layers,
     )
-    state = init_state(model, tcfg, tx, rng, sample, pretrained_params=pretrained)
+    state = init_state(model, tcfg, tx, rng, sample,
+                       pretrained_params=pretrained, params=params_init)
     start_epoch = 0
     if cfg.load_checkpoint:
         state, start_epoch = load_checkpoint(run_dir, state)
@@ -282,17 +283,26 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             60, cfg.pascal_root, "val", eval_res, cfg.input_resolution
         )
 
-        @jax.jit
-        def feature_fn_jit(params, frames_u8):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("want_attention",))
+        def feature_fn_jit(params, frames_u8, want_attention=False):
             x = eval_preprocess_batch(
                 frames_u8, out_size=cfg.input_resolution, std=IMAGENET_STD
             )
-            feats, attn = model.apply({"params": params}, x, use_head=False)
+            feats, attn = model.apply(
+                {"params": params}, x, use_head=False,
+                want_attention=want_attention,
+            )
             return feats, attn
 
         def make_feature_fn(params):
             def fn(frames, want_attention=False):
-                return feature_fn_jit(params, jnp.asarray(frames))
+                # propagate the flag — Evaluator's use_mask path needs the
+                # last-layer attention for FG masking
+                return feature_fn_jit(
+                    params, jnp.asarray(frames), want_attention=bool(want_attention)
+                )
             return fn
 
         evaluator_factory = lambda params: Evaluator(  # noqa: E731
@@ -365,16 +375,26 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 export_best(state.params, run_dir, score, epoch)
 
         t0 = time.time()
+        pending = None  # (step, metrics) — logged one step late so the
+        # host never blocks on the in-flight device step (async dispatch)
         for bi, (frames, _annots, _labels) in enumerate(loader):
             if cfg.max_steps_per_epoch and bi >= cfg.max_steps_per_epoch:
                 break
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, jnp.asarray(frames), key)
             global_step += 1
-            last_loss = float(metrics["loss"])
+            if pending is not None and jax.process_index() == 0:
+                pstep, pmetrics = pending
+                last_loss = float(pmetrics["loss"])
+                writer.scalar("Loss/train", last_loss, pstep)
+                writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
+            pending = (global_step, metrics)
+        if pending is not None:
+            pstep, pmetrics = pending
+            last_loss = float(pmetrics["loss"])
             if jax.process_index() == 0:
-                writer.scalar("Loss/train", last_loss, global_step)
-                writer.scalar("momentum", float(metrics["momentum"]), global_step)
+                writer.scalar("Loss/train", last_loss, pstep)
+                writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
             if (
                 cfg.checkpoint_every_steps
                 and global_step % cfg.checkpoint_every_steps == 0

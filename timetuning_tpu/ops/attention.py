@@ -162,6 +162,11 @@ def attention(
         # callers forcing the fused path (e.g. Block with attn_impl='fused'
         # above the whole-block 1024-token bound) mean "use the kernels"
         impl = "pallas"
+    if impl == "pallas" and pltpu is None:
+        raise RuntimeError(
+            "attention impl forced to a Pallas kernel but the pallas TPU "
+            "backend is unavailable on this build — use impl='xla' or 'auto'"
+        )
     if impl == "auto":
         on_tpu = pltpu is not None and jax.default_backend() == "tpu"
         # dtype contract: bf16 → fused kernels; f32 stays on the

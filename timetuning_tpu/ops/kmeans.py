@@ -34,7 +34,12 @@ class KMeansResult(NamedTuple):
 
 
 def _assign_chunked(x, centroids, chunk: int):
-    """argmin distances + objective, tiled over points. x: [N, D], c: [k, D]."""
+    """argmin distances + objective, tiled over points. x: [N, D], c: [k, D].
+
+    Ragged N is padded UP to a chunk multiple (padded rows sliced off) —
+    falling back to a single chunk would materialize the full [N, k]
+    distance matrix at exactly the dataset scale the tiling exists for
+    (18.2M × 200 f32 ≈ 14.6 GB)."""
     N = x.shape[0]
     c_sq = jnp.sum(centroids ** 2, axis=1)  # [k]
 
@@ -47,11 +52,13 @@ def _assign_chunked(x, centroids, chunk: int):
         a = jnp.argmin(d, axis=1)
         return a.astype(jnp.int32), jnp.min(d, axis=1)
 
-    if N % chunk == 0 and N > chunk:
-        xs = x.reshape(N // chunk, chunk, -1)
-        a, dmin = jax.lax.map(one_chunk, xs)
-        return a.reshape(N), dmin.reshape(N)
-    return one_chunk(x)
+    if N <= chunk:
+        return one_chunk(x)
+    Np = ((N + chunk - 1) // chunk) * chunk
+    xp = jnp.pad(x, ((0, Np - N), (0, 0)))
+    xs = xp.reshape(Np // chunk, chunk, -1)
+    a, dmin = jax.lax.map(one_chunk, xs)
+    return a.reshape(Np)[:N], dmin.reshape(Np)[:N]
 
 
 def _lloyd(x, init_centroids, n_iter: int, chunk: int):
@@ -108,20 +115,17 @@ def kmeans(
     else:
         fit_x = x
     Nf = fit_x.shape[0]
-    fit_chunk = chunk if Nf % chunk == 0 and Nf > chunk else Nf
 
     def one_restart(carry, key_r):
         best_c, best_obj = carry
         idx = jax.random.choice(key_r, Nf, (k,), replace=False)
         c0 = fit_x[idx]
-        c, _, obj = _lloyd(fit_x, c0, n_iter, fit_chunk)
+        c, _, obj = _lloyd(fit_x, c0, n_iter, chunk)
         better = obj < best_obj
         return (jnp.where(better, c, best_c), jnp.minimum(obj, best_obj)), None
 
     init = (jnp.zeros((k, x.shape[1]), jnp.float32), jnp.asarray(jnp.inf))
     (c, obj), _ = jax.lax.scan(one_restart, init, jax.random.split(key, n_redo))
-    if N % chunk != 0:
-        chunk = N
     a, dmin = _assign_chunked(x, c, chunk)
     return KMeansResult(c, a, jnp.sum(dmin))
 
@@ -130,8 +134,6 @@ def kmeans_assign(x: jax.Array, centroids: jax.Array, chunk: int = 8192) -> jax.
     """Nearest-centroid assignment for points that were not part of the fit
     (the faiss ``index.search`` step after ``Kmeans.train``). x: [N, D]."""
     x = x.astype(jnp.float32)
-    if x.shape[0] % chunk != 0:
-        chunk = x.shape[0]
     a, _ = _assign_chunked(x, centroids.astype(jnp.float32), chunk)
     return a
 

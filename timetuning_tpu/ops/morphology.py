@@ -61,16 +61,29 @@ def connected_components(mask: jax.Array, n_iters: int | None = None) -> jax.Arr
     """
     H, W = mask.shape
     if n_iters is None:
-        n_iters = H + W  # an upper bound on any component's graph diameter
-    m = mask.astype(bool)
+        n_iters = H * W  # true worst case: a serpentine component's graph
+        # diameter can approach H·W, far beyond H+W
+    # labels are discrete — sever the grad path so the convergence
+    # while_loop (not reverse-differentiable) never sits under autodiff;
+    # the reference detaches attentions before masking too (models.py:987)
+    m = jax.lax.stop_gradient(mask).astype(bool)
     seeds = jnp.arange(H * W, dtype=jnp.float32).reshape(H, W)
     labels = jnp.where(m, seeds, -jnp.inf)
 
-    def body(_, lab):
-        flooded = _maxpool3x3(lab)
-        return jnp.where(m, jnp.maximum(lab, flooded), -jnp.inf)
+    def cond(carry):
+        i, lab, changed = carry
+        return changed & (i < n_iters)
 
-    labels = jax.lax.fori_loop(0, n_iters, body, labels)
+    def body(carry):
+        i, lab, _ = carry
+        flooded = jnp.where(m, jnp.maximum(lab, _maxpool3x3(lab)), -jnp.inf)
+        return i + 1, flooded, jnp.any(flooded != lab)
+
+    # while_loop: exits at convergence (≈ the true diameter, typically ≪ H·W)
+    # with the worst-case bound only as a backstop
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.array(True))
+    )
     return jnp.where(m, labels, -1.0).astype(jnp.int32)
 
 

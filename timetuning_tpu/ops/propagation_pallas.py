@@ -38,23 +38,11 @@ _EPS = 1e-12
 
 
 def _kth_largest(x, k: int):
-    """Per-row k-th largest along the last axis (duplicates counted) — the
-    same k masked-max passes as ops.propagation.kth_largest_value."""
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-    t = jnp.full(x.shape[:-1] + (1,), jnp.inf, x.dtype)
-    need = jnp.full(x.shape[:-1] + (1,), k, jnp.int32)
-    kth = jnp.zeros(x.shape[:-1] + (1,), x.dtype)
-    done = jnp.zeros(x.shape[:-1] + (1,), bool)
-    for _ in range(k):
-        masked = jnp.where(x < t, x, neg)
-        m = jnp.max(masked, axis=-1, keepdims=True)
-        c = jnp.sum((x == m) & (x < t), axis=-1, keepdims=True).astype(jnp.int32)
-        take = (~done) & (need <= c)
-        kth = jnp.where(take, m, kth)
-        done = done | take
-        need = need - c
-        t = m
-    return kth
+    """Per-row k-th largest, keepdims — shares the masked-max algorithm with
+    the XLA path (pure jnp, traceable inside the kernel)."""
+    from timetuning_tpu.ops.propagation import kth_largest_value
+
+    return kth_largest_value(x, k)[..., None]
 
 
 def _kernel(f0_ref, seg0_ref, ft_ref, mask_ref, o_ref,

@@ -107,11 +107,14 @@ def main() -> None:
     sample = jnp.zeros((1, 224, 224, 3))
     params = model.init(rng, sample)["params"]
     tx, trainable_mask = swav_optimizer(
-        params, lr=1e-4, num_epochs=1, steps_per_epoch=max(n_steps, 100)
+        params, lr=1e-4, num_epochs=1, steps_per_epoch=max(n_steps, 100),
+        opt_over_trainable=True,
     )
-    state = init_state(model, tcfg, tx, rng, sample)
+    state = init_state(model, tcfg, tx, rng, sample,
+                       trainable_mask=trainable_mask)
     step = jax.jit(
-        make_train_step(model, tcfg, tx, trainable_mask=trainable_mask),
+        make_train_step(model, tcfg, tx, trainable_mask=trainable_mask,
+                        opt_over_trainable=True),
         donate_argnums=(0,),
     )
 

@@ -184,6 +184,120 @@ def test_split_trunk_matches_full_step():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_opt_over_trainable_matches_full_tree():
+    """The trainable-subtree optimizer path (subtree adam state, subtree
+    pmean, EMA only on trainable leaves) must produce the exact same
+    trajectory as the full-tree path: frozen leaves never change, so
+    skipping them is pure traffic elimination."""
+    model, cfg, _, _, _ = make_everything(use_teacher=True, use_queue=True)
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    params = model.init(rng, sample)["params"]
+
+    tx_full, mask = swav_optimizer(
+        params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
+        unfreeze_layers=("blocks.1",),
+    )
+    tx_sub, mask2 = swav_optimizer(
+        params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
+        unfreeze_layers=("blocks.1",), opt_over_trainable=True,
+    )
+    assert jax.tree.all(jax.tree.map(lambda a, b: a == b, mask, mask2))
+
+    s_full = init_state(model, cfg, tx_full, rng, sample, params=params)
+    s_sub = init_state(model, cfg, tx_sub, rng, sample, params=params,
+                       trainable_mask=mask)
+    step_full = jax.jit(make_train_step(model, cfg, tx_full,
+                                        trainable_mask=mask))
+    step_sub = jax.jit(make_train_step(model, cfg, tx_sub,
+                                       trainable_mask=mask,
+                                       opt_over_trainable=True))
+
+    for i in range(3):
+        k = jax.random.PRNGKey(100 + i)
+        clip = _clip(20 + i)
+        s_full, m_full = step_full(s_full, clip, k)
+        s_sub, m_sub = step_sub(s_sub, clip, k)
+        np.testing.assert_allclose(float(m_sub["loss"]), float(m_full["loss"]),
+                                   rtol=1e-6)
+
+    import flax.traverse_util as tu
+
+    flat_full = tu.flatten_dict(s_full.params)
+    flat_sub = tu.flatten_dict(s_sub.params)
+    flat_mask = tu.flatten_dict(mask)
+    for k in flat_full:
+        np.testing.assert_allclose(
+            np.asarray(flat_sub[k]), np.asarray(flat_full[k]),
+            rtol=1e-5, atol=1e-7, err_msg=f"params {k} (trainable={flat_mask[k]})",
+        )
+    for k, v in tu.flatten_dict(s_full.teacher_params).items():
+        np.testing.assert_allclose(
+            np.asarray(tu.flatten_dict(s_sub.teacher_params)[k]), np.asarray(v),
+            rtol=1e-5, atol=1e-7, err_msg=f"teacher {k}",
+        )
+    np.testing.assert_allclose(np.asarray(s_sub.queue), np.asarray(s_full.queue),
+                               rtol=1e-6)
+    # the subtree opt state is genuinely smaller (frozen leaves absent)
+    n_sub = sum(np.size(x) for x in jax.tree.leaves(s_sub.opt_state))
+    n_full = sum(np.size(x) for x in jax.tree.leaves(s_full.opt_state))
+    assert n_sub < n_full
+
+
+def test_opt_over_trainable_multichip_matches_single():
+    """Subtree path under shard_map on an 8-device mesh == single-device run
+    on the concatenated batch (grads pmean over the subtree only)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from timetuning_tpu.core.timet import state_partition_specs
+
+    model = tiny_model()
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    params = model.init(rng, sample)["params"]
+    n_dev = 8
+    clip = _clip(42, b=n_dev)
+
+    def build(axis_name, world):
+        cfg = TimeTConfig(
+            n_prototypes=8, use_teacher=True, use_queue=False,
+            num_epochs=2, steps_per_epoch=4, spatial_resolution=RES,
+            n_last_frames=2, size_mask_neighborhood=1,
+            axis_name=axis_name, world_size=world,
+        )
+        tx, mask = swav_optimizer(
+            params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
+            unfreeze_layers=("blocks.1",), opt_over_trainable=True,
+        )
+        state = init_state(model, cfg, tx, rng, sample, params=params,
+                           trainable_mask=mask)
+        step = make_train_step(model, cfg, tx, trainable_mask=mask,
+                               opt_over_trainable=True)
+        return state, step
+
+    state1, step1 = build(None, 1)
+    s_single, m_single = jax.jit(step1)(state1, clip, jax.random.PRNGKey(3))
+
+    state8, step8 = build("data", n_dev)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("data",))
+    specs = state_partition_specs(state8, "data")
+    shard_step = jax.jit(
+        jax.shard_map(
+            step8, mesh=mesh,
+            in_specs=(specs, P("data"), P()),
+            out_specs=(specs, P()),
+        )
+    )
+    s_shard, m_shard = shard_step(state8, clip, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(float(m_shard["loss"]), float(m_single["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(s_shard.params["prototypes"]),
+        np.asarray(s_single.params["prototypes"]),
+        rtol=1e-3, atol=1e-5,
+    )
+
+
 def test_split_trunk_with_queue_and_trainable_mask():
     """Split trunk composes with the queue and the restricted-autodiff
     trainable mask."""

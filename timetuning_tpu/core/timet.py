@@ -153,6 +153,7 @@ def init_state(
     sample_frame: jax.Array,
     pretrained_params=None,
     params=None,
+    trainable_mask=None,
 ) -> TrainState:
     """Initialize params (optionally grafting imported pretrained weights),
     teacher copy, queue, optimizer state.
@@ -162,6 +163,11 @@ def init_state(
     private ``queue_size``-row FIFO — the reference's per-rank queue of
     ``queue_size/world`` rows (time_tuning.py:617-618). Inside the step the
     queue argument is therefore always the [queue_size, D] local shard.
+
+    ``trainable_mask``: pass the mask from ``swav_optimizer(...,
+    opt_over_trainable=True)`` to allocate optimizer state over the
+    trainable subtree only (pairs with ``make_train_step(...,
+    opt_over_trainable=True)``).
     """
     if params is None:
         params = model.init(rng, sample_frame)["params"]
@@ -173,9 +179,15 @@ def init_state(
         queue = jnp.zeros(
             (cfg.queue_size * max(cfg.world_size, 1), dim), jnp.float32
         )
+    if trainable_mask is not None:
+        from timetuning_tpu.core.optimizer import trainable_subtree
+
+        opt_params = trainable_subtree(params, trainable_mask)
+    else:
+        opt_params = params
     return TrainState(
         params=params,
-        opt_state=tx.init(params),
+        opt_state=tx.init(opt_params),
         teacher_params=jax.tree.map(jnp.copy, params) if cfg.use_teacher else None,
         queue=queue,
         queue_fill=jnp.zeros((), jnp.int32),
@@ -223,6 +235,7 @@ def make_train_step(
     cfg: TimeTConfig,
     tx: optax.GradientTransformation,
     trainable_mask=None,
+    opt_over_trainable: bool = False,
 ):
     """Build the jittable train step. Returns ``step_fn(state, clip, rng)``.
 
@@ -236,7 +249,20 @@ def make_train_step(
     (optax.set_to_zero on frozen leaves). Closing the frozen leaves over
     the loss instead lets XLA skip that backward entirely — same gradients,
     ~20% faster step at the reference configuration.
+
+    ``opt_over_trainable=True`` (requires ``trainable_mask`` and a tx built
+    with ``swav_optimizer(..., opt_over_trainable=True)`` + ``init_state(...,
+    trainable_mask=...)``) additionally runs the optimizer update, the
+    gradient pmean and the EMA-teacher update over the trainable subtree
+    only. Frozen leaves provably never change (the optimizer never sees
+    them), so their teacher copies are the student leaves themselves; this
+    removes full-tree HBM traffic (2× adam moments, zero-update adds,
+    full-tree EMA) and shrinks the multi-chip gradient all-reduce to the
+    trainable fraction. The trajectory is identical to the full-tree path
+    (tested to float tolerance).
     """
+    if opt_over_trainable and trainable_mask is None:
+        raise ValueError("opt_over_trainable=True requires trainable_mask")
     momentum_schedule = cosine_scheduler(
         cfg.ema_start, cfg.ema_end, cfg.num_epochs, cfg.steps_per_epoch
     )
@@ -401,6 +427,11 @@ def make_train_step(
 
         if trainable_mask is None:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            if cfg.axis_name is not None:
+                grads = jax.lax.pmean(grads, cfg.axis_name)
+                loss = jax.lax.pmean(loss, cfg.axis_name)
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
         else:
             import flax.traverse_util as tu
 
@@ -413,18 +444,31 @@ def make_train_step(
                 return loss_fn(tu.unflatten_dict({**frozen_p, **tp}))
 
             loss, g_t = jax.value_and_grad(loss_trainable)(train_p)
-            grads = tu.unflatten_dict(
-                {
-                    k: (g_t[k] if k in g_t else jnp.zeros_like(v))
-                    for k, v in flat_p.items()
-                }
-            )
-        if cfg.axis_name is not None:
-            grads = jax.lax.pmean(grads, cfg.axis_name)
-            loss = jax.lax.pmean(loss, cfg.axis_name)
-
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            if opt_over_trainable:
+                # optimizer state / update / pmean over the trainable
+                # subtree only; frozen leaves pass through untouched
+                g_sub = tu.unflatten_dict(g_t)
+                if cfg.axis_name is not None:
+                    g_sub = jax.lax.pmean(g_sub, cfg.axis_name)
+                    loss = jax.lax.pmean(loss, cfg.axis_name)
+                sub = tu.unflatten_dict(train_p)
+                updates, opt_state = tx.update(g_sub, state.opt_state, sub)
+                new_sub = optax.apply_updates(sub, updates)
+                params = tu.unflatten_dict(
+                    {**frozen_p, **tu.flatten_dict(new_sub)}
+                )
+            else:
+                grads = tu.unflatten_dict(
+                    {
+                        k: (g_t[k] if k in g_t else jnp.zeros_like(v))
+                        for k, v in flat_p.items()
+                    }
+                )
+                if cfg.axis_name is not None:
+                    grads = jax.lax.pmean(grads, cfg.axis_name)
+                    loss = jax.lax.pmean(loss, cfg.axis_name)
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
         # Prototype renorm after the step (time_tuning.py:125-128, 661).
         params = dict(params) | {"prototypes": _l2norm(params["prototypes"])}
 
@@ -432,9 +476,27 @@ def make_train_step(
         teacher_params = state.teacher_params
         if cfg.use_teacher:
             m = schedule_at(momentum_schedule, state.step)
-            teacher_params = jax.tree.map(
-                lambda t, s: t * (1.0 - m) + s * m, teacher_params, params
-            )
+            if opt_over_trainable:
+                # frozen leaves never change, so teacher == student there for
+                # the whole run — the EMA only needs to touch the trainable
+                # subtree (the frozen teacher leaves alias the student's)
+                import flax.traverse_util as tu
+
+                flat_mask = tu.flatten_dict(trainable_mask)
+                flat_t = tu.flatten_dict(teacher_params)
+                flat_s = tu.flatten_dict(params)
+                teacher_params = tu.unflatten_dict(
+                    {
+                        k: (flat_t[k] * (1.0 - m) + flat_s[k] * m)
+                        if flat_mask[k]
+                        else flat_s[k]
+                        for k in flat_s
+                    }
+                )
+            else:
+                teacher_params = jax.tree.map(
+                    lambda t, s: t * (1.0 - m) + s * m, teacher_params, params
+                )
             teacher_params = dict(teacher_params) | {
                 "prototypes": _l2norm(teacher_params["prototypes"])
             }

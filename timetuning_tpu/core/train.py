@@ -154,7 +154,8 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
                    mesh=None, state_like=None, trainable_mask=None):
     """uint8 batch → augment → TimeT step, one jitted program; shard_map'd
     over the data mesh when it has more than one device."""
-    base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask)
+    base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask,
+                                opt_over_trainable=trainable_mask is not None)
 
     def full(state, frames_u8, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
@@ -263,9 +264,11 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         num_epochs=cfg.num_epochs,
         steps_per_epoch=steps_per_epoch,
         unfreeze_layers=cfg.unfreeze_layers,
+        opt_over_trainable=True,
     )
     state = init_state(model, tcfg, tx, rng, sample,
-                       pretrained_params=pretrained, params=params_init)
+                       pretrained_params=pretrained, params=params_init,
+                       trainable_mask=trainable_mask)
     start_epoch = 0
     if cfg.load_checkpoint:
         state, start_epoch = load_checkpoint(run_dir, state)

@@ -83,9 +83,19 @@ def load_checkpoint(run_dir: str, state_template: Any) -> tuple[Any, int]:
 
 
 def export_best(params: Any, run_dir: str, score: float, epoch: int) -> str:
-    """Model-only export named ``{score}_{epoch}`` (time_tuning.py:637-641)."""
+    """Model-only export named ``{score}_{epoch}`` (time_tuning.py:637-641).
+
+    ViT-backed TimeT trees additionally export a reference-loadable
+    ``{score}_{epoch}.pth`` (the published TimeT.pth key layout,
+    README.md:66-76) so checkpoints trained here load straight into the
+    PyTorch reference; other backbones get the Orbax tree only."""
+    host = jax.device_get(params)
     path = os.path.join(os.path.abspath(run_dir), f"{score:.4f}_{epoch}")
-    _checkpointer().save(path, jax.device_get(params), force=True)
+    _checkpointer().save(path, host, force=True)
+    from timetuning_tpu.models.export_torch import exportable, save_timet_pth
+
+    if exportable(host):
+        save_timet_pth(host, path + ".pth")
     return path
 
 

@@ -46,6 +46,85 @@ def test_mlp_block_matches_xla():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_mlp_rows_kernel_matches_xla():
+    """The row-chunked long-sequence MLP kernel (dispatched above 1024
+    tokens) == the XLA reference, including ragged row padding."""
+    from timetuning_tpu.ops.fused_block import _mlp_rows_pallas
+
+    x, ln_s, ln_b, _, _, _, _, w1, b1, w2, b2 = _inputs(B=2, S=37)
+    got = _mlp_rows_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_rows=16,
+                           interpret=True)
+    want = mlp_block_xla(x, ln_s, ln_b, w1, b1, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_long_sequence_attention_branch_matches_xla():
+    """fused-LN+QKV rows → flash core → fused-proj+residual rows (the
+    >1024-token attention block branch) == attention_block_xla. Composed
+    from the interpret-mode kernels + the flash XLA fallback on CPU."""
+    from timetuning_tpu.ops.fused_block import (
+        _dense_residual_pallas,
+        _ln_dense_pallas,
+        dense_residual_xla,
+        ln_dense_xla,
+    )
+    from timetuning_tpu.ops.flash_attention import flash_attention
+
+    H = 4
+    x, ln_s, ln_b, wq, bq, wp, bp, *_ = _inputs(B=2, S=29)
+    B, S, D = x.shape
+    Dh = D // H
+
+    qkv = _ln_dense_pallas(x, ln_s, ln_b, wq, bq, block_rows=16,
+                           interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(qkv), np.asarray(ln_dense_xla(x, ln_s, ln_b, wq, bq)),
+        rtol=1e-4, atol=1e-5,
+    )
+    qkv = qkv.reshape(B, S, 3, H, Dh)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    o = flash_attention(q, k, v)
+    merged = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, S, D)
+    got = _dense_residual_pallas(merged, x, wp, bp, block_rows=16,
+                                 interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(dense_residual_xla(merged, x, wp, bp)),
+        rtol=1e-4, atol=1e-5,
+    )
+    want = attention_block_xla(x, ln_s, ln_b, wq, bq, wp, bp, num_heads=H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rows_kernel_vjps_match_xla():
+    """The rows kernels' custom VJPs (XLA recompute) give the same gradients
+    as direct autodiff through the XLA compositions."""
+    from timetuning_tpu.ops.fused_block import (
+        _dr_bwd,
+        _ld_bwd,
+        dense_residual_xla,
+        ln_dense_xla,
+    )
+
+    x, ln_s, ln_b, wq, bq, wp, bp, *_ = _inputs(B=2, S=13)
+    g = jax.random.normal(jax.random.PRNGKey(7), (2, 13, 3 * 32))
+    got = _ld_bwd((x, ln_s, ln_b, wq, bq), g)
+    _, vjp = jax.vjp(ln_dense_xla, x, ln_s, ln_b, wq, bq)
+    for a, b in zip(got, vjp(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    y = jax.random.normal(jax.random.PRNGKey(8), x.shape)
+    g2 = jax.random.normal(jax.random.PRNGKey(9), x.shape)
+    got2 = _dr_bwd((y, x, wp, bp), g2)
+    _, vjp2 = jax.vjp(dense_residual_xla, y, x, wp, bp)
+    for a, b in zip(got2, vjp2(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_fused_block_param_tree_matches_unfused():
     """Init through the fused path and the XLA path must produce identical
     param trees (checkpoint compatibility)."""

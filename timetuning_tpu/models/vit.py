@@ -191,22 +191,28 @@ class Block(nn.Module):
         if self.attn_impl in ("auto", "fused") and not rp:
             from timetuning_tpu.ops.fused_block import (
                 attention_block_branch,
+                attention_block_branch_flash,
                 fused_block_available,
                 mlp_block_branch,
             )
 
             S = x.shape[1]
-            # same dtype contract as Attention: bf16 → fused, f32 → XLA;
-            # forcing 'fused' still cannot hold an [S, S] tile over 1024
-            # tokens — those route through the flash dispatcher below
-            auto_ok = self.dtype == jnp.bfloat16 and fused_block_available(S)
-            if auto_ok or (self.attn_impl == "fused" and S <= 1024):
-                # whole block as two Pallas kernels (LN + branch + residual
-                # fused each); param tree identical to the unfused path
+            # same dtype contract as Attention: bf16 → fused, f32 → XLA.
+            # ≤1024 tokens: two whole-block kernels; above, the [S, S] score
+            # tile no longer fits VMEM, so the attention branch becomes
+            # fused-LN+QKV rows → flash core → fused-proj+residual rows, and
+            # the MLP branch a row-chunked kernel (VMEM constant in S)
+            bf16 = self.dtype == jnp.bfloat16
+            force = self.attn_impl == "fused"
+            if (bf16 or force) and fused_block_available():
                 s1, bl1 = _LNParams(D, name="norm1")()
                 wq, bq, wp, bp = _AttnParams(D, self.qkv_bias, name="attn")()
                 bq = jnp.zeros((3 * D,), jnp.float32) if bq is None else bq
-                x = attention_block_branch(
+                branch = (
+                    attention_block_branch if S <= 1024
+                    else attention_block_branch_flash
+                )
+                x = branch(
                     x.astype(self.dtype), s1, bl1, wq.astype(self.dtype), bq,
                     wp.astype(self.dtype), bp, self.num_heads,
                 )

@@ -265,6 +265,190 @@ def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int | None = None,
 
 
 # ------------------------------------------------------------------ #
+# Long-sequence (>1024 tokens) row-chunked kernels
+#
+# Above 1024 tokens the [Sp, Sp] attention-score tile no longer fits VMEM,
+# so the attention CORE routes through ops/flash_attention. But LayerNorm,
+# the QKV/output projections and the whole MLP have no cross-token
+# dependency at all — they are embarrassingly row-parallel — and the XLA
+# fallback is HBM-bound on its f32 intermediates (measured 36 TF/s for the
+# MLP at S=3152 vs 110 TF/s for the fused kernel at S=208: the [B·S, 4D]
+# f32 hidden alone is ~155 MB per layer of round-trip traffic). These
+# kernels tile the flattened [B·S, D] token rows so VMEM use is constant in
+# S: LN + matmul (+ GELU + second matmul + residual) never leave VMEM.
+
+def _mlp_rows_kernel(x_ref, lns_ref, lnb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                     o_ref):
+    x = x_ref[:]                                               # [R, D]
+    xn = _ln_rows(x.astype(jnp.float32), lns_ref[:], lnb_ref[:]).astype(x.dtype)
+    h = jax.lax.dot_general(
+        xn, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b1_ref[:]
+    h = _gelu_exact(h).astype(x.dtype)
+    out = jax.lax.dot_general(
+        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[:]
+    o_ref[:] = (x.astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _ln_dense_kernel(x_ref, lns_ref, lnb_ref, w_ref, b_ref, o_ref):
+    x = x_ref[:]
+    xn = _ln_rows(x.astype(jnp.float32), lns_ref[:], lnb_ref[:]).astype(x.dtype)
+    o = jax.lax.dot_general(
+        xn, w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:]
+    o_ref[:] = o.astype(o_ref.dtype)
+
+
+def _dense_residual_kernel(y_ref, x_ref, w_ref, b_ref, o_ref):
+    out = jax.lax.dot_general(
+        y_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[:]
+    o_ref[:] = (x_ref[:].astype(jnp.float32) + out).astype(o_ref.dtype)
+
+
+def _rows_call(kernel, args, row_args, D_out, block_rows, interpret):
+    """Run a row-chunked kernel over the flattened token rows.
+
+    ``row_args``: list of [B, S, D_i] tensors tiled along rows (first one
+    defines the output row count); ``args``: whole-array (weight) operands.
+    """
+    B, S, _ = row_args[0].shape
+    R = B * S
+    Rp = ((R + block_rows - 1) // block_rows) * block_rows
+    flat = []
+    for a in row_args:
+        a2 = a.reshape(R, a.shape[-1])
+        if Rp != R:
+            a2 = jnp.pad(a2, ((0, Rp - R), (0, 0)))
+        flat.append(a2)
+    row_specs = [
+        pl.BlockSpec((block_rows, a.shape[-1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM)
+        for a in flat
+    ]
+    out_spec = pl.BlockSpec((block_rows, D_out), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Rp, D_out), row_args[0].dtype),
+        grid=(Rp // block_rows,),
+        in_specs=row_specs + [_full_spec(*a.shape) for a in args],
+        out_specs=out_spec,
+        interpret=interpret,
+    )(*flat, *args)
+    return out[:R].reshape(B, S, D_out)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _mlp_rows_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_rows: int = 512,
+                     interpret: bool = False):
+    D = x.shape[-1]
+    Dh = w1.shape[1]
+    return _rows_call(
+        _mlp_rows_kernel,
+        [ln_s.astype(jnp.float32).reshape(1, -1),
+         ln_b.astype(jnp.float32).reshape(1, -1),
+         w1.astype(x.dtype), b1.astype(jnp.float32).reshape(1, -1),
+         w2.astype(x.dtype), b2.astype(jnp.float32).reshape(1, -1)],
+        [x], D, block_rows, interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _ln_dense_pallas(x, ln_s, ln_b, w, b, block_rows: int = 512,
+                     interpret: bool = False):
+    return _rows_call(
+        _ln_dense_kernel,
+        [ln_s.astype(jnp.float32).reshape(1, -1),
+         ln_b.astype(jnp.float32).reshape(1, -1),
+         w.astype(x.dtype), b.astype(jnp.float32).reshape(1, -1)],
+        [x], w.shape[1], block_rows, interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def _dense_residual_pallas(y, x, w, b, block_rows: int = 512,
+                           interpret: bool = False):
+    return _rows_call(
+        _dense_residual_kernel,
+        [w.astype(y.dtype), b.astype(jnp.float32).reshape(1, -1)],
+        [y, x], w.shape[1], block_rows, interpret,
+    )
+
+
+def ln_dense_xla(x, ln_s, ln_b, w, b):
+    o = jnp.einsum("bsd,de->bse", _ln(x, ln_s, ln_b), w,
+                   preferred_element_type=jnp.float32) + b
+    return o.astype(x.dtype)
+
+
+def dense_residual_xla(y, x, w, b):
+    o = jnp.einsum("bsd,de->bse", y, w,
+                   preferred_element_type=jnp.float32) + b
+    return (x.astype(jnp.float32) + o).astype(x.dtype)
+
+
+@jax.custom_vjp
+def ln_dense_rows(x, ln_s, ln_b, w, b):
+    """LN + dense in one row-chunked kernel (constant VMEM in S)."""
+    return _ln_dense_pallas(x, ln_s, ln_b, w, b)
+
+
+def _ld_fwd(x, ln_s, ln_b, w, b):
+    return _ln_dense_pallas(x, ln_s, ln_b, w, b), (x, ln_s, ln_b, w, b)
+
+
+def _ld_bwd(res, g):
+    _, vjp = jax.vjp(ln_dense_xla, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+ln_dense_rows.defvjp(_ld_fwd, _ld_bwd)
+
+
+@jax.custom_vjp
+def dense_residual_rows(y, x, w, b):
+    """x + dense(y) in one row-chunked kernel (constant VMEM in S)."""
+    return _dense_residual_pallas(y, x, w, b)
+
+
+def _dr_fwd(y, x, w, b):
+    return _dense_residual_pallas(y, x, w, b), (y, x, w, b)
+
+
+def _dr_bwd(res, g):
+    _, vjp = jax.vjp(dense_residual_xla, *res)
+    return vjp(g.astype(res[0].dtype))
+
+
+dense_residual_rows.defvjp(_dr_fwd, _dr_bwd)
+
+
+def attention_block_branch_flash(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
+                                 num_heads: int):
+    """The >1024-token attention block branch: fused LN+QKV rows kernel →
+    flash attention core (ops/flash_attention, VMEM linear in S) → fused
+    proj+residual rows kernel. Same math as ``attention_block_xla``; each
+    stage is differentiable (rows kernels recompute through XLA in their
+    VJPs, the flash core streams its analytic gradient)."""
+    from timetuning_tpu.ops.flash_attention import flash_attention
+
+    B, S, D = x.shape
+    Dh = D // num_heads
+    qkv = ln_dense_rows(x, ln_s, ln_b, w_qkv, b_qkv)           # [B, S, 3D]
+    qkv = qkv.reshape(B, S, 3, num_heads, Dh)
+    q, k, v = (jnp.transpose(qkv[:, :, i], (0, 2, 1, 3)) for i in range(3))
+    o = flash_attention(q, k, v)                                # [B, H, S, Dh]
+    merged = jnp.transpose(o, (0, 2, 1, 3)).reshape(B, S, D)
+    return dense_residual_rows(merged, x, w_proj, b_proj)
+
+
+# ------------------------------------------------------------------ #
 # differentiable wrappers
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
@@ -288,13 +472,21 @@ def _attn_bwd(num_heads, res, g):
 attention_block_branch.defvjp(_attn_fwd, _attn_bwd)
 
 
+def _mlp_dispatch(x, ln_s, ln_b, w1, b1, w2, b2):
+    # ≤1024 tokens: whole-[Gb·Sp] block kernel; longer: row-chunked kernel
+    # with VMEM constant in S (the f32 hidden is tiled, never in HBM)
+    if x.shape[1] <= 1024:
+        return _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2)
+    return _mlp_rows_pallas(x, ln_s, ln_b, w1, b1, w2, b2)
+
+
 @jax.custom_vjp
 def mlp_block_branch(x, ln_s, ln_b, w1, b1, w2, b2):
-    return _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2)
+    return _mlp_dispatch(x, ln_s, ln_b, w1, b1, w2, b2)
 
 
 def _mlp_fwd(x, ln_s, ln_b, w1, b1, w2, b2):
-    return _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2), (x, ln_s, ln_b, w1, b1, w2, b2)
+    return _mlp_dispatch(x, ln_s, ln_b, w1, b1, w2, b2), (x, ln_s, ln_b, w1, b1, w2, b2)
 
 
 def _mlp_bwd(res, g):

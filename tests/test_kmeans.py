@@ -72,3 +72,52 @@ def test_pca_fit_apply_consistency():
     # components are orthonormal
     c = np.asarray(st.components)
     np.testing.assert_allclose(c.T @ c, np.eye(3), atol=1e-4)
+
+
+def test_dataset_wise_bounded_equals_materialized(monkeypatch):
+    """The bounded-memory dataset-wise clustering path (chunk-upsampled fit
+    gather + chunked assignment) must be BIT-identical to the single-program
+    path: same key stream, same fit values, same centroids, same maps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timetuning_tpu.eval import clustering as C
+
+    B, F, N, D, r, k = 2, 2, 16, 12, 16, 2  # n_total=2048 > cap=512
+    feats = jax.random.normal(jax.random.PRNGKey(0), (B, F, N, D))
+    key = jax.random.PRNGKey(7)
+
+    want = C.cluster_features(feats, k=k, eval_resolution=r,
+                              protocol="dataset-wise", key=key)
+
+    monkeypatch.setattr(C, "_DATASET_WISE_PIXEL_LIMIT", 1000)
+    monkeypatch.setattr(C, "_CHUNK_PIXELS", 300)  # force per-frame chunks
+    got = C.cluster_features(feats, k=k, eval_resolution=r,
+                             protocol="dataset-wise", key=key)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_patch_grid_to_image_matches_jax_image_resize():
+    """The matmul-based bilinear upsample must reproduce jax.image.resize's
+    kernel (half-pixel centers) to float32 rounding on upsampling, and fall
+    back to resize exactly on downsampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from timetuning_tpu.ops.resize import patch_grid_to_image
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (5, 14 * 14, 7), jnp.float32)
+    for size in [(112, 112), (100, 100), (14, 14), (17, 23)]:
+        got = patch_grid_to_image(x, (14, 14), size)
+        want = jax.image.resize(
+            x.reshape(5, 14, 14, 7), (5, *size, 7), method="bilinear"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=0, atol=1e-5
+        )
+    # downsample path (delegates to jax.image.resize, bit-identical)
+    down = patch_grid_to_image(x, (14, 14), (7, 7))
+    want = jax.image.resize(x.reshape(5, 14, 14, 7), (5, 7, 7, 7), method="bilinear")
+    np.testing.assert_array_equal(np.asarray(down), np.asarray(want))

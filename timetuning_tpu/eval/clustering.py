@@ -12,10 +12,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from timetuning_tpu.ops.kmeans import kmeans, normalize_and_reduce
+from timetuning_tpu.ops.kmeans import kmeans, kmeans_assign, normalize_and_reduce
 from timetuning_tpu.ops.resize import patch_grid_to_image
 
 _EPS = 1e-12
+
+# Above this many upsampled pixels the dataset-wise path stops materializing
+# the full [B·F·r·r, pca] tensor (Pascal val at eval_res 112 is 18.2M pixels
+# → ~3.6 GB, and the padded copies inside a single monolithic kmeans push
+# the compiled program past a v5e's 16 GB HBM) and switches to the bounded
+# two-pass variant below. 4M pixels ≈ 800 MB materialized — comfortably
+# compilable — so smaller sets keep the single-program path.
+_DATASET_WISE_PIXEL_LIMIT = 4_000_000
+_CHUNK_PIXELS = 2_000_000
 
 
 def _num_classes_from_annotations(annotations) -> int:
@@ -51,16 +60,28 @@ def cluster_features(
     pca_dim = min(pca_dim, D)
     flat = features.reshape(B * F * N, D)
     reduced = normalize_and_reduce(flat, pca_dim)                  # [BFN, pca]
-    maps = patch_grid_to_image(
-        reduced.reshape(B * F, N, pca_dim), (res, res),
-        (eval_resolution, eval_resolution),
-    )                                                              # [BF, r, r, pca]
+    grids = reduced.reshape(B * F, N, pca_dim)
     r = eval_resolution
     pts_per_frame = r * r
+    n_total = B * F * pts_per_frame
+    cap = 256 * k  # faiss max_points_per_centroid fit-set size (ops/kmeans)
 
     def fit_assign(x, key):
         return kmeans(x, k, key, n_iter=n_iter, n_redo=n_redo).assignments
 
+    if (
+        protocol == "dataset-wise"
+        and n_total > _DATASET_WISE_PIXEL_LIMIT
+        and n_total > cap
+    ):
+        out = _dataset_wise_bounded(
+            grids, key, k, (res, res), r, n_iter, n_redo, pca_dim
+        )
+        return out.reshape(B, F, r, r)
+
+    maps = patch_grid_to_image(
+        grids, (res, res), (eval_resolution, eval_resolution)
+    )                                                              # [BF, r, r, pca]
     if protocol == "frame-wise":
         keys = jax.random.split(key, B * F)
         out = jnp.stack(
@@ -75,6 +96,67 @@ def cluster_features(
     else:
         raise ValueError(f"unknown protocol {protocol}")
     return out.reshape(B, F, r, r)
+
+
+def _dataset_wise_bounded(grids, key, k, grid_hw, r, n_iter, n_redo, pca_dim):
+    """Dataset-wise k-means without materializing the full pixel set.
+
+    Bit-identical to the single-program path: the fit subset is the same
+    ``randint`` draw over the same virtual [B·F·r·r] pixel array that
+    ``kmeans``'s faiss-style subsampling would take (the key splits mirror
+    ops/kmeans.py exactly), gathered from chunk-upsampled frames; the
+    restart scan then runs on those very values, and assignment reuses the
+    same chunked distance kernel per frame chunk. Peak device memory is one
+    ~2M-pixel chunk (~400 MB) instead of the whole set (Pascal val:
+    18.2M pixels ≈ 3.6 GB + padded copies → OOM on a 16 GB v5e).
+    """
+    BF = grids.shape[0]
+    n_total = BF * r * r
+    cap = 256 * k
+    # mirror kmeans' internal subsample stream (ops/kmeans.py): one split,
+    # then randint over the full pixel range
+    key2, k_sub = jax.random.split(key)
+    idx = jax.random.randint(k_sub, (cap,), 0, n_total)
+
+    cf = max(1, min(BF, _CHUNK_PIXELS // (r * r)))
+    n_chunks = -(-BF // cf)
+    gp = jnp.pad(grids, ((0, n_chunks * cf - BF), (0, 0), (0, 0)))
+    chunks = gp.reshape(n_chunks, cf, *grids.shape[1:])
+    ppc = cf * r * r  # pixels per chunk
+
+    # Everything runs as three jitted dispatches (lax.map over chunks):
+    # per-op eager chunk loops pay ~100 ms tunnel dispatch latency each,
+    # which dominated an earlier version of this path (~7 s of overhead for
+    # ~0.3 s of device compute at Pascal-val scale).
+    @jax.jit
+    def gather_fit(chunks, idx):
+        # each sampled global pixel lives in exactly one chunk: gather the
+        # clamped local index everywhere, zero out-of-chunk rows, sum
+        def one(args):
+            c, ch = args
+            px = patch_grid_to_image(ch, grid_hw, (r, r)).reshape(ppc, pca_dim)
+            local = idx - c * ppc
+            inb = (local >= 0) & (local < ppc)
+            vals = px[jnp.clip(local, 0, ppc - 1)]
+            return vals * inb[:, None].astype(px.dtype)
+        vals = jax.lax.map(one, (jnp.arange(n_chunks), chunks))
+        return jnp.sum(vals, axis=0)                          # [cap, pca]
+
+    fit_x = gather_fit(chunks, idx)
+    result = kmeans(
+        fit_x, k, key2, n_iter=n_iter, n_redo=n_redo,
+        max_points_per_centroid=None,  # already subsampled above
+    )
+
+    @jax.jit
+    def assign_all(chunks, centroids):
+        def one(ch):
+            px = patch_grid_to_image(ch, grid_hw, (r, r)).reshape(ppc, pca_dim)
+            return kmeans_assign(px, centroids)
+        return jax.lax.map(one, chunks)
+
+    out = assign_all(chunks, result.centroids)
+    return out.reshape(n_chunks * ppc)[:n_total]
 
 
 def proto_clustering(

@@ -324,3 +324,68 @@ def test_split_trunk_with_queue_and_trainable_mask():
     )
     np.testing.assert_allclose(np.asarray(s1.queue), np.asarray(s_ref.queue),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_grad_attn_impl_clone_matches_default():
+    """grad_attn_impl routes only the differentiated pass through a cloned
+    backbone with a different attn_impl; the param tree is shared and the
+    trajectory must be identical to running the model's own impl (on CPU
+    both lower to the same XLA ops — this guards the clone wiring)."""
+    import dataclasses
+
+    model = tiny_model()
+    base = dict(
+        n_prototypes=8, use_teacher=True, num_epochs=2, steps_per_epoch=4,
+        spatial_resolution=RES, n_last_frames=2, size_mask_neighborhood=1,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    params = model.init(rng, sample)["params"]
+    tx, _ = swav_optimizer(
+        params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
+        unfreeze_layers=("blocks.1",),
+    )
+    states = {}
+    for impl in [None, "pallas-free"]:
+        # a *different* impl string exercises the clone path even though the
+        # tiny model already uses attn_impl="xla"; "xla" itself would skip
+        # cloning (equal impls)
+        cfg = TimeTConfig(**base, grad_attn_impl="xla" if impl else None)
+        st = init_state(model, cfg, tx, rng, sample)
+        step = jax.jit(make_train_step(model, cfg, tx))
+        for i in range(2):
+            st, m = step(st, _clip(i), jax.random.PRNGKey(i))
+        states[impl] = (st, m)
+    a, b = states[None], states["pallas-free"]
+    np.testing.assert_allclose(float(a[1]["loss"]), float(b[1]["loss"]),
+                               rtol=1e-6)
+    for la, lb in zip(jax.tree.leaves(a[0].params), jax.tree.leaves(b[0].params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
+                                   atol=1e-7)
+
+
+def test_grad_attn_impl_clone_changes_impl_when_different():
+    """When the backbone's attn_impl differs from grad_attn_impl, the clone
+    is actually built (not skipped) and still applies with the same params."""
+    vcfg = ViTConfig(
+        patch_size=PATCH, embed_dim=32, depth=2, num_heads=2, img_size=IMG,
+        attn_impl="auto",
+    )
+    fe = FeatureExtractor(backbone=VisionTransformer(vcfg), head_dims=(48, 24))
+    model = TimeT(feature_extractor=fe, n_prototypes=8)
+    cfg = TimeTConfig(
+        n_prototypes=8, num_epochs=1, steps_per_epoch=2,
+        spatial_resolution=RES, n_last_frames=2, size_mask_neighborhood=1,
+        grad_attn_impl="xla",
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    params = model.init(rng, sample)["params"]
+    tx, _ = swav_optimizer(
+        params, lr=1e-3, num_epochs=1, steps_per_epoch=2,
+        unfreeze_layers=("blocks.1",),
+    )
+    st = init_state(model, cfg, tx, rng, sample)
+    step = jax.jit(make_train_step(model, cfg, tx))
+    st, m = step(st, _clip(0), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))

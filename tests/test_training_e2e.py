@@ -147,8 +147,17 @@ def test_preemption_saves_and_resumes(davis_tree, tmp_path):
 
 
 def test_periodic_mid_epoch_checkpoints(davis_tree, tmp_path):
-    cfg = _cfg(davis_tree, tmp_path, num_epochs=1,
-               checkpoint_every_steps=1, max_steps_per_epoch=2)
+    """checkpoint_every_steps must fire MID-epoch, not only at the epoch
+    flush: with 2 steps/epoch × 2 epochs and every_steps=3, only the
+    mid-epoch-1 save at global step 3 can produce a step-3 checkpoint (the
+    epoch-start save holds step 2, and neither epoch flush lands on a
+    multiple of 3)."""
+    from timetuning_tpu.core.checkpoint import load_checkpoint
+
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=2, checkpoint_every_steps=3)
     result = run_training(cfg)
-    assert os.path.exists(os.path.join(result["run_dir"], "checkpoint"))
     assert result["preempted"] is False
+    assert result["global_step"] == 4
+    st, ep = load_checkpoint(result["run_dir"], result["state"])
+    assert int(st.step) == 3, "mid-epoch periodic save did not happen"
+    assert ep == 1

@@ -392,18 +392,19 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 writer.scalar("Loss/train", last_loss, pstep)
                 writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
             pending = (global_step, metrics)
-        if pending is not None:
-            pstep, pmetrics = pending
-            last_loss = float(pmetrics["loss"])
-            if jax.process_index() == 0:
-                writer.scalar("Loss/train", last_loss, pstep)
-                writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
+            # mid-epoch actions (these sync the in-flight step, which is
+            # exactly what a durable save needs)
             if (
                 cfg.checkpoint_every_steps
                 and global_step % cfg.checkpoint_every_steps == 0
             ):
                 save_checkpoint(state, run_dir, epoch)
             if preempt["flag"]:
+                pstep, pmetrics = pending
+                last_loss = float(pmetrics["loss"])
+                if jax.process_index() == 0:
+                    writer.scalar("Loss/train", last_loss, pstep)
+                    writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
                 save_checkpoint(state, run_dir, epoch)
                 logger.info(
                     "preemption signal — checkpoint saved at step %d "
@@ -411,6 +412,12 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                     global_step, epoch,
                 )
                 return _finish(preempted=True)
+        if pending is not None:
+            pstep, pmetrics = pending
+            last_loss = float(pmetrics["loss"])
+            if jax.process_index() == 0:
+                writer.scalar("Loss/train", last_loss, pstep)
+                writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
         logger.info(
             "epoch %d done in %.1fs (loss %s)", epoch, time.time() - t0, last_loss
         )

@@ -92,3 +92,14 @@ def test_dispatcher_routes_long_sequences():
     want, _ = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_kernel_default_single_pass():
+    """The production default (block_k=None → whole-K single softmax pass
+    for Skp ≤ 4096, n_kt == 1) — exercised with ragged S so the padded-key
+    masking of the one-shot pass is covered too."""
+    q, k, v = _qkv(S=1201, Dh=16, seed=5)
+    got = flash_attention_fwd_pallas(q, k, v, block_q=256, interpret=True)
+    want, _ = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

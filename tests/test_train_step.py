@@ -326,14 +326,22 @@ def test_split_trunk_with_queue_and_trainable_mask():
                                rtol=1e-4, atol=1e-6)
 
 
-def test_grad_attn_impl_clone_matches_default():
-    """grad_attn_impl routes only the differentiated pass through a cloned
-    backbone with a different attn_impl; the param tree is shared and the
-    trajectory must be identical to running the model's own impl (on CPU
-    both lower to the same XLA ops — this guards the clone wiring)."""
-    import dataclasses
+def _tiny_auto_model():
+    vcfg = ViTConfig(
+        patch_size=PATCH, embed_dim=32, depth=2, num_heads=2, img_size=IMG,
+        attn_impl="auto",
+    )
+    fe = FeatureExtractor(backbone=VisionTransformer(vcfg), head_dims=(48, 24))
+    return TimeT(feature_extractor=fe, n_prototypes=8)
 
-    model = tiny_model()
+
+def test_grad_attn_impl_clone_matches_default():
+    """grad_attn_impl="xla" on an attn_impl="auto" model BUILDS the grad-path
+    clone (verified below); its trajectory must equal grad_attn_impl=None,
+    since on CPU in f32 the "auto" dispatcher lowers to the same XLA blocks.
+    This guards the clone wiring: a clone whose config leaked into the wrong
+    pass, or whose param tree diverged, would break the equality."""
+    model = _tiny_auto_model()
     base = dict(
         n_prototypes=8, use_teacher=True, num_epochs=2, steps_per_epoch=4,
         spatial_resolution=RES, n_last_frames=2, size_mask_neighborhood=1,
@@ -345,23 +353,44 @@ def test_grad_attn_impl_clone_matches_default():
         params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
         unfreeze_layers=("blocks.1",),
     )
+    # precondition: the clone condition actually fires for the "xla" arm
+    assert model.feature_extractor.backbone.config.attn_impl == "auto"
     states = {}
-    for impl in [None, "pallas-free"]:
-        # a *different* impl string exercises the clone path even though the
-        # tiny model already uses attn_impl="xla"; "xla" itself would skip
-        # cloning (equal impls)
-        cfg = TimeTConfig(**base, grad_attn_impl="xla" if impl else None)
+    for impl in [None, "xla"]:
+        cfg = TimeTConfig(**base, grad_attn_impl=impl)
         st = init_state(model, cfg, tx, rng, sample)
         step = jax.jit(make_train_step(model, cfg, tx))
         for i in range(2):
             st, m = step(st, _clip(i), jax.random.PRNGKey(i))
         states[impl] = (st, m)
-    a, b = states[None], states["pallas-free"]
+    a, b = states[None], states["xla"]
     np.testing.assert_allclose(float(a[1]["loss"]), float(b[1]["loss"]),
                                rtol=1e-6)
     for la, lb in zip(jax.tree.leaves(a[0].params), jax.tree.leaves(b[0].params)):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-6,
                                    atol=1e-7)
+
+
+def test_grad_attn_impl_respects_forced_impl():
+    """An explicitly forced attn_impl (not "auto") must NOT be rerouted by
+    grad_attn_impl — forcing pins the kernel path."""
+    model = tiny_model()  # attn_impl="xla" (forced)
+    cfg = TimeTConfig(
+        n_prototypes=8, num_epochs=1, steps_per_epoch=2,
+        spatial_resolution=RES, n_last_frames=2, size_mask_neighborhood=1,
+        grad_attn_impl="pallas",  # would crash on CPU if it were honored
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, IMG, IMG, 3))
+    params = model.init(rng, sample)["params"]
+    tx, _ = swav_optimizer(
+        params, lr=1e-3, num_epochs=1, steps_per_epoch=2,
+        unfreeze_layers=("blocks.1",),
+    )
+    st = init_state(model, cfg, tx, rng, sample)
+    step = jax.jit(make_train_step(model, cfg, tx))
+    st, m = step(st, _clip(0), jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
 
 
 def test_grad_attn_impl_clone_changes_impl_when_different():

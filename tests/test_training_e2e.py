@@ -161,3 +161,27 @@ def test_periodic_mid_epoch_checkpoints(davis_tree, tmp_path):
     st, ep = load_checkpoint(result["run_dir"], result["state"])
     assert int(st.step) == 3, "mid-epoch periodic save did not happen"
     assert ep == 1
+
+    # resume from the step-3 mid-epoch checkpoint: epoch 1's first batch was
+    # already consumed, so the resumed run must SKIP it (replaying would
+    # double-apply updates and overrun the schedules) and finish at step 4
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert result2["run_dir"] == result["run_dir"]
+    assert result2["global_step"] == 4, (
+        "mid-epoch resume replayed already-trained batches"
+    )
+
+
+def test_full_tree_optimizer_layout(davis_tree, tmp_path):
+    """opt_over_trainable=False restores the full-tree opt_state layout
+    (compat escape hatch for checkpoints saved before the subtree layout)
+    and trains + resumes end-to-end."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, opt_over_trainable=False)
+    r1 = run_training(cfg)
+    assert r1["final_loss"] is not None and np.isfinite(r1["final_loss"])
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, load_checkpoint=True,
+                opt_over_trainable=False)
+    r2 = run_training(cfg2)
+    assert r2["run_dir"] == r1["run_dir"]
+    assert r2["global_step"] > r1["global_step"]

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="additional mid-epoch checkpoint cadence")
     p.add_argument("--handle_preemption", type=str2bool, default=True,
                    help="SIGTERM → save checkpoint + clean exit")
+    p.add_argument("--opt_over_trainable", type=str2bool, default=True,
+                   help="optimizer/EMA/grad-collective over the trainable "
+                        "subtree only; false restores the full-tree "
+                        "opt_state layout (older checkpoints)")
     p.add_argument("--use_queue", type=str2bool, default=False)
     p.add_argument("--queue_size", type=int, default=16384)
     p.add_argument("--use_mask", type=str2bool, default=False)
@@ -113,6 +117,7 @@ def main(argv=None) -> int:
         streaming_eval=args.streaming_eval,
         checkpoint_every_steps=args.checkpoint_every_steps,
         handle_preemption=args.handle_preemption,
+        opt_over_trainable=args.opt_over_trainable,
         use_mask=args.use_mask,
         use_teacher=args.use_teacher,
         ema_decay=args.EMA_decay,

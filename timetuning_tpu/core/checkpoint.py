@@ -12,6 +12,7 @@ importer for the published PyTorch ``TimeT.pth`` (README.md:66-76 contract).
 from __future__ import annotations
 
 import datetime
+import logging
 import os
 import re
 from typing import Any
@@ -95,7 +96,16 @@ def export_best(params: Any, run_dir: str, score: float, epoch: int) -> str:
     from timetuning_tpu.models.export_torch import exportable, save_timet_pth
 
     if exportable(host):
-        save_timet_pth(host, path + ".pth")
+        try:
+            save_timet_pth(host, path + ".pth")
+        except ImportError:
+            # torch is a test-only dependency (pyproject [test] extra); a
+            # torch-less production host still gets the Orbax export — the
+            # .pth can be produced later from it via models/export_torch
+            logging.getLogger("checkpoint").info(
+                "torch unavailable — skipped reference-layout .pth export "
+                "(Orbax tree written at %s)", path,
+            )
     return path
 
 

@@ -140,6 +140,8 @@ class TimeTConfig:
     # differentiated pass through plain XLA blocks (same params tree —
     # tested identical) measures +1-2% step throughput on v5e at B=32-128
     # and compiles faster; None keeps the model's own attn_impl everywhere.
+    # Applies only when the model's attn_impl is "auto" — an explicitly
+    # forced impl ("fused"/"pallas"/"xla") is honored on the grad path too.
     grad_attn_impl: str | None = "xla"
 
 
@@ -295,8 +297,13 @@ def make_train_step(
     if (
         cfg.grad_attn_impl is not None
         and bcfg is not None
-        and getattr(bcfg, "attn_impl", cfg.grad_attn_impl) != cfg.grad_attn_impl
+        and getattr(bcfg, "attn_impl", None) == "auto"
+        and cfg.grad_attn_impl != "auto"
     ):
+        # only the dispatcher default is rerouted: an explicitly forced
+        # attn_impl ("fused"/"pallas"/"xla") keeps its impl on the grad
+        # path too — forcing exists precisely to pin the kernel path
+        # (e.g. debugging kernel gradients)
         import dataclasses as _dc
 
         grad_fe = fe.clone(
@@ -490,12 +497,12 @@ def make_train_step(
                 if cfg.axis_name is not None:
                     g_sub = jax.lax.pmean(g_sub, cfg.axis_name)
                     loss = jax.lax.pmean(loss, cfg.axis_name)
+                from timetuning_tpu.core.optimizer import merge_subtree
+
                 sub = tu.unflatten_dict(train_p)
                 updates, opt_state = tx.update(g_sub, state.opt_state, sub)
                 new_sub = optax.apply_updates(sub, updates)
-                params = tu.unflatten_dict(
-                    {**frozen_p, **tu.flatten_dict(new_sub)}
-                )
+                params = merge_subtree(state.params, new_sub)
             else:
                 grads = tu.unflatten_dict(
                     {

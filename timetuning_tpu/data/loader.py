@@ -57,6 +57,14 @@ class ClipLoader:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        self._skip_next = 0
+
+    def skip_next_batches(self, n: int) -> None:
+        """Drop the first ``n`` batches of the NEXT iteration (before any
+        decode work) — mid-epoch checkpoint resume uses this to fast-forward
+        to the first unconsumed batch. One-shot: consumed by one __iter__.
+        Deterministic because the shuffle is keyed by (seed, epoch)."""
+        self._skip_next = int(n)
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
@@ -86,6 +94,8 @@ class ClipLoader:
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
         ]
+        skip, self._skip_next = self._skip_next, 0
+        batches = batches[skip:]
         if not batches:
             return
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -348,7 +348,6 @@ def _rows_call(kernel, args, row_args, D_out, block_rows, interpret):
 def _mlp_rows_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_rows: int = 512,
                      interpret: bool = False):
     D = x.shape[-1]
-    Dh = w1.shape[1]
     return _rows_call(
         _mlp_rows_kernel,
         [ln_s.astype(jnp.float32).reshape(1, -1),

@@ -71,6 +71,24 @@ def main() -> None:
                         "synthetic clips and dump the loss series")
     p.add_argument("--curve_out", type=str, default=None)
     p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--data_root", type=str, default=None,
+                   help="real-data mode: DAVIS-layout tree — measures the "
+                        "full pipeline (decode/gather → host→device → fused "
+                        "augmentation → train step) sustained over epochs")
+    p.add_argument("--dataset", type=str, default="davis")
+    p.add_argument("--pack", action="store_true",
+                   help="real-data mode: build + use the decode-once clip "
+                        "pack (native threaded gather) instead of per-epoch "
+                        "JPEG re-decode")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=3,
+                   help="real-data mode: first epoch warms compile + page "
+                        "cache; the rest are measured")
+    p.add_argument("--loader_only", action="store_true",
+                   help="real-data mode: measure host-side loader "
+                        "throughput only (no device work) — the meaningful "
+                        "number in tunneled environments where per-step "
+                        "host->device uploads are artificially slow")
     args = p.parse_args()
 
     import jax
@@ -117,6 +135,90 @@ def main() -> None:
                         opt_over_trainable=True),
         donate_argnums=(0,),
     )
+
+    if args.data_root:
+        # ---- real-data mode: loader → fused augmentation → step, sustained
+        from timetuning_tpu.core.train import make_full_step
+        from timetuning_tpu.data.datasets import SamplingMode
+        from timetuning_tpu.data.loader import make_loader
+        from timetuning_tpu.data.transforms import AugmentConfig
+
+        pack_path = None
+        if args.pack:
+            import os
+
+            from timetuning_tpu.native import build_clip_pack
+
+            pack_path = os.path.join(args.data_root, "bench.clippack")
+            if not os.path.exists(pack_path):
+                plain = make_loader(
+                    args.dataset, num_clip_frames=F, batch_size=B,
+                    root=args.data_root, decode_size=256,
+                )
+                t0 = time.perf_counter()
+                build_clip_pack(plain.dataset, pack_path)
+                print(f"# pack built in {time.perf_counter()-t0:.1f}s",
+                      flush=True)
+        loader = make_loader(
+            args.dataset, num_clip_frames=F, batch_size=B, shuffle=True,
+            num_workers=args.num_workers, root=args.data_root,
+            decode_size=256, sampling_mode=SamplingMode.UNIFORM,
+            pack_path=pack_path,
+        )
+        steps_per_epoch = len(loader)
+        full_step = make_full_step(  # jits internally (donated state)
+            model, tcfg, tx, AugmentConfig(out_size=224),
+            trainable_mask=trainable_mask,
+        )
+
+        # loader-only epoch (host-side ceiling), after one warming epoch
+        for _ in loader:
+            pass
+        t0 = time.perf_counter()
+        nb = 0
+        for _ in loader:
+            nb += 1
+        loader_cps = nb * B / (time.perf_counter() - t0)
+
+        if args.loader_only:
+            print(json.dumps({
+                "metric": "clip_loader_clips_per_sec",
+                "value": round(loader_cps, 1),
+                "unit": f"clips/sec host-side "
+                        f"({'packed native gather' if args.pack else 'jpeg decode'}, "
+                        f"B={B}, workers={args.num_workers})",
+                "steps_per_epoch": steps_per_epoch,
+                "vs_baseline": None,
+            }))
+            return
+
+        rng_i = 0
+        sustained = None
+        for ep in range(args.epochs):
+            loader.set_epoch(ep)
+            t0 = time.perf_counter()
+            n = 0
+            for frames, _annots, _labels in loader:
+                state, m = full_step(
+                    state, jnp.asarray(frames), jax.random.PRNGKey(rng_i)
+                )
+                rng_i += 1
+                n += 1
+            float(m["loss"])  # sync the epoch
+            dt = time.perf_counter() - t0
+            if ep > 0:  # epoch 0 pays compile + page-cache warmup
+                sustained = n * B / dt
+            print(f"# epoch {ep}: {n} steps, {n*B/dt:.0f} clips/s", flush=True)
+        print(json.dumps({
+            "metric": "timet_epoch_pipeline_clips_per_sec",
+            "value": round(sustained, 1),
+            "unit": f"clips/sec/chip sustained ({'packed' if args.pack else 'jpeg'} "
+                    f"loader + augment + step, B={B})",
+            "loader_only_clips_per_sec": round(loader_cps, 1),
+            "steps_per_epoch": steps_per_epoch,
+            "vs_baseline": None,
+        }))
+        return
 
     if args.steps:
         # ---- loss-curve mode: N real optimization steps on structured clips

@@ -111,15 +111,24 @@ def test_clip_loader_sharding(davis_tree):
         decode_size=32,
     )
     seen = []
+    counts = []
     for rank in range(2):
         loader = ClipLoader(
             ds, batch_size=1, shuffle=False, world_size=2, rank=rank,
             drop_last=False, num_workers=2,
         )
+        got = []
         for frames, annots, labels in loader:
             assert frames.shape == (1, 2, 32, 32, 3)
-            seen += labels.tolist()
-    assert sorted(seen) == [0, 1, 2]  # two hosts cover the set disjointly
+            got += labels.tolist()
+        counts.append(len(got))
+        assert len(got) == len(loader)  # __len__ must match actual yields
+        seen += got
+    # DistributedSampler padding semantics: full coverage AND equal per-rank
+    # counts (unequal counts would deadlock cross-host collectives — one
+    # rank would run a step the others never join)
+    assert set(seen) == {0, 1, 2}
+    assert counts[0] == counts[1] == 2  # ceil(3/2) with wrap-around pad
 
 
 def test_make_loader_factory(davis_tree):
@@ -142,3 +151,109 @@ def test_train_val_split(davis_tree):
     train, val = train_val_split(os.path.join(davis_tree, "JPEGImages", "480p"), 1 / 3)
     assert len(train) == 2 and len(val) == 1
     assert set(train) | set(val) == {"video0", "video1", "video2"}
+
+
+def test_palette_annotation_decode_preserves_ids(tmp_path):
+    """DAVIS/YTVOS annotations are palette-indexed PNGs (pixel value ==
+    object id). The decoder must return the raw indices — cv2 alone would
+    expand the palette to colors (object 1 → (128,0,0) → id 128, objects
+    2/3 → 0), silently corrupting multi-object ground truth."""
+    from PIL import Image
+
+    from timetuning_tpu.data.datasets import _decode_annotation
+
+    ann = np.zeros((16, 16), np.uint8)
+    ann[2:6, 2:6] = 1
+    ann[8:12, 8:12] = 2
+    ann[12:15, 2:5] = 3
+    im = Image.fromarray(ann, mode="P")
+    # the DAVIS palette: object 1 red-ish, 2 green-ish, 3 blue-ish
+    im.putpalette([0, 0, 0, 128, 0, 0, 0, 128, 0, 0, 0, 128] + [0] * 756)
+    p = str(tmp_path / "ann.png")
+    im.save(p)
+
+    out = _decode_annotation(p, 16)
+    np.testing.assert_array_equal(out, ann)
+    assert set(np.unique(out)) == {0, 1, 2, 3}
+
+
+def test_pascal_palette_mask_decode(tmp_path):
+    """VOC SegmentationClass palette masks: class ids + the 255 ignore
+    border must survive decoding (cv2 grayscale would give luma ~38/~220)."""
+    from PIL import Image
+
+    from timetuning_tpu.data.pascal import PascalVOCDataset
+
+    root = tmp_path / "voc"
+    (root / "images").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    (root / "sets").mkdir()
+    img = np.zeros((16, 16, 3), np.uint8)
+    mask = np.zeros((16, 16), np.uint8)
+    mask[4:10, 4:10] = 1
+    mask[0, :] = 255  # VOC ignore border
+    im = Image.fromarray(mask, mode="P")
+    pal = [0] * 768
+    pal[3:6] = [128, 0, 0]
+    pal[765:768] = [224, 224, 192]
+    im.putpalette(pal)
+    cv2.imwrite(str(root / "images" / "a.jpg"), img)
+    im.save(str(root / "SegmentationClass" / "a.png"))
+    (root / "sets" / "val.txt").write_text("a\n")
+
+    ds = PascalVOCDataset(str(root), "val")
+    _, got = ds[0]
+    np.testing.assert_array_equal(got, mask)
+    assert 255 in np.unique(got)  # ignore index must be matchable
+
+
+def test_loader_worker_exception_propagates(davis_tree):
+    """A decode failure in a worker thread must raise in the consumer, not
+    hang the iterator forever on the missing batch."""
+    ds = VideoDataset(
+        frames_root=os.path.join(davis_tree, "JPEGImages"),
+        annotations_root=os.path.join(davis_tree, "Annotations"),
+        num_frames=2,
+        decode_size=32,
+    )
+
+    class Boom(Exception):
+        pass
+
+    class BadDataset:
+        def __len__(self):
+            return len(ds)
+
+        def __getitem__(self, i):
+            if i == 1:
+                raise Boom("corrupt frame")
+            return ds[i]
+
+    loader = ClipLoader(BadDataset(), batch_size=1, shuffle=False,
+                        drop_last=False, num_workers=2)
+    with pytest.raises(Boom):
+        for _ in loader:
+            pass
+
+
+def test_pack_path_rejected_for_ytvos(tmp_path):
+    with pytest.raises(ValueError, match="DAVIS-layout"):
+        make_loader(
+            "ytvos", num_clip_frames=2, batch_size=1, root=str(tmp_path),
+            pack_path=str(tmp_path / "x.pack"),
+        )
+
+
+def test_numeric_frame_ordering(tmp_path):
+    """Unpadded frame names (1.jpg .. 12.jpg) must order temporally, not
+    lexicographically (1, 10, 11, 12, 2, ...)."""
+    from timetuning_tpu.data.datasets import build_dataset_tree
+
+    vdir = tmp_path / "v"
+    vdir.mkdir()
+    for i in range(1, 13):
+        cv2.imwrite(str(vdir / f"{i}.jpg"),
+                    np.full((8, 8, 3), i, np.uint8))
+    tree = build_dataset_tree(str(tmp_path))
+    names = [os.path.basename(p) for p in tree[str(vdir)]]
+    assert names == [f"{i}.jpg" for i in range(1, 13)]

@@ -79,9 +79,13 @@ def test_two_process_rendezvous_and_psum(tmp_path):
     assert "OK pid=1 psum=6.0" in outs[1]
 
 
-def test_per_host_shards_are_disjoint_and_complete():
-    """The DistributedSampler-equivalent striding (data/loader.py): two
-    ranks' index shards partition the dataset with no overlap, per epoch."""
+def test_per_host_shards_are_complete_and_equal():
+    """The DistributedSampler-equivalent sharding (data/loader.py): ranks
+    cover the whole dataset and — load-bearing for cross-host collectives —
+    yield IDENTICAL index counts (n=23 over 2 ranks pads one wrap-around
+    duplicate to reach ceil(23/2)=12 each, like the reference's
+    DistributedSampler; unequal counts would strand one rank in a
+    collective the other never joins)."""
     from timetuning_tpu.data.loader import ClipLoader
 
     class FakeDataset(list):
@@ -96,9 +100,11 @@ def test_per_host_shards_are_disjoint_and_complete():
     for epoch in (0, 1):
         for ld in loaders:
             ld.set_epoch(epoch)
-        shards = [set(ld._indices()) for ld in loaders]
-        assert shards[0] & shards[1] == set()
+        idx = [ld._indices() for ld in loaders]
+        assert len(idx[0]) == len(idx[1]) == 12
+        shards = [set(i) for i in idx]
         assert shards[0] | shards[1] == set(range(23))
+        assert len(shards[0] & shards[1]) <= 1  # only the wrap-around pad
     # shuffling differs across epochs but stays aligned across ranks
     loaders[0].set_epoch(0)
     e0 = loaders[0]._indices()

@@ -69,7 +69,14 @@ def build_dataset_tree(root: str, convert_videos: bool = True) -> dict[str, list
     """
     tree: dict[str, list[str]] = {}
     for dirpath, dirnames, filenames in os.walk(root):
-        frames = [f for f in sorted(filenames) if f.lower().endswith(FRAME_EXTENSIONS)]
+        # numeric frame order: identical to lexicographic for zero-padded
+        # names (DAVIS/YTVOS/frame dumps, and the reference's plain sorted(),
+        # data_loader.py:597-599) but robust to unpadded "1.jpg ... 120.jpg"
+        # trees, which lexicographic order would temporally scramble
+        frames = sorted(
+            (f for f in filenames if f.lower().endswith(FRAME_EXTENSIONS)),
+            key=_numeric_key,
+        )
         videos = [f for f in filenames if f.lower().endswith(VIDEO_EXTENSIONS)]
         if videos and convert_videos:
             for v in videos:
@@ -133,6 +140,27 @@ def _decode_frame(path: str, size: int, nearest: bool) -> np.ndarray:
         img = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB)
     img = cv2.resize(img, (size, size), interpolation=interp)
     return img
+
+
+def _decode_annotation(path: str, size: int) -> np.ndarray:
+    """Decode a segmentation annotation preserving OBJECT IDS.
+
+    DAVIS/YTVOS annotations are palette-indexed PNGs whose pixel values are
+    object indices; OpenCV cannot return raw palette indices (it expands to
+    BGR, turning object 1 into color (128, 0, 0) — ids corrupted). PIL's
+    'P' mode yields the indices directly, matching the reference's
+    ``Image.open`` reads (data_loader.py:664-666)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        if im.mode == "P":
+            a = np.asarray(im)
+        elif im.mode in ("L", "I", "I;16"):
+            a = np.asarray(im)
+        else:
+            a = np.asarray(im.convert("L"))
+    a = np.asarray(a, dtype=np.uint8 if a.dtype != np.int32 else a.dtype)
+    return cv2.resize(a, (size, size), interpolation=cv2.INTER_NEAREST)
 
 
 @dataclasses.dataclass
@@ -205,9 +233,7 @@ class VideoDataset:
             for c, idx in enumerate(clip_idx):
                 for f, i in enumerate(idx):
                     if i < len(ann_files):
-                        a = _decode_frame(ann_files[i], self.decode_size, nearest=True)
-                        if a.ndim == 3:
-                            a = a[..., 0]
+                        a = _decode_annotation(ann_files[i], self.decode_size)
                         if self.map_annotations is not None:
                             a = self.map_annotations(a, self.ann_keys[index])
                         annots[c, f] = a
@@ -309,10 +335,9 @@ class PackedVideoDataset(VideoDataset):
             for c, idx in enumerate(clip_idx):
                 for f, i in enumerate(idx):
                     if i < len(ann_files):
-                        a = _decode_frame(ann_files[i], self.decode_size, nearest=True)
-                        if a.ndim == 3:
-                            a = a[..., 0]
-                        annots[c, f] = a
+                        annots[c, f] = _decode_annotation(
+                            ann_files[i], self.decode_size
+                        )
         return {"frames": frames, "annotations": annots, "label": index}
 
 

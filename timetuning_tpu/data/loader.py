@@ -77,13 +77,26 @@ class ClipLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        order = order[self.rank :: self.world_size]
+        # Equal per-rank counts are load-bearing: when n % world_size != 0,
+        # plain striding gives some ranks one extra index → one extra batch
+        # → that rank enters a cross-host collective the others never join
+        # (permanent hang). Pad with wrap-around to ceil(n/ws)·ws before
+        # striding, exactly like the reference's DistributedSampler
+        # (data_loader.py:1105-1107): full coverage, equal counts.
+        if self.world_size > 1:
+            per_rank = -(-n // self.world_size)
+            pad = per_rank * self.world_size - n
+            if pad:
+                order = np.concatenate([order, order[:pad]])
+            order = order[self.rank :: self.world_size]
+            assert len(order) == per_rank
         if self.drop_last:
             order = order[: len(order) - len(order) % self.batch_size]
         return order.tolist()
 
     def __len__(self) -> int:
-        per_host = len(self.dataset) // self.world_size
+        n = len(self.dataset)
+        per_host = -(-n // self.world_size) if self.world_size > 1 else n
         if self.drop_last:
             return per_host // self.batch_size
         return (per_host + self.batch_size - 1) // self.batch_size
@@ -111,16 +124,23 @@ class ClipLoader:
                     bi, b = idx_q.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.dataset[i] for i in b]
-                frames = np.stack([it["frames"] for it in items])
-                annots = np.stack([it["annotations"] for it in items])
-                labels = np.asarray([it["label"] for it in items])
-                # [B, clips, F, H, W, (3)] → merge clips into batch like the
-                # reference's squeeze for num_clips == 1
-                if frames.shape[1] == 1:
-                    frames = frames[:, 0]
-                    annots = annots[:, 0]
-                out_q.put((bi, (frames, annots, labels)))
+                try:
+                    items = [self.dataset[i] for i in b]
+                    frames = np.stack([it["frames"] for it in items])
+                    annots = np.stack([it["annotations"] for it in items])
+                    labels = np.asarray([it["label"] for it in items])
+                    # [B, clips, F, H, W, (3)] → merge clips into batch like
+                    # the reference's squeeze for num_clips == 1
+                    if frames.shape[1] == 1:
+                        frames = frames[:, 0]
+                        annots = annots[:, 0]
+                    out_q.put((bi, (frames, annots, labels)))
+                except BaseException as e:  # noqa: BLE001
+                    # propagate instead of dying silently: a dead worker's
+                    # claimed batch would never reach out_q and the consumer
+                    # would block forever on its index
+                    out_q.put((bi, e))
+                    return
 
         threads = [
             threading.Thread(target=worker, daemon=True)
@@ -135,7 +155,10 @@ class ClipLoader:
             while next_bi not in pending:
                 bi, payload = out_q.get()
                 pending[bi] = payload
-            yield pending.pop(next_bi)
+            payload = pending.pop(next_bi)
+            if isinstance(payload, BaseException):
+                raise payload
+            yield payload
             next_bi += 1
 
 
@@ -178,6 +201,12 @@ def _build_davis_like(name, root, pack_path=None, **kw):
 @register_dataset("ytvos")
 @register_dataset("ytvos_val")
 def _build_ytvos(name, root, **kw):
+    if kw.pop("pack_path", None):
+        raise ValueError(
+            "pack_path is only supported for DAVIS-layout datasets "
+            "(davis/mose/visor/epic-kitchen); the ytvos meta.json instance "
+            "mapping is not represented in the pack format"
+        )
     split = "valid" if name.endswith("_val") else "train"
     base = os.path.join(root, split)
     if not os.path.isdir(base):
@@ -195,6 +224,8 @@ def _build_ytvos(name, root, **kw):
 @register_dataset("kinetics")
 def _build_kinetics(name, root, **kw):
     kw.pop("annotations_root", None)
+    if kw.pop("pack_path", None):
+        raise ValueError("pack_path is only supported for DAVIS-layout datasets")
     return KineticsDataset(frames_root=root, **kw)
 
 

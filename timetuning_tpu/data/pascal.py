@@ -46,8 +46,18 @@ class PascalVOCDataset:
 
     def __getitem__(self, i: int):
         img = cv2.cvtColor(cv2.imread(self.images[i]), cv2.COLOR_BGR2RGB)
-        # palette PNG: single-channel class ids
-        mask = cv2.imread(self.masks[i], cv2.IMREAD_GRAYSCALE)
+        # VOC SegmentationClass masks are palette-indexed PNGs whose pixel
+        # values are CLASS IDS (255 = ignore border). cv2 would expand the
+        # palette to colors (class 1 → luma ~38, ignore → ~220, never 255);
+        # PIL 'P' mode returns the raw indices, like the reference's PIL
+        # reads (leoloader.py). SegmentationClassAug files are plain
+        # grayscale and decode identically either way.
+        from PIL import Image
+
+        with Image.open(self.masks[i]) as im:
+            mask = np.asarray(
+                im if im.mode in ("P", "L") else im.convert("L")
+            ).astype(np.uint8)
         return img, mask
 
 

@@ -133,6 +133,13 @@ class Evaluator:
 
     ``feature_fn(frames, use_head) -> (features [B*F, N, D], attentions)``
     — typically a jitted TimeT/FeatureExtractor apply.
+
+    Deliberate reference asymmetry, kept for score parity (evaluation.py:
+    387-485): precomputed ``fg_masks`` are applied only by the
+    dataset-wise/streaming paths (reference :418-427), and ``uvos``
+    annotation binarization only by the sample-/frame-wise batch path
+    (reference :464-467) — the reference never routes either flag through
+    the other protocol.
     """
 
     def __init__(

@@ -221,8 +221,15 @@ class PredsmIoU:
     def compute_propagation_score(self, is_global_zero: bool = True):
         """Per-object J with the reference's running-cumulative-per-frame
         averaging (metrics.py:271-346): for each non-background object,
-        average over frames (that contain it) of the *cumulative* IoU up to
-        that frame."""
+        SUM over ALL frames of the *cumulative* IoU up to that frame,
+        divided by the number of frames that contain the object.
+
+        Deliberate reference quirk: the reference accumulates ``jac`` on
+        every frame (metrics.py:338) but divides by ``frames_have_part``
+        (metrics.py:341) — for an object absent from later frames the score
+        can exceed 1 (e.g. present only in frame 0 of 10 with IoU 0.8 →
+        ≈8.0). Reproduced exactly for score parity; the DAVIS-standard J is
+        available via eval/vos.py."""
         if not is_global_zero:
             return None
         frames = np.stack(self._frames)             # [T, G, P]

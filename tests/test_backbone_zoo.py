@@ -31,14 +31,29 @@ def test_resnet50_forward():
 def test_dul_forward():
     bb = get_backbone("dul")
     feats, _ = bb.apply(jnp.zeros((1, IMG, IMG, 3)))
-    # stride-1 layer3/4 → output stride 8
-    assert feats.shape == (1, (IMG // 8) ** 2, 512)
+    # the generic Backbone contract: tokens on the reference's fixed 28²
+    # grid (models.py:1063-1068 interpolates the stride-8 features to 28×28)
+    assert feats.shape == (1, 28 * 28, 512)
+    assert bb.spatial_resolution(IMG) == 28
+    assert bb.spatial_resolution(448) == 28
 
 
 def test_motion_grouping_forward():
     bb = get_backbone("motion_grouping")
-    combined, recon, masks, slots = bb.module.apply(
-        bb.variables, jnp.zeros((1, 128, 128, 3)), rng=jax.random.PRNGKey(0)
+    # generic Backbone contract (reference models.py:1055-1061: encoder CNN
+    # interpolated to a fixed 56² grid)
+    feats, attn = bb.apply(jnp.zeros((1, 128, 128, 3)))
+    assert feats.shape == (1, 56 * 56, 64)
+    assert attn is None
+    assert bb.spatial_resolution(128) == 56
+
+    # the underlying autoencoder still runs as the object-discovery model
+    from timetuning_tpu.models.slot_attention import SlotAttentionAutoEncoder
+
+    ae = SlotAttentionAutoEncoder()
+    var = ae.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    combined, recon, masks, slots = ae.apply(
+        var, jnp.zeros((1, 128, 128, 3)), rng=jax.random.PRNGKey(0)
     )
     assert combined.shape == (1, 128, 128, 3)
     assert masks.shape[1] == 5

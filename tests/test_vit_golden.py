@@ -64,11 +64,32 @@ def test_pos_embed_interpolation(oracle_and_flax):
         want, _ = oracle(torch.from_numpy(x))
     got = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     assert got["tokens"].shape == want.shape
-    # torch bicubic (align_corners=False) and jax.image cubic use slightly
-    # different boundary handling; agreement is tight but not bit-exact.
+    # resize_bicubic_torch reproduces torch's A=-0.75 bicubic kernel exactly,
+    # so interpolated-resolution forwards match to normal float tolerance
+    # (the old jax.image 'cubic' A=-0.5 kernel only matched to ~2e-2)
     np.testing.assert_allclose(
-        np.asarray(got["tokens"]), want.numpy(), rtol=1e-2, atol=2e-2
+        np.asarray(got["tokens"]), want.numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+def test_bicubic_matches_torch_exactly():
+    """resize_bicubic_torch vs F.interpolate(mode='bicubic'): same kernel
+    (A=-0.75), same half-pixel mapping, same border clamping — up and down,
+    square and ragged."""
+    import torch.nn.functional as F
+
+    from timetuning_tpu.ops.resize import resize_bicubic_torch
+
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=(2, 7, 7, 5)).astype(np.float32)
+    for size in [(14, 14), (28, 28), (5, 9), (3, 3)]:
+        got = resize_bicubic_torch(jnp.asarray(x), size)
+        want = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=size,
+            mode="bicubic", align_corners=False,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5, err_msg=str(size))
 
 
 def test_intermediates_are_normed(oracle_and_flax):

@@ -58,6 +58,12 @@ def _sample_grid_indices(rng, B: int, h: int, w: int, n: int) -> jax.Array:
     grid of pixel indices with one random (x, y) offset per batch element.
     Returns [B, n, n] flat hw indices."""
     xs, ys = w // n, h // n
+    if xs < 1 or ys < 1:
+        raise ValueError(
+            f"sampling grid {n}x{n} larger than the {h}x{w} feature grid — "
+            "lower grid_size/grid_size_ref (jax.random.randint would fail "
+            "with maxval=0 deep in the loss otherwise)"
+        )
     kx, ky = jax.random.split(rng)
     x_off = jax.random.randint(kx, (B, 1, 1), 0, xs)
     y_off = jax.random.randint(ky, (B, 1, 1), 0, ys)
@@ -196,3 +202,26 @@ def space_time_cluster_loss(
     keys = jax.random.split(rng, B)
     losses = jax.vmap(per_clip)(f, keys)
     return losses.mean()
+
+
+class DulBackbone(nn.Module):
+    """Backbone-zoo adapter (reference models.py:1063-1068): the stride-8
+    DUL ResNet18 features bilinearly interpolated to the reference's fixed
+    28×28 grid and flattened to tokens."""
+
+    dtype: Any = jnp.float32
+    grid: int = 28
+
+    @nn.compact
+    def __call__(self, x, want_attention: bool = False):
+        del want_attention
+        out = DulResNet18(self.dtype, name="net")(x)
+        H, W = out["grid"]
+        B, _, D = out["tokens"].shape
+        h = out["tokens"].reshape(B, H, W, D)
+        h = jax.image.resize(h, (B, self.grid, self.grid, D), method="bilinear")
+        return {
+            "tokens": h.reshape(B, self.grid * self.grid, D),
+            "attention": None,
+            "grid": (self.grid, self.grid),
+        }

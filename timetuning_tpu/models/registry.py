@@ -21,7 +21,6 @@ import jax.numpy as jnp
 from timetuning_tpu.models import mae as mae_mod
 from timetuning_tpu.models import moco as moco_mod
 from timetuning_tpu.models import resnet as resnet_mod
-from timetuning_tpu.models.dul import DulResNet18
 from timetuning_tpu.models.import_torch import (
     load_torch_state_dict,
     strip_prefixes,
@@ -64,8 +63,14 @@ class Backbone:
     feature_dim: int
     drop_cls: bool
     name: str
+    # Architectures whose token grid is pinned by the reference recipe
+    # regardless of input size (motion_grouping → 56, dul → 28;
+    # models.py:1055-1068 interpolates to those fixed grids).
+    fixed_resolution: int | None = None
 
     def spatial_resolution(self, input_size: int = 224) -> int:
+        if self.fixed_resolution is not None:
+            return self.fixed_resolution
         if self.patch_size is not None:
             return input_size // self.patch_size
         return input_size // 32  # standard resnet output stride
@@ -83,7 +88,11 @@ def _init_variables(module, img=224, rng=None):
     return module.init(rng, jnp.zeros((1, img, img, 3)))
 
 
-def _vit_backbone(cfg, model_path, name, dtype):
+def _vit_backbone(cfg, model_path, name):
+    """dtype/attn_impl are carried by ``cfg`` (the callers bake them in).
+    Replacing (not merging) the variables on import is valid because the
+    ViT has params only — a BN-bearing backbone must merge to keep its
+    batch_stats collection (see the resnet path)."""
     module = VisionTransformer(cfg)
     variables = _init_variables(module)
     if model_path:
@@ -119,18 +128,18 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
 
         cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
                         img_size=32, dtype=dtype, attn_impl="xla")
-        return _vit_backbone(cfg, model_path, name, dtype)
+        return _vit_backbone(cfg, model_path, name)
 
     if name in ("dino-s16", "msn-s16", "ibot-s16", "leopart"):
-        return _vit_backbone(vit_small(16, dtype=dtype), model_path, name, dtype)
+        return _vit_backbone(vit_small(16, dtype=dtype), model_path, name)
     if name == "dino-s8":
-        return _vit_backbone(vit_small(8, dtype=dtype), model_path, name, dtype)
+        return _vit_backbone(vit_small(8, dtype=dtype), model_path, name)
     if name in ("dino-b16", "vit"):
-        return _vit_backbone(vit_base(16, dtype=dtype), model_path, name, dtype)
+        return _vit_backbone(vit_base(16, dtype=dtype), model_path, name)
     if name == "mocov3-s16":
-        return _vit_backbone(moco_mod.moco_vit_small(dtype=dtype), model_path, name, dtype)
+        return _vit_backbone(moco_mod.moco_vit_small(dtype=dtype), model_path, name)
     if name == "mocov3-b16":
-        return _vit_backbone(moco_mod.moco_vit_base(dtype=dtype), model_path, name, dtype)
+        return _vit_backbone(moco_mod.moco_vit_base(dtype=dtype), model_path, name)
 
     if name == "mae":
         module = mae_mod.mae_vit_base(dtype=dtype)
@@ -148,14 +157,20 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
         return Backbone(module, variables, 16, 768, True, name)
 
     if name == "motion_grouping":
-        module = SlotAttentionAutoEncoder()
+        from timetuning_tpu.models.slot_attention import MotionGroupingBackbone
+
+        module = MotionGroupingBackbone(autoencoder=SlotAttentionAutoEncoder())
         variables = _init_variables(module, img=128)
-        return Backbone(module, variables, None, 64, False, name)
+        return Backbone(module, variables, None, 64, False, name,
+                        fixed_resolution=56)
 
     if name == "dul":
-        module = DulResNet18(dtype)
+        from timetuning_tpu.models.dul import DulBackbone
+
+        module = DulBackbone(dtype)
         variables = _init_variables(module)
-        return Backbone(module, variables, None, 512, False, name)
+        return Backbone(module, variables, None, 512, False, name,
+                        fixed_resolution=28)
 
     if name == "stego":
         # Native STEGO featurizer (DINO ViT-S/8 + cluster projection); the

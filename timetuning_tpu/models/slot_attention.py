@@ -79,6 +79,22 @@ class SoftPositionEmbed(nn.Module):
         return x + pos[None]
 
 
+class _EncoderCNN(nn.Module):
+    """The 4-conv encoder (reference motion_grouping_model.py:150-160) — a
+    standalone submodule so both the autoencoder and the backbone-zoo
+    adapter can own an instance (flax allows one @compact method per
+    module, so a param-creating ``encoder_cnn`` method can't be shared)."""
+
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(4):
+            x = nn.Conv(self.hidden_dim, (5, 5), padding="SAME", name=f"enc{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
 class SlotAttentionAutoEncoder(nn.Module):
     """Object-discovery autoencoder (reference motion_grouping_model.py:144-250)."""
 
@@ -87,16 +103,10 @@ class SlotAttentionAutoEncoder(nn.Module):
     iters: int = 3
     hidden_dim: int = 64
 
-    def encoder_cnn(self, x):
-        for i in range(4):
-            x = nn.Conv(self.hidden_dim, (5, 5), padding="SAME", name=f"enc{i}")(x)
-            x = nn.relu(x)
-        return x
-
     @nn.compact
     def __call__(self, x, rng=None):
         B = x.shape[0]
-        h = self.encoder_cnn(x)
+        h = _EncoderCNN(self.hidden_dim, name="encoder")(x)
         h = SoftPositionEmbed(self.hidden_dim, name="enc_pos")(h)
         H, W = h.shape[1:3]
         tokens = h.reshape(B, H * W, self.hidden_dim)
@@ -126,3 +136,28 @@ class SlotAttentionAutoEncoder(nn.Module):
         recon, masks = d[..., :3], jax.nn.softmax(d[..., 3:], axis=1)
         combined = jnp.sum(recon * masks, axis=1)
         return combined, recon, masks, slots
+
+
+class MotionGroupingBackbone(nn.Module):
+    """Backbone-zoo adapter (reference models.py:1055-1061): the slot
+    autoencoder's encoder CNN, bilinearly interpolated to the reference's
+    fixed 56×56 grid and flattened to tokens. Satisfies the generic
+    ``Backbone.apply`` contract (want_attention kwarg + dict output) that
+    the raw autoencoder (a 4-tuple reconstruction model) does not."""
+
+    autoencoder: SlotAttentionAutoEncoder
+    grid: int = 56
+
+    @nn.compact
+    def __call__(self, x, want_attention: bool = False):
+        del want_attention
+        # same submodule type + name as inside the autoencoder, so a trained
+        # autoencoder's {encoder: ...} subtree transfers verbatim
+        h = _EncoderCNN(self.autoencoder.hidden_dim, name="encoder")(x)
+        B, _, _, C = h.shape
+        h = jax.image.resize(h, (B, self.grid, self.grid, C), method="bilinear")
+        return {
+            "tokens": h.reshape(B, self.grid * self.grid, C),
+            "attention": None,
+            "grid": (self.grid, self.grid),
+        }

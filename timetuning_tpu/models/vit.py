@@ -50,8 +50,13 @@ def interpolate_pos_embed(
 
     Matches reference ``interpolate_pos_encoding``
     (dino_vision_transformer.py:214-234): the stored square grid is resized
-    bicubically; the CLS position passes through unchanged.
+    with torch's EXACT bicubic kernel (A=-0.75, half-pixel centers,
+    border-clamped taps — ``jax.image.resize``'s 'cubic' is the A=-0.5 Keys
+    kernel, which drifts from a PyTorch-imported checkpoint at every
+    non-native resolution); the CLS position passes through unchanged.
     """
+    from timetuning_tpu.ops.resize import resize_bicubic_torch
+
     n = pos_embed.shape[1] - 1
     dim = pos_embed.shape[-1]
     n0 = int(round(n ** 0.5))
@@ -59,9 +64,7 @@ def interpolate_pos_embed(
         return pos_embed
     cls_pos = pos_embed[:, :1]
     grid = pos_embed[:, 1:].reshape(1, n0, n0, dim)
-    grid = jax.image.resize(
-        grid, (1, h_patches, w_patches, dim), method="cubic"
-    )
+    grid = resize_bicubic_torch(grid, (h_patches, w_patches))
     grid = grid.reshape(1, h_patches * w_patches, dim)
     return jnp.concatenate([cls_pos, grid], axis=1)
 
@@ -103,29 +106,14 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, return_probs: bool = False):
+        # NOTE: no whole-branch Pallas dispatch here — Block's fused-block
+        # gate fires under a strict superset of the conditions where one
+        # could apply (bf16/forced + TPU; >1024 tokens routed to flash), so
+        # a duplicate dispatch at this level is dead on TPU and can only
+        # crash on CPU. The ops.attention dispatcher below still honors
+        # attn_impl (with clear errors for unavailable/probs-incompatible
+        # forced kernels).
         B, S, D = x.shape
-        impl = self.attn_impl
-        if impl in ("auto", "fused") and not return_probs:
-            from timetuning_tpu.ops.fused_attention import (
-                attention_branch,
-                fused_available,
-            )
-
-            # dtype contract: 'auto' fuses only in bf16 — the fused kernels'
-            # f32 results drift ~1e-2 from XLA over 12 layers (matmul pass
-            # ordering), so f32 eval stays on the bit-faithful XLA path;
-            # 'fused' forces the kernel regardless
-            auto_ok = self.dtype == jnp.bfloat16 and fused_available(S)
-            if auto_ok or (impl == "fused" and S <= 1024):
-                # whole branch (qkv → attention → proj) in one Pallas kernel
-                wq, bq = _DenseParams(3 * D, self.qkv_bias, name="qkv")(D)
-                wp, bp = _DenseParams(D, True, name="proj")(D)
-                bq = jnp.zeros((3 * D,), jnp.float32) if bq is None else bq
-                out = attention_branch(
-                    x.astype(self.dtype), wq.astype(self.dtype), bq,
-                    wp.astype(self.dtype), bp, self.num_heads,
-                )
-                return out, None
         Dh = D // self.num_heads
         qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(B, S, 3, self.num_heads, Dh)

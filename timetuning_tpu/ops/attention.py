@@ -167,6 +167,15 @@ def attention(
             "attention impl forced to a Pallas kernel but the pallas TPU "
             "backend is unavailable on this build — use impl='xla' or 'auto'"
         )
+    if impl == "pallas" and return_probs:
+        raise RuntimeError(
+            "attention probabilities are only available through the XLA "
+            "path (the fused/flash kernels never materialize them); with a "
+            "forced kernel impl, request probs via impl='xla'/'auto' — e.g. "
+            "mask_features needs the last block's probs, so combine "
+            "attn_impl='fused'/'pallas' with grad_attn_impl/want_attention "
+            "paths that run XLA"
+        )
     if impl == "auto":
         on_tpu = pltpu is not None and jax.default_backend() == "tpu"
         # dtype contract: bf16 → fused kernels; f32 stays on the

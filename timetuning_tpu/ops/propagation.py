@@ -81,7 +81,7 @@ def kth_largest_value(x: jax.Array, k: int) -> jax.Array:
 
 
 def label_propagation_step(
-    feat_tar: jax.Array,       # [N, D]  target-frame features (not yet normalized)
+    feat_tar: jax.Array,       # [N, D]  target-frame features, L2-NORMALIZED
     ctx_feats: jax.Array,      # [C, N, D] context features (already L2-normalized)
     ctx_segs: jax.Array,       # [C, K, N] context label maps
     ctx_valid: jax.Array,      # [C] 1.0 for live context slots
@@ -93,11 +93,14 @@ def label_propagation_step(
 
     Matches reference ``label_propagation`` (mask_propagation.py:396-445):
     invalid context slots contribute zero affinity (the static-shape stand-in
-    for the reference's variable-length context list).
+    for the reference's variable-length context list). The caller passes the
+    already-normalized target row (propagate_labels computes feats_n once
+    for all frames — normalizing again here would redo the work and keep a
+    second copy of the [T, N, D] tensor live through the scan).
     """
     C, N, D = ctx_feats.shape
     acc_t = jnp.promote_types(feat_tar.dtype, jnp.float32)
-    f_tar = feat_tar / (jnp.linalg.norm(feat_tar, axis=-1, keepdims=True) + _EPS)
+    f_tar = feat_tar
     # [C, N_tar, N_src] — batched matmul on the MXU.
     aff = jnp.einsum(
         "nd,cmd->cnm", f_tar, ctx_feats, preferred_element_type=acc_t
@@ -159,9 +162,9 @@ def propagate_labels(
 
     def step(carry, xs):
         ctx_feats, ctx_segs, ctx_valid = carry
-        f_norm, f_raw, t = xs
+        f_norm, t = xs
         seg = label_propagation_step(
-            f_raw, ctx_feats, ctx_segs, ctx_valid, nbhd, topk, temperature
+            f_norm, ctx_feats, ctx_segs, ctx_valid, nbhd, topk, temperature
         )
         slot = 1 + jnp.mod(t - 1, n_slots)
         ctx_feats = jax.lax.dynamic_update_index_in_dim(ctx_feats, f_norm, slot, 0)
@@ -172,7 +175,7 @@ def propagate_labels(
     # `at[slot].set` with a traced index lowers to dynamic_update_slice — fine.
     ts = jnp.arange(1, T)
     (_, _, _), segs = jax.lax.scan(
-        step, (ctx_feats0, ctx_segs0, ctx_valid0), (feats_n[1:], features[1:], ts)
+        step, (ctx_feats0, ctx_segs0, ctx_valid0), (feats_n[1:], ts)
     )
     return segs
 

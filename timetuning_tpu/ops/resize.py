@@ -27,6 +27,53 @@ def _bilinear_matrix(n_in: int, n_out: int):
     return W
 
 
+@functools.lru_cache(maxsize=64)
+def _cubic_matrix(n_in: int, n_out: int):
+    """[n_out, n_in] interpolation weights reproducing torch's
+    ``F.interpolate(mode='bicubic', align_corners=False)`` EXACTLY: cubic
+    convolution with A=-0.75 (torch/PIL), half-pixel centers, out-of-range
+    taps clamped to the border. NOTE ``jax.image.resize(method='cubic')``
+    uses the Keys kernel with A=-0.5 — a different kernel; positional
+    embeddings resampled with it drift from a PyTorch-imported checkpoint
+    at every non-native resolution."""
+    A = -0.75
+
+    def k(s):
+        s = abs(s)
+        if s <= 1.0:
+            return (A + 2.0) * s**3 - (A + 3.0) * s**2 + 1.0
+        if s < 2.0:
+            return A * (s**3 - 5.0 * s**2 + 8.0 * s - 4.0)
+        return 0.0
+
+    W = np.zeros((n_out, n_in), np.float64)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        b = int(np.floor(src))
+        t = src - b
+        for tap, w in zip(
+            (b - 1, b, b + 1, b + 2),
+            (k(1.0 + t), k(t), k(1.0 - t), k(2.0 - t)),
+        ):
+            W[i, min(max(tap, 0), n_in - 1)] += w
+    return W.astype(np.float32)
+
+
+def resize_bicubic_torch(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+    """[..., H, W, C] → [..., h, w, C], bit-matching torch bicubic
+    (align_corners=False, no antialias) to f32 rounding."""
+    *lead, H, W, C = x.shape
+    oh, ow = size
+    Wh = jnp.asarray(_cubic_matrix(H, oh))
+    Ww = jnp.asarray(_cubic_matrix(W, ow))
+    out = jnp.einsum(
+        "...hwc,Hh,Ww->...HWc", x, Wh, Ww,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(x.dtype)
+
+
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Bilinear resize of [..., H, W] to [..., h, w] (align_corners=False
     semantics, matching torch ``interpolate(mode='bilinear')`` defaults used

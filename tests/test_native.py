@@ -111,3 +111,59 @@ def test_make_loader_with_pack(tmp_path):
     frames, annots, labels = next(iter(loader))
     assert frames.shape == (2, 2, 32, 32, 3)
     assert loader.dataset.pack.using_native
+
+
+def test_build_clip_pack_rejects_duplicate_basenames(tmp_path):
+    """The pack index is keyed by basename; two same-named video dirs under
+    different parents must be rejected, not silently overwritten."""
+    import cv2
+
+    from timetuning_tpu.data.datasets import VideoDataset
+    from timetuning_tpu.native import build_clip_pack
+
+    for parent in ("a", "b"):
+        d = tmp_path / "frames" / parent / "video1"
+        d.mkdir(parents=True)
+        for f in range(2):
+            cv2.imwrite(str(d / f"{f:05d}.jpg"),
+                        np.zeros((8, 8, 3), np.uint8))
+    ds = VideoDataset(frames_root=str(tmp_path / "frames"),
+                      annotations_root="", num_frames=2, decode_size=8)
+    with pytest.raises(ValueError, match="duplicate video basename"):
+        build_clip_pack(ds, str(tmp_path / "x.pack"))
+
+
+def test_memmap_gather_bounds_match_native(tmp_path):
+    """The memmap fallback must raise on out-of-range ids like the native
+    path (numpy would silently wrap negatives to frames from the end)."""
+    from timetuning_tpu import native as N
+
+    frames = np.arange(4 * 8 * 8 * 3, dtype=np.uint8).reshape(4, 8, 8, 3)
+    path = str(tmp_path / "t.pack")
+    N.write_clip_pack(path, frames)
+    pack = N.ClipPack(path)
+    try:
+        for bad in ([-1], [4], [0, -2]):
+            with pytest.raises(IndexError):
+                pack.gather(np.asarray(bad, np.int64))
+        np.testing.assert_array_equal(
+            pack.gather(np.asarray([3, 0], np.int64)), frames[[3, 0]]
+        )
+    finally:
+        pack.close()
+
+
+def test_file_logger_retargets_new_run_dir(tmp_path):
+    """make_file_logger must follow a NEW run_dir in the same process
+    instead of pinning the logger to the first run's file forever."""
+    from timetuning_tpu.obs.logging import make_file_logger
+
+    a = tmp_path / "runA"; a.mkdir()
+    b = tmp_path / "runB"; b.mkdir()
+    lg = make_file_logger("retarget_test", str(a))
+    lg.info("to A")
+    lg = make_file_logger("retarget_test", str(b))
+    lg.info("to B")
+    assert "to A" in (a / "retarget_test.log").read_text()
+    tb = (b / "retarget_test.log").read_text()
+    assert "to B" in tb and "to A" not in tb

@@ -148,3 +148,41 @@ def test_parity_accepts_plain_backbone_checkpoint(tmp_path, capsys):
     assert rc == 0, out
     assert "dense features max|Δ|" in out
     assert "prototype scores" not in out  # no prototypes in a backbone ckpt
+
+
+def test_evaluate_cli_prototype_clustering(timet_pth, davis_tree, capsys):
+    """--clustering_algorithm prototypes: the TimeT checkpoint's prototype
+    bank is loaded and (head-space prototypes) features are head-projected
+    before scoring — previously this path always crashed after the full
+    extraction loop (Evaluator built without prototypes)."""
+    from timetuning_tpu.cli import evaluate as cli_evaluate
+
+    rc = cli_evaluate.main([
+        "--architecture", "vit-tiny-test",
+        "--model_path", timet_pth,
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--batch_size", "2",
+        "--num_frames", "2",
+        "--input_resolution", "32",
+        "--eval_resolution", "16",
+        "--num_clusters", "8",
+        "--evaluation_protocol", "dataset-wise",
+        "--clustering_algorithm", "prototypes",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    score = float(out.strip().rsplit("score:", 1)[1])
+    assert 0.0 <= score <= 1.0
+
+
+def test_evaluate_cli_prototypes_requires_checkpoint(davis_tree):
+    from timetuning_tpu.cli import evaluate as cli_evaluate
+
+    with pytest.raises(SystemExit, match="requires --model_path"):
+        cli_evaluate.main([
+            "--architecture", "vit-tiny-test",
+            "--dataset", "davis_val",
+            "--data_root", davis_tree,
+            "--clustering_algorithm", "prototypes",
+        ])

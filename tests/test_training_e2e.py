@@ -185,3 +185,14 @@ def test_full_tree_optimizer_layout(davis_tree, tmp_path):
     r2 = run_training(cfg2)
     assert r2["run_dir"] == r1["run_dir"]
     assert r2["global_step"] > r1["global_step"]
+
+
+def test_lr_scheduler_flag_plumbed(davis_tree, tmp_path):
+    """Reference semantics (time_tuning.py:383): any value other than
+    "CosineAnnealingLR" means constant LR. The flag must reach the
+    optimizer (it used to be parsed and dropped)."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, lr_scheduler="StepLR")
+    r = run_training(cfg)
+    assert np.isfinite(r["final_loss"])
+    cfgtxt = open(os.path.join(r["run_dir"], "config.txt")).read()
+    assert "lr_scheduler: StepLR" in cfgtxt

@@ -56,6 +56,45 @@ def main(argv=None) -> int:
     bb = get_backbone(args.architecture, args.model_path)
     res = bb.spatial_resolution(args.input_resolution)
 
+    # Prototype clustering needs the checkpoint's prototype bank, and — for
+    # published TimeT checkpoints, whose prototypes live in projection-head
+    # space — head-projected features to score against it.
+    protos = None
+    head_params = None
+    head_dims = None
+    if args.clustering_algorithm == "prototypes":
+        if not args.model_path:
+            raise SystemExit(
+                "--clustering_algorithm prototypes requires --model_path "
+                "(a TimeT checkpoint carrying the prototype bank)"
+            )
+        from timetuning_tpu.core.checkpoint import import_timet_pth
+
+        tree = import_timet_pth(args.model_path)
+        if "prototypes" not in tree:
+            raise SystemExit(
+                "checkpoint has no prototype bank — use "
+                "--clustering_algorithm k-means for plain backbone weights"
+            )
+        protos = jnp.asarray(tree["prototypes"])
+        if protos.shape[-1] != bb.feature_dim:
+            head_params = tree.get("feature_extractor", {}).get("head")
+            if head_params is None:
+                raise SystemExit(
+                    f"prototype dim {protos.shape[-1]} != backbone feature "
+                    f"dim {bb.feature_dim} and the checkpoint has no "
+                    "projection head to bridge them"
+                )
+            head_dims = tuple(
+                head_params[k]["kernel"].shape[-1]
+                for k in sorted(head_params, key=lambda s: int(s[3:]))
+            )
+            if head_dims[-1] != protos.shape[-1]:
+                raise SystemExit(
+                    f"projection head output {head_dims[-1]} != prototype "
+                    f"dim {protos.shape[-1]}"
+                )
+
     from functools import partial
 
     @partial(jax.jit, static_argnames=("want_attention",))
@@ -63,6 +102,10 @@ def main(argv=None) -> int:
         x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution)
         out = bb.module.apply(bb.variables, x, want_attention=want_attention)
         f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
+        if head_dims is not None:
+            from timetuning_tpu.models.heads import ProjectionHead
+
+            f = ProjectionHead(head_dims).apply({"params": head_params}, f)
         return f, out.get("attention")
 
     def feature_fn(frames, want_attention=False):
@@ -85,6 +128,7 @@ def main(argv=None) -> int:
         num_classes=args.num_clusters,
         involve_bg=True,
         clustering_algorithm=args.clustering_algorithm,
+        prototypes=protos,
         uvos=args.uvos,
         ignore_index=None,
     )

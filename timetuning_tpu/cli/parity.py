@@ -263,7 +263,10 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         from timetuning_tpu.data.pascal import pascal_loader
-        from timetuning_tpu.data.transforms import eval_preprocess_batch
+        from timetuning_tpu.data.transforms import (
+            IMAGENET_STD,
+            eval_preprocess_batch,
+        )
         from timetuning_tpu.eval.evaluator import Evaluator
         from timetuning_tpu.models.registry import get_backbone
 
@@ -273,8 +276,11 @@ def main(argv=None) -> int:
 
         @jax.jit
         def feats_jit(frames_u8):
+            # Pascal paths use the canonical 0.229 std (leoloader.py:246 —
+            # the per-path quirk; every other Pascal eval in this repo does
+            # the same: core/train.py, cli/cbfe.py, cli/linear_probe.py)
             x = eval_preprocess_batch(
-                frames_u8, out_size=args.input_resolution
+                frames_u8, out_size=args.input_resolution, std=IMAGENET_STD
             )
             out = bb.module.apply(bb.variables, x)
             f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]

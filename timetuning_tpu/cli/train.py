@@ -96,6 +96,7 @@ def main(argv=None) -> int:
         pascal_root=args.pascal_root,
         log_dir=args.log_dir,
         evaluation_protocol=args.evaluation_protocol,
+        lr_scheduler=args.lr_scheduler,
         head_lr=args.head_lr,
         batch_size=args.batch_size,
         num_epochs=args.num_epochs,

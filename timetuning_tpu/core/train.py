@@ -65,6 +65,10 @@ class TrainingConfig:
     pascal_root: str | None = None          # eval dataset (time_tuning.py:596)
     log_dir: str = "logs"
     evaluation_protocol: str = "dataset-wise"
+    # Reference semantics (time_tuning.py:383): only the exact string
+    # "CosineAnnealingLR" enables the cosine schedule; anything else means
+    # constant LR (there, via a falsy identity compare — here, explicitly).
+    lr_scheduler: str = "CosineAnnealingLR"
     head_lr: float = 1e-4
     batch_size: int = 128
     num_epochs: int = 100
@@ -274,6 +278,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         num_epochs=cfg.num_epochs,
         steps_per_epoch=steps_per_epoch,
         unfreeze_layers=cfg.unfreeze_layers,
+        use_cosine_lr=cfg.lr_scheduler == "CosineAnnealingLR",
         opt_over_trainable=cfg.opt_over_trainable,
     )
     state = init_state(

@@ -27,6 +27,7 @@ _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libtimetuning_native.so")
 
 _lib = None
+_lib_failed = False  # failed build/load: cache it — never retry per call
 _lib_lock = threading.Lock()
 
 _HEADER_BYTES = 5 * 8
@@ -34,10 +35,14 @@ _MAGIC = 0x54504C43
 
 
 def _load_library():
-    global _lib
+    global _lib, _lib_failed
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            # a host without g++ must not re-spawn a failing `make` on
+            # every hungarian() call (it sits on the per-frame eval path)
+            return None
         if not os.path.exists(_LIB_PATH):
             try:
                 subprocess.run(
@@ -45,25 +50,30 @@ def _load_library():
                     check=True, capture_output=True, timeout=120,
                 )
             except Exception:
+                _lib_failed = True
                 return None
         try:
+            # symbol binding inside the guard: a stale prebuilt .so from an
+            # older source tree missing newer symbols degrades to the
+            # Python fallbacks instead of raising AttributeError mid-eval
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+            lib.hungarian_solve.restype = ctypes.c_int
+            lib.hungarian_solve.argtypes = [
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.clippack_open.restype = ctypes.c_int64
+            lib.clippack_open.argtypes = [ctypes.c_char_p]
+            lib.clippack_info.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+            lib.clippack_gather.restype = ctypes.c_int
+            lib.clippack_gather.argtypes = [
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ]
+            lib.clippack_close.argtypes = [ctypes.c_int64]
+        except (OSError, AttributeError):
+            _lib_failed = True
             return None
-        lib.hungarian_solve.restype = ctypes.c_int
-        lib.hungarian_solve.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
-            ctypes.POINTER(ctypes.c_int32),
-        ]
-        lib.clippack_open.restype = ctypes.c_int64
-        lib.clippack_open.argtypes = [ctypes.c_char_p]
-        lib.clippack_info.argtypes = [ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
-        lib.clippack_gather.restype = ctypes.c_int
-        lib.clippack_gather.argtypes = [
-            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-        ]
-        lib.clippack_close.argtypes = [ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -129,20 +139,29 @@ def build_clip_pack(
     import cv2
 
     index: dict[str, tuple[int, int]] = {}
-    all_frames = []
+    s = dataset.decode_size
+    n_total = sum(len(dataset.tree[key]) for key in dataset.keys)
     start = 0
-    for key in dataset.keys:
-        files = dataset.tree[key]
-        for fp in files:
-            img = cv2.cvtColor(cv2.imread(fp), cv2.COLOR_BGR2RGB)
-            img = cv2.resize(
-                img, (dataset.decode_size, dataset.decode_size),
-                interpolation=cv2.INTER_LINEAR,
-            )
-            all_frames.append(img)
-        index[os.path.basename(key)] = (start, len(files))
-        start += len(files)
-    write_clip_pack(path, np.stack(all_frames))
+    # stream frame-by-frame: the fixed-record layout needs no buffering, and
+    # materializing a YTVOS-scale pack (~20 GB) plus an np.stack copy would
+    # OOM exactly the datasets the pack exists for
+    with open(path, "wb") as f:
+        f.write(np.asarray([_MAGIC, n_total, s, s, 3], np.int64).tobytes())
+        for key in dataset.keys:
+            name = os.path.basename(key)
+            if name in index:
+                raise ValueError(
+                    f"duplicate video basename {name!r} (under different "
+                    "parents) — the pack index is keyed by basename; rename "
+                    "or split the tree into separate packs"
+                )
+            files = dataset.tree[key]
+            for fp in files:
+                img = cv2.cvtColor(cv2.imread(fp), cv2.COLOR_BGR2RGB)
+                img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+                f.write(np.ascontiguousarray(img, np.uint8).tobytes())
+            index[name] = (start, len(files))
+            start += len(files)
     ip = index_path or path + ".index.json"
     with open(ip, "w") as f:
         json.dump(index, f)
@@ -192,6 +211,10 @@ class ClipPack:
             if rc != 0:
                 raise IndexError("frame id out of range")
             return out
+        # match the native path's bounds semantics: numpy would silently
+        # wrap negative ids to frames from the END of the pack
+        if len(ids) and (ids.min() < 0 or ids.max() >= self.n):
+            raise IndexError("frame id out of range")
         return np.asarray(self._mm[ids])
 
     def close(self):

@@ -77,13 +77,23 @@ def dump_config(config: Mapping[str, Any], run_dir: str) -> str:
 
 
 def make_file_logger(name: str, run_dir: str) -> logging.Logger:
-    """Per-run parameterized file logger (reference evaluation.py:365-370)."""
+    """Per-run parameterized file logger (reference evaluation.py:365-370).
+
+    Re-calling with a NEW run_dir in the same process (multi-run sweeps,
+    test suites) retargets the handler — a name-only guard would pin the
+    logger to the first run's directory forever."""
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
-    if not any(isinstance(h, logging.FileHandler) for h in logger.handlers):
-        h = logging.FileHandler(os.path.join(run_dir, f"{name}.log"))
-        h.setFormatter(
-            logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
-        )
-        logger.addHandler(h)
+    target = os.path.abspath(os.path.join(run_dir, f"{name}.log"))
+    for h in list(logger.handlers):
+        if isinstance(h, logging.FileHandler):
+            if os.path.abspath(h.baseFilename) == target:
+                return logger
+            logger.removeHandler(h)
+            h.close()
+    h = logging.FileHandler(target)
+    h.setFormatter(
+        logging.Formatter("%(asctime)s %(name)s %(levelname)s %(message)s")
+    )
+    logger.addHandler(h)
     return logger

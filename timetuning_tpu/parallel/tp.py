@@ -74,13 +74,13 @@ def shard_params(mesh: Mesh, params):
 
 
 def tp_feature_fn(model, mesh: Mesh):
-    """jit'd dense-feature forward with dp-sharded batch + tp-sharded
-    params; XLA inserts the model-axis collectives."""
+    """Returns a FACTORY: ``tp_feature_fn(model, mesh)(params)`` builds the
+    jit'd dense-feature forward with dp-sharded batch + tp-sharded params
+    (specs resolved from the concrete param tree); XLA inserts the
+    model-axis collectives."""
     def fwd(params, x):
         out = model.apply({"params": params}, x)
         return out["tokens"]
-
-    param_specs = None  # resolved lazily at first call via vit_param_specs
 
     def make(params):
         specs = vit_param_specs(params)
@@ -93,7 +93,6 @@ def tp_feature_fn(model, mesh: Mesh):
             out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
         )
 
-    del param_specs
     return make
 
 

@@ -150,7 +150,8 @@ def main() -> None:
             from timetuning_tpu.native import build_clip_pack
 
             pack_path = os.path.join(args.data_root, "bench.clippack")
-            if not os.path.exists(pack_path):
+            if not (os.path.exists(pack_path)
+                    and os.path.exists(pack_path + ".index.json")):
                 plain = make_loader(
                     args.dataset, num_clip_frames=F, batch_size=B,
                     root=args.data_root, decode_size=256,
@@ -166,6 +167,16 @@ def main() -> None:
             pack_path=pack_path,
         )
         steps_per_epoch = len(loader)
+        if steps_per_epoch == 0:
+            raise SystemExit(
+                f"dataset at {args.data_root} has fewer than batch_size="
+                f"{B} videos — lower --batch_size"
+            )
+        if not args.loader_only and args.epochs < 2:
+            raise SystemExit(
+                "--epochs must be >= 2: epoch 0 pays compile + page-cache "
+                "warmup and only later epochs are measured"
+            )
         full_step = make_full_step(  # jits internally (donated state)
             model, tcfg, tx, AugmentConfig(out_size=224),
             trainable_mask=trainable_mask,

@@ -257,3 +257,48 @@ def test_numeric_frame_ordering(tmp_path):
     tree = build_dataset_tree(str(tmp_path))
     names = [os.path.basename(p) for p in tree[str(vdir)]]
     assert names == [f"{i}.jpg" for i in range(1, 13)]
+
+
+def test_clip_loader_more_ranks_than_items(davis_tree):
+    """n < world_size: cyclic repeat must still give every rank exactly one
+    index (a single wrap-around slice can't cover this case)."""
+    ds = VideoDataset(
+        frames_root=os.path.join(davis_tree, "JPEGImages"),
+        annotations_root=os.path.join(davis_tree, "Annotations"),
+        num_frames=2,
+        decode_size=32,
+    )
+    counts = []
+    for rank in range(8):  # 3 videos over 8 ranks
+        loader = ClipLoader(ds, batch_size=1, shuffle=False, world_size=8,
+                            rank=rank, drop_last=False, num_workers=1)
+        idx = loader._indices()
+        assert len(idx) == 1
+        counts.append(idx[0])
+    assert set(counts) == {0, 1, 2}  # all items still covered
+
+
+def test_clip_loader_early_exit_releases_workers(davis_tree):
+    """Breaking out of iteration must not strand worker threads blocked on
+    the bounded output queue."""
+    import threading
+    import time as _time
+
+    ds = VideoDataset(
+        frames_root=os.path.join(davis_tree, "JPEGImages"),
+        annotations_root=os.path.join(davis_tree, "Annotations"),
+        num_frames=2,
+        decode_size=32,
+    )
+    before = threading.active_count()
+    for _ in range(5):
+        loader = ClipLoader(ds, batch_size=1, shuffle=False,
+                            drop_last=False, num_workers=2, prefetch=1)
+        for batch in loader:
+            break  # early exit with batches still queued
+    deadline = _time.time() + 5.0
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before + 1, (
+        f"{threading.active_count() - before} leaked worker threads"
+    )

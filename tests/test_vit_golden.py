@@ -98,3 +98,25 @@ def test_intermediates_are_normed(oracle_and_flax):
     out = model.apply(variables, x, n_intermediates=2)
     assert len(out["intermediates"]) == 2
     assert out["intermediates"][-1].shape == out["tokens"].shape
+
+
+def test_bicubic_fudged_scale_matches_torch():
+    """The DINO +0.1 scale-factor form: torch maps coordinates with the
+    PASSED scale factor, not the size-derived one (differs by up to ~0.2 on
+    small grids) — resize_bicubic_torch(scales=...) must reproduce it."""
+    import torch.nn.functional as F
+
+    from timetuning_tpu.ops.resize import resize_bicubic_torch
+
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(1, 4, 4, 3)).astype(np.float32)
+    for hp in (6, 9, 14):
+        sf = (hp + 0.1) / 4
+        got = resize_bicubic_torch(jnp.asarray(x), (hp, hp), scales=(sf, sf))
+        want = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)),
+            scale_factor=(sf, sf), mode="bicubic",
+        ).numpy().transpose(0, 2, 3, 1)
+        assert want.shape[1] == hp
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5,
+                                   atol=1e-5, err_msg=str(hp))

@@ -53,15 +53,13 @@ def main(argv=None) -> int:
     from timetuning_tpu.eval.evaluator import Evaluator
     from timetuning_tpu.models.registry import get_backbone
 
-    bb = get_backbone(args.architecture, args.model_path)
-    res = bb.spatial_resolution(args.input_resolution)
-
     # Prototype clustering needs the checkpoint's prototype bank, and — for
     # published TimeT checkpoints, whose prototypes live in projection-head
     # space — head-projected features to score against it.
     protos = None
     head_params = None
     head_dims = None
+    tree = None
     if args.clustering_algorithm == "prototypes":
         if not args.model_path:
             raise SystemExit(
@@ -76,6 +74,17 @@ def main(argv=None) -> int:
                 "checkpoint has no prototype bank — use "
                 "--clustering_algorithm k-means for plain backbone weights"
             )
+
+    # one torch.load total: in prototype mode the backbone weights come
+    # from the already-imported TimeT tree instead of a second load
+    bb = get_backbone(
+        args.architecture, None if tree is not None else args.model_path
+    )
+    if tree is not None:
+        bb.variables = {"params": tree["feature_extractor"]["backbone"]}
+    res = bb.spatial_resolution(args.input_resolution)
+
+    if args.clustering_algorithm == "prototypes":
         protos = jnp.asarray(tree["prototypes"])
         if protos.shape[-1] != bb.feature_dim:
             head_params = tree.get("feature_extractor", {}).get("head")

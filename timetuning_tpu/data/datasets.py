@@ -153,13 +153,20 @@ def _decode_annotation(path: str, size: int) -> np.ndarray:
     from PIL import Image
 
     with Image.open(path) as im:
-        if im.mode == "P":
-            a = np.asarray(im)
-        elif im.mode in ("L", "I", "I;16"):
+        if im.mode in ("P", "L", "I", "I;16"):
             a = np.asarray(im)
         else:
             a = np.asarray(im.convert("L"))
-    a = np.asarray(a, dtype=np.uint8 if a.dtype != np.int32 else a.dtype)
+    if a.dtype != np.uint8:
+        # wide-dtype annotations (16/32-bit instance exports): ids beyond
+        # 255 cannot fit the uint8 annotation buffers — fail loudly rather
+        # than wrap id 256 to background
+        if a.max(initial=0) > 255:
+            raise ValueError(
+                f"annotation {path} holds ids > 255 (max {int(a.max())}); "
+                "uint8 annotation buffers cannot represent them"
+            )
+        a = a.astype(np.uint8)
     return cv2.resize(a, (size, size), interpolation=cv2.INTER_NEAREST)
 
 

@@ -85,9 +85,11 @@ class ClipLoader:
         # (data_loader.py:1105-1107): full coverage, equal counts.
         if self.world_size > 1:
             per_rank = -(-n // self.world_size)
-            pad = per_rank * self.world_size - n
-            if pad:
-                order = np.concatenate([order, order[:pad]])
+            total = per_rank * self.world_size
+            if total > n:
+                # cyclic repeat (a single slice can't cover n < world_size)
+                reps = -(-total // n)
+                order = np.tile(order, reps)[:total]
             order = order[self.rank :: self.world_size]
             assert len(order) == per_rank
         if self.drop_last:
@@ -115,11 +117,22 @@ class ClipLoader:
         idx_q: queue.Queue = queue.Queue()
         for bi, b in enumerate(batches):
             idx_q.put((bi, b))
-        results: dict[int, tuple] = {}
-        lock = threading.Lock()
+        stop = threading.Event()
+
+        def _put(item) -> None:
+            # bounded put that aborts on shutdown: without it, an early
+            # consumer exit (max_steps break, exception) would strand
+            # workers blocked forever on the full queue, leaking a thread +
+            # a fully-decoded ~25 MB batch per worker per epoch
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
 
         def worker():
-            while True:
+            while not stop.is_set():
                 try:
                     bi, b = idx_q.get_nowait()
                 except queue.Empty:
@@ -134,12 +147,12 @@ class ClipLoader:
                     if frames.shape[1] == 1:
                         frames = frames[:, 0]
                         annots = annots[:, 0]
-                    out_q.put((bi, (frames, annots, labels)))
+                    _put((bi, (frames, annots, labels)))
                 except BaseException as e:  # noqa: BLE001
                     # propagate instead of dying silently: a dead worker's
                     # claimed batch would never reach out_q and the consumer
                     # would block forever on its index
-                    out_q.put((bi, e))
+                    _put((bi, e))
                     return
 
         threads = [
@@ -149,17 +162,22 @@ class ClipLoader:
         for t in threads:
             t.start()
 
-        next_bi = 0
-        pending: dict[int, tuple] = {}
-        for _ in range(len(batches)):
-            while next_bi not in pending:
-                bi, payload = out_q.get()
-                pending[bi] = payload
-            payload = pending.pop(next_bi)
-            if isinstance(payload, BaseException):
-                raise payload
-            yield payload
-            next_bi += 1
+        try:
+            next_bi = 0
+            pending: dict[int, tuple] = {}
+            for _ in range(len(batches)):
+                while next_bi not in pending:
+                    bi, payload = out_q.get()
+                    pending[bi] = payload
+                payload = pending.pop(next_bi)
+                if isinstance(payload, BaseException):
+                    raise payload
+                yield payload
+                next_bi += 1
+        finally:
+            # GeneratorExit (early break), exception, or normal completion:
+            # release any worker blocked on the bounded queue
+            stop.set()
 
 
 _DATASET_BUILDERS = {}

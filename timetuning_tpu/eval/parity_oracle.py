@@ -89,9 +89,16 @@ def build_oracle(img_size: int, patch_size: int, dim: int, depth: int, heads: in
                 return self.pos_embed
             cls_pos = self.pos_embed[:, :1]
             grid = self.pos_embed[:, 1:].reshape(1, n0, n0, -1).permute(0, 3, 1, 2)
+            # DINO's exact call (dino_vision_transformer.py:226-231): the
+            # +0.1 fudged SCALE FACTOR, which torch uses directly in the
+            # coordinate mapping — size-based interpolation differs by up
+            # to ~0.2 on small grids
             grid = torch.nn.functional.interpolate(
-                grid, size=(hp, wp), mode="bicubic", align_corners=False
+                grid,
+                scale_factor=((hp + 0.1) / n0, (wp + 0.1) / n0),
+                mode="bicubic",
             )
+            assert grid.shape[-2:] == (hp, wp)
             grid = grid.permute(0, 2, 3, 1).reshape(1, hp * wp, -1)
             return torch.cat([cls_pos, grid], dim=1)
 

@@ -49,11 +49,13 @@ def interpolate_pos_embed(
     """Bicubic-resample the (non-CLS) positional grid to a new resolution.
 
     Matches reference ``interpolate_pos_encoding``
-    (dino_vision_transformer.py:214-234): the stored square grid is resized
-    with torch's EXACT bicubic kernel (A=-0.75, half-pixel centers,
-    border-clamped taps — ``jax.image.resize``'s 'cubic' is the A=-0.5 Keys
-    kernel, which drifts from a PyTorch-imported checkpoint at every
-    non-native resolution); the CLS position passes through unchanged.
+    (dino_vision_transformer.py:214-234) EXACTLY: torch's bicubic kernel
+    (A=-0.75, half-pixel centers, border-clamped taps — ``jax.image.resize``
+    'cubic' is the A=-0.5 Keys kernel) AND DINO's ``+0.1`` scale-factor
+    fudge (:226-231; torch uses the passed scale factor directly in the
+    coordinate mapping, so the fudged step differs from size-based mapping
+    by up to ~0.2 on small grids); the CLS position passes through
+    unchanged.
     """
     from timetuning_tpu.ops.resize import resize_bicubic_torch
 
@@ -64,7 +66,10 @@ def interpolate_pos_embed(
         return pos_embed
     cls_pos = pos_embed[:, :1]
     grid = pos_embed[:, 1:].reshape(1, n0, n0, dim)
-    grid = resize_bicubic_torch(grid, (h_patches, w_patches))
+    grid = resize_bicubic_torch(
+        grid, (h_patches, w_patches),
+        scales=((h_patches + 0.1) / n0, (w_patches + 0.1) / n0),
+    )
     grid = grid.reshape(1, h_patches * w_patches, dim)
     return jnp.concatenate([cls_pos, grid], axis=1)
 

@@ -144,24 +144,36 @@ def build_clip_pack(
     start = 0
     # stream frame-by-frame: the fixed-record layout needs no buffering, and
     # materializing a YTVOS-scale pack (~20 GB) plus an np.stack copy would
-    # OOM exactly the datasets the pack exists for
-    with open(path, "wb") as f:
-        f.write(np.asarray([_MAGIC, n_total, s, s, 3], np.int64).tobytes())
-        for key in dataset.keys:
-            name = os.path.basename(key)
-            if name in index:
-                raise ValueError(
-                    f"duplicate video basename {name!r} (under different "
-                    "parents) — the pack index is keyed by basename; rename "
-                    "or split the tree into separate packs"
-                )
-            files = dataset.tree[key]
-            for fp in files:
-                img = cv2.cvtColor(cv2.imread(fp), cv2.COLOR_BGR2RGB)
-                img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
-                f.write(np.ascontiguousarray(img, np.uint8).tobytes())
-            index[name] = (start, len(files))
-            start += len(files)
+    # OOM exactly the datasets the pack exists for. Write to a temp path and
+    # os.replace on success — a mid-build failure (corrupt JPEG, Ctrl-C)
+    # must not leave a truncated pack that later exists-checks trust.
+    tmp = path + ".tmp"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(np.asarray([_MAGIC, n_total, s, s, 3], np.int64).tobytes())
+            for key in dataset.keys:
+                name = os.path.basename(key)
+                if name in index:
+                    raise ValueError(
+                        f"duplicate video basename {name!r} (under different "
+                        "parents) — the pack index is keyed by basename; "
+                        "rename or split the tree into separate packs"
+                    )
+                files = dataset.tree[key]
+                for fp in files:
+                    img = cv2.imread(fp)
+                    if img is None:
+                        raise ValueError(f"failed to decode {fp}")
+                    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+                    img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+                    f.write(np.ascontiguousarray(img, np.uint8).tobytes())
+                index[name] = (start, len(files))
+                start += len(files)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        raise
+    os.replace(tmp, path)
     ip = index_path or path + ".index.json"
     with open(ip, "w") as f:
         json.dump(index, f)

@@ -28,14 +28,21 @@ def _bilinear_matrix(n_in: int, n_out: int):
 
 
 @functools.lru_cache(maxsize=64)
-def _cubic_matrix(n_in: int, n_out: int):
+def _cubic_matrix(n_in: int, n_out: int, inv_scale: float | None = None):
     """[n_out, n_in] interpolation weights reproducing torch's
     ``F.interpolate(mode='bicubic', align_corners=False)`` EXACTLY: cubic
     convolution with A=-0.75 (torch/PIL), half-pixel centers, out-of-range
     taps clamped to the border. NOTE ``jax.image.resize(method='cubic')``
     uses the Keys kernel with A=-0.5 — a different kernel; positional
     embeddings resampled with it drift from a PyTorch-imported checkpoint
-    at every non-native resolution."""
+    at every non-native resolution.
+
+    ``inv_scale`` overrides the source-coordinate step (default
+    n_in/n_out): torch maps ``src = (i + 0.5) * inv_scale - 0.5`` using the
+    CALLER'S scale factor when one is passed (recompute_scale_factor=None),
+    which DINO exploits with its ``(n_out + 0.1) / n_in`` fudge
+    (dino_vision_transformer.py:226-231) — matching that path requires the
+    fudged step, not the size-derived one."""
     A = -0.75
 
     def k(s):
@@ -47,7 +54,7 @@ def _cubic_matrix(n_in: int, n_out: int):
         return 0.0
 
     W = np.zeros((n_out, n_in), np.float64)
-    scale = n_in / n_out
+    scale = n_in / n_out if inv_scale is None else inv_scale
     for i in range(n_out):
         src = (i + 0.5) * scale - 0.5
         b = int(np.floor(src))
@@ -60,13 +67,21 @@ def _cubic_matrix(n_in: int, n_out: int):
     return W.astype(np.float32)
 
 
-def resize_bicubic_torch(x: jax.Array, size: tuple[int, int]) -> jax.Array:
+def resize_bicubic_torch(
+    x: jax.Array,
+    size: tuple[int, int],
+    scales: tuple[float, float] | None = None,
+) -> jax.Array:
     """[..., H, W, C] → [..., h, w, C], bit-matching torch bicubic
-    (align_corners=False, no antialias) to f32 rounding."""
+    (align_corners=False, no antialias) to f32 rounding. ``scales`` are
+    explicit forward scale factors for the coordinate mapping (the
+    ``F.interpolate(scale_factor=...)`` form — see ``_cubic_matrix``)."""
     *lead, H, W, C = x.shape
     oh, ow = size
-    Wh = jnp.asarray(_cubic_matrix(H, oh))
-    Ww = jnp.asarray(_cubic_matrix(W, ow))
+    inv_h = None if scales is None else 1.0 / scales[0]
+    inv_w = None if scales is None else 1.0 / scales[1]
+    Wh = jnp.asarray(_cubic_matrix(H, oh, inv_h))
+    Ww = jnp.asarray(_cubic_matrix(W, ow, inv_w))
     out = jnp.einsum(
         "...hwc,Hh,Ww->...HWc", x, Wh, Ww,
         precision=jax.lax.Precision.HIGHEST,

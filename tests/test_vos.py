@@ -69,3 +69,34 @@ def test_db_statistics():
     assert M == pytest.approx(j.mean())
     assert O == pytest.approx(np.mean(j > 0.5))
     assert D > 0  # decaying sequence has positive decay
+
+
+def test_boundary_map_matches_reference_seg2bmap():
+    """Pin the EXACT reference _seg2bmap semantics
+    (mask_propagation.py:614-627): E/S/SE XOR with zero padding, last
+    row/col overridden to single-direction diffs, corner zeroed."""
+    rng = np.random.default_rng(0)
+
+    def ref_seg2bmap(seg):
+        seg = seg.astype(bool)
+        e = np.zeros_like(seg); s = np.zeros_like(seg); se = np.zeros_like(seg)
+        e[:, :-1] = seg[:, 1:]
+        s[:-1, :] = seg[1:, :]
+        se[:-1, :-1] = seg[1:, 1:]
+        b = seg ^ e | seg ^ s | seg ^ se
+        b[-1, :] = seg[-1, :] ^ e[-1, :]
+        b[:, -1] = seg[:, -1] ^ s[:, -1]
+        b[-1, -1] = 0
+        return b
+
+    from timetuning_tpu.eval.vos import boundary_map
+
+    cases = [rng.random((13, 17)) > 0.5 for _ in range(4)]
+    cases.append(np.ones((9, 9), bool))   # full-frame mask: ~no boundary
+    cases.append(np.zeros((9, 9), bool))
+    for m in cases:
+        np.testing.assert_array_equal(
+            np.asarray(boundary_map(jnp.asarray(m))), ref_seg2bmap(m)
+        )
+    # full-frame: reference counts only the last row/col single-diffs (0)
+    assert np.asarray(boundary_map(jnp.asarray(np.ones((9, 9))))).sum() == 0

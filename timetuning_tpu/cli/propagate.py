@@ -105,7 +105,13 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
             preds = np.asarray(propagate_clip(feats, onehot))
         all_gt.append(ann[1:])
         all_pred.append(preds)
-        sequences.append(evaluate_sequence(preds, ann[1:]))
+        # official DAVIS semi-supervised protocol (davis2017-evaluation)
+        # scores masks[1:-1]: the GT-given first frame AND the last frame
+        # are excluded from J&F (the reference's evaluate_semisupervised is
+        # dead code there — the official harness is the arbiter); mIoU /
+        # propagation metrics keep all predicted frames like the
+        # reference's evaluate_localizations path
+        sequences.append(evaluate_sequence(preds[:-1], ann[1:-1]))
 
     gts = np.stack(all_gt)
     preds = np.stack(all_pred)

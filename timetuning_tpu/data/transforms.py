@@ -15,8 +15,13 @@ augmentation runs on TPU at HBM bandwidth and is exactly reproducible.
 
 Host-side precondition: frames are decoded and resized to a fixed square
 ``decode_size`` (the reference's host-side ``Resize``; fixed size is required
-for static shapes — the aspect-ratio difference vs short-side resize is the
-one documented semantic divergence).
+for static shapes). Two documented semantic divergences follow from it:
+(1) aspect ratio — the reference's short-side resize preserves it, the fixed
+square does not; (2) blur scale — the reference applies GaussianBlur (same
+sigma range) at the NATIVE decode resolution and then resizes, so its
+effective blur at the training resolution is weaker by the resize factor
+(e.g. ~1.9× for 480p→256); here blur runs post-resize at ``decode_size``.
+Photometric jitter/grayscale are pointwise and commute with the resize.
 
 Geometric ops use ``scale_and_translate`` (bilinear, frames) and nearest
 gather (annotations); photometric ops follow torchvision formulas, applied in

@@ -11,6 +11,8 @@ host round-trip.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,12 +48,19 @@ def bfscore(
     return scores, (float(np.mean(vals)) if vals else 0.0)
 
 
+@functools.lru_cache(maxsize=8)
+def _batched_f(threshold: float):
+    # cached per threshold so repeat calls (CBFE per split, tests) reuse
+    # the compiled program instead of re-tracing every invocation
+    return jax.jit(jax.vmap(lambda p, g: boundary_f_measure(p, g, threshold)))
+
+
 def evaluate_bf_score(
     gt_masks: np.ndarray, fg_masks: np.ndarray, threshold: int = 2
 ) -> float:
     """Mean binary-FG boundary F over a batch (reference bfscore.py:297-320).
     gt_masks/fg_masks: [N, H, W] binary."""
-    fn = jax.jit(jax.vmap(lambda p, g: boundary_f_measure(p, g, float(threshold))))
+    fn = _batched_f(float(threshold))
     scores = np.asarray(
         fn(jnp.asarray(fg_masks, bool), jnp.asarray(gt_masks, bool))
     )

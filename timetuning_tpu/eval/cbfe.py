@@ -21,8 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from timetuning_tpu.eval.bfscore import evaluate_bf_score
-from timetuning_tpu.ops.kmeans import kmeans, normalize_and_reduce
-from timetuning_tpu.ops.resize import patch_grid_to_image, resize_nearest
+from timetuning_tpu.ops.resize import resize_nearest
 
 
 @dataclasses.dataclass
@@ -36,21 +35,22 @@ class CBFEConfig:
 
 
 def overcluster(features: jax.Array, cfg: CBFEConfig, key=None):
-    """[B, F, N, D] → cluster assignment maps [B*F, res, res] plus the
-    per-pixel cluster ids flattened (device)."""
+    """[B, F, N, D] → cluster assignment maps [B*F, res, res] (device).
+
+    Routed through ``eval.clustering.cluster_features`` dataset-wise, so
+    large splits (Pascal trainaug at resolution 100 is ~106M upsampled
+    pixels ≈ 21 GB of PCA maps) take the bounded two-pass path instead of
+    materializing the full pixel tensor."""
     if key is None:
         key = jax.random.PRNGKey(1)
-    B, F, N, D = features.shape
-    res = int(round(N ** 0.5))
-    reduced = normalize_and_reduce(
-        features.reshape(B * F * N, D), min(cfg.pca_dim, D)
+    from timetuning_tpu.eval.clustering import cluster_features
+
+    maps = cluster_features(
+        features, cfg.num_clusters, cfg.resolution,
+        protocol="dataset-wise", key=key, pca_dim=cfg.pca_dim,
     )
-    maps = patch_grid_to_image(
-        reduced.reshape(B * F, N, -1), (res, res), (cfg.resolution, cfg.resolution)
-    )
-    flat = maps.reshape(-1, maps.shape[-1])
-    assign = kmeans(flat, cfg.num_clusters, key).assignments
-    return assign.reshape(B * F, cfg.resolution, cfg.resolution)
+    B, F = maps.shape[:2]
+    return maps.reshape(B * F, cfg.resolution, cfg.resolution)
 
 
 def cluster_precisions(
@@ -85,14 +85,33 @@ def find_good_threshold(
     assignments, precisions, gt_fg, cfg: CBFEConfig
 ) -> tuple[float, float]:
     """Sweep thresholds spanning the 55-75% bg-cluster range, pick the best
-    train Jaccard, round to 0.05 (reference :140-153, :208-218)."""
+    train Jaccard, round to 0.05 (reference :140-153, :208-218).
+
+    The Jaccard of every candidate threshold is exactly determined by
+    per-cluster statistics (pixel counts + GT-overlap counts, one device
+    bincount pass each): inter(t) = Σ_{c: prec_c ≥ t} gt_hits[c],
+    union(t) = pred(t) + |gt| − inter(t). The naive form re-gathered the
+    full pixel mask and shipped it to host per sweep step (~2 GB of
+    transfer at Pascal-trainaug scale); this is 21 host-side [K]-vector
+    reductions. NOTE (reference quirk, kept): both live eval_jac call
+    sites use with_boundary=True (:149, :194), so Pascal's 255 void band
+    counts as GT foreground here exactly as in the reference."""
     precs = np.asarray(precisions)
     order = np.sort(precs)
+    a = jnp.asarray(assignments).reshape(-1)
+    g = jnp.asarray(gt_fg).reshape(-1).astype(jnp.float32)
+    K = cfg.num_clusters
+    counts = np.asarray(jnp.bincount(a, length=K), np.float64)
+    gt_hits = np.asarray(jnp.bincount(a, weights=g, length=K), np.float64)
+    gt_total = float(np.asarray(jnp.sum(g)))
     results = []
     for frac in np.linspace(cfg.sweep_lo, cfg.sweep_hi, cfg.sweep_steps):
-        th = order[min(int(frac * len(order)), len(order) - 1)]
-        masks = np.asarray(masks_from_threshold(assignments, jnp.asarray(precs), float(th)))
-        results.append((float(th), _jaccard(masks, np.asarray(gt_fg) > 0)))
+        th = float(order[min(int(frac * len(order)), len(order) - 1)])
+        fg_c = precs >= th
+        inter = gt_hits[fg_c].sum()
+        pred = counts[fg_c].sum()
+        union = pred + gt_total - inter
+        results.append((th, inter / max(union, 1.0)))
     best_th, best_j = max(results, key=lambda t: t[1])
     return round(best_th * 20) / 20, best_j
 
@@ -126,6 +145,7 @@ class ClusterBasedForegroundExtraction:
         cfg = self.cfg
         feats_tr, attn_tr, gt_tr = self._collect(train_loader)
         assign_tr = overcluster(feats_tr, cfg)
+        del feats_tr  # free the split's raw features (~12.7 GB at trainaug scale)
         attn_up = resize_nearest(
             attn_tr.astype(jnp.float32), (cfg.resolution, cfg.resolution)
         ) > 0.5
@@ -139,6 +159,7 @@ class ClusterBasedForegroundExtraction:
 
         feats_va, attn_va, gt_va = self._collect(val_loader)
         assign_va = overcluster(feats_va, cfg)
+        del feats_va
         precs_va = cluster_precisions(
             assign_va,
             resize_nearest(attn_va.astype(jnp.float32), (cfg.resolution, cfg.resolution)) > 0.5,

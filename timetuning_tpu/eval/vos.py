@@ -19,16 +19,20 @@ from timetuning_tpu.ops.morphology import dilate
 
 
 def boundary_map(mask: jax.Array) -> jax.Array:
-    """Binary boundary of a [H, W] mask: pixels whose value differs from the
-    right/down neighbor, plus foreground pixels on the image border
-    (semantics of reference ``_seg2bmap``, mask_propagation.py:560-638,
-    for the equal-size case the eval path always uses)."""
+    """Binary boundary of a [H, W] mask — EXACT reference ``_seg2bmap``
+    (mask_propagation.py:614-627, the equal-size case the eval path always
+    uses): XOR against the east/south/southeast neighbors (zero-padded),
+    then the last row/column are OVERRIDDEN to east-/south-diff only and
+    the corner to 0 — a full-frame mask has (almost) no boundary pixels,
+    not a frame-border ring."""
     m = mask.astype(bool)
-    b = jnp.zeros_like(m)
-    b = b.at[:, :-1].set(m[:, :-1] ^ m[:, 1:])
-    b = b.at[:-1, :].max(m[:-1, :] ^ m[1:, :])
-    b = b.at[:, -1].max(m[:, -1])
-    b = b.at[-1, :].max(m[-1, :])
+    e = jnp.zeros_like(m).at[:, :-1].set(m[:, 1:])
+    s = jnp.zeros_like(m).at[:-1, :].set(m[1:, :])
+    se = jnp.zeros_like(m).at[:-1, :-1].set(m[1:, 1:])
+    b = (m ^ e) | (m ^ s) | (m ^ se)
+    b = b.at[-1, :].set(m[-1, :] ^ e[-1, :])
+    b = b.at[:, -1].set(m[:, -1] ^ s[:, -1])
+    b = b.at[-1, -1].set(False)
     return b
 
 

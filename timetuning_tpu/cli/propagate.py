@@ -108,10 +108,15 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
         # official DAVIS semi-supervised protocol (davis2017-evaluation)
         # scores masks[1:-1]: the GT-given first frame AND the last frame
         # are excluded from J&F (the reference's evaluate_semisupervised is
-        # dead code there — the official harness is the arbiter); mIoU /
-        # propagation metrics keep all predicted frames like the
-        # reference's evaluate_localizations path
-        sequences.append(evaluate_sequence(preds[:-1], ann[1:-1]))
+        # dead code there — the official harness is the arbiter); object
+        # ids come from the FULL ground truth like that harness, so objects
+        # visible only in excluded frames still score over the middle
+        # frames. mIoU / propagation metrics keep all predicted frames
+        # like the reference's evaluate_localizations path.
+        obj_ids = [int(i) for i in np.unique(ann) if i != 0]
+        sequences.append(
+            evaluate_sequence(preds[:-1], ann[1:-1], obj_ids=obj_ids)
+        )
 
     gts = np.stack(all_gt)
     preds = np.stack(all_pred)

@@ -21,7 +21,9 @@ square does not; (2) blur scale — the reference applies GaussianBlur (same
 sigma range) at the NATIVE decode resolution and then resizes, so its
 effective blur at the training resolution is weaker by the resize factor
 (e.g. ~1.9× for 480p→256); here blur runs post-resize at ``decode_size``.
-Photometric jitter/grayscale are pointwise and commute with the resize.
+Grayscale and brightness/saturation/hue jitter are pointwise and commute
+with the resize; contrast jitter blends toward the frame's GLOBAL
+grayscale mean, which the aspect-distorting resize reweights slightly.
 
 Geometric ops use ``scale_and_translate`` (bilinear, frames) and nearest
 gather (annotations); photometric ops follow torchvision formulas, applied in

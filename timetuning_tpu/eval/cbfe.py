@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from timetuning_tpu.eval.bfscore import evaluate_bf_score
+from timetuning_tpu.eval.clustering import cluster_features
 from timetuning_tpu.ops.resize import resize_nearest
 
 
@@ -43,8 +44,6 @@ def overcluster(features: jax.Array, cfg: CBFEConfig, key=None):
     materializing the full pixel tensor."""
     if key is None:
         key = jax.random.PRNGKey(1)
-    from timetuning_tpu.eval.clustering import cluster_features
-
     maps = cluster_features(
         features, cfg.num_clusters, cfg.resolution,
         protocol="dataset-wise", key=key, pca_dim=cfg.pca_dim,
@@ -103,7 +102,10 @@ def find_good_threshold(
     K = cfg.num_clusters
     counts = np.asarray(jnp.bincount(a, length=K), np.float64)
     gt_hits = np.asarray(jnp.bincount(a, weights=g, length=K), np.float64)
-    gt_total = float(np.asarray(jnp.sum(g)))
+    # every gt pixel lands in exactly one cluster, so the exact total is the
+    # float64 hit sum (a f32 device sum over ~10^8 pixels loses integer
+    # exactness past 2^24 and could flip near-tied thresholds)
+    gt_total = float(gt_hits.sum())
     results = []
     for frac in np.linspace(cfg.sweep_lo, cfg.sweep_hi, cfg.sweep_steps):
         th = float(order[min(int(frac * len(order)), len(order) - 1)])

@@ -75,14 +75,24 @@ _batched_f = jax.jit(jax.vmap(boundary_f_measure))
 _batched_j = jax.jit(jax.vmap(region_iou))
 
 
-def evaluate_sequence(pred_masks: np.ndarray, gt_masks: np.ndarray):
+def evaluate_sequence(pred_masks: np.ndarray, gt_masks: np.ndarray,
+                      obj_ids=None):
     """Per-object J & F over a sequence.
 
     pred/gt: [T, H, W] integer object-id maps (0 = background). Returns
     dict {object_id: {"J": [T], "F": [T]}} (reference
     ``evaluate_semisupervised``, mask_propagation.py:702-715).
+
+    ``obj_ids``: the sequence's object set. Pass it explicitly when the
+    frames given here are a protocol SLICE of the sequence (DAVIS scores
+    masks[1:-1]) — the official harness derives objects from the FULL
+    ground truth, so an object visible only in an excluded frame is still
+    scored (empty-vs-empty frames count J=F=1) rather than dropped.
     """
-    obj_ids = [int(i) for i in np.unique(gt_masks) if i != 0]
+    if len(gt_masks) == 0:
+        return {}  # a 2-frame clip has no scoreable middle frames
+    if obj_ids is None:
+        obj_ids = [int(i) for i in np.unique(gt_masks) if i != 0]
     out = {}
     for oid in obj_ids:
         p = jnp.asarray(pred_masks == oid)

@@ -85,6 +85,18 @@ def test_mae_encoder_and_masking():
     assert np.isfinite(float(loss))
     np.testing.assert_allclose(np.asarray(mask.sum(axis=1)), 12.0)  # 75% of 16
 
+    # non-native resolution: the sincos table regenerates at the runtime
+    # grid (48/8 = 6x6 patches), so the encoder runs at any square size
+    out48 = m.apply(v, jnp.zeros((1, 48, 48, 3)))
+    assert out48["tokens"].shape == (1, 37, 64)  # CLS + 36 patches
+    assert out48["grid"] == (6, 6)
+
+    # masking without an rng must fail loudly, not crash inside jax.random
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="requires an rng"):
+        m.apply(v, x, 0.75, None, method=MAEViT.pretrain)
+
+
 
 def test_moco_contrastive_loss_identity():
     from timetuning_tpu.models.moco import contrastive_loss

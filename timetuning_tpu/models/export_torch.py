@@ -98,10 +98,16 @@ def exportable(params: Mapping[str, Any]) -> bool:
     understands (anything else — ResNet/STEGO/... backbones — falls back to
     the Orbax export)."""
     try:
-        bb = params["feature_extractor"]["backbone"]
+        fe = params["feature_extractor"]
+        bb = fe["backbone"]
     except (KeyError, TypeError):
         return False
-    return "cls_token" in bb and "patch_embed" in bb
+    if not ("cls_token" in bb and "patch_embed" in bb):
+        return False
+    # every feature_extractor subtree must be one the exporter serializes —
+    # a dual-head tree (FeatureExtractorV2: segmentation/propagation heads)
+    # would otherwise export a .pth silently missing its trained heads
+    return all(k in ("backbone", "head") for k in fe)
 
 
 def save_timet_pth(params: Mapping[str, Any], path: str) -> str:

@@ -46,7 +46,12 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
-        for key in ("state_dict", "model", "teacher", "student", "model_state"):
+        # 'target_encoder'/'encoder' unwrap the released MSN layout
+        # ({'encoder': sd, 'target_encoder': sd, ...} — the reference loads
+        # torch.load(path)['target_encoder'], leopart.py); order matters:
+        # prefer the EMA target like the reference
+        for key in ("state_dict", "model", "teacher", "target_encoder",
+                    "encoder", "student", "model_state"):
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break

@@ -64,8 +64,14 @@ class MAEViT(nn.Module):
         self.decoder_norm = nn.LayerNorm(dtype=self.dtype, name="decoder_norm")
         self.decoder_pred = nn.Dense(p * p * 3, dtype=self.dtype, name="decoder_pred")
 
-    def _pos(self, dim, cls):
-        return jnp.asarray(get_2d_sincos_pos_embed(dim, self.grid, cls_token=cls))[None]
+    def _pos(self, dim, cls, grid=None):
+        """Sin-cos table for a (possibly input-dependent) patch grid — the
+        embedding is a pure function of position, so regenerating at the
+        runtime grid is the exact analogue of learned-pos-embed
+        interpolation and lets the encoder run at any resolution (the
+        eval/CBFE 448 configurations); trace-time constant either way."""
+        grid = self.grid if grid is None else grid
+        return jnp.asarray(get_2d_sincos_pos_embed(dim, grid, cls_token=cls))[None]
 
     def random_masking(self, x, mask_ratio: float, rng):
         B, N, D = x.shape
@@ -80,15 +86,21 @@ class MAEViT(nn.Module):
         return x_masked, mask, ids_restore
 
     def forward_encoder(self, x, mask_ratio: float = 0.0, rng=None):
-        B = x.shape[0]
+        B, H, _, _ = x.shape
+        grid = H // self.patch_size
         x = self.patch_embed(x)
         x = x.reshape(B, -1, self.embed_dim)
-        x = x + self._pos(self.embed_dim, True)[:, 1:].astype(x.dtype)
+        pos = self._pos(self.embed_dim, True, grid)
+        x = x + pos[:, 1:].astype(x.dtype)
         if mask_ratio > 0:
+            if rng is None:
+                raise ValueError(
+                    "mask_ratio > 0 requires an rng key for random_masking"
+                )
             x, mask, ids_restore = self.random_masking(x, mask_ratio, rng)
         else:
             mask, ids_restore = None, None
-        cls = self.cls_token + self._pos(self.embed_dim, True)[:, :1]
+        cls = self.cls_token + pos[:, :1]
         x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         for blk in self.blocks:
             x, _ = blk(x)
@@ -105,7 +117,8 @@ class MAEViT(nn.Module):
         x_ = jnp.concatenate([x[:, 1:], mask_tokens], axis=1)
         x_ = jnp.take_along_axis(x_, ids_restore[..., None], axis=1)
         x = jnp.concatenate([x[:, :1], x_], axis=1)
-        x = x + self._pos(self.decoder_embed_dim, True).astype(x.dtype)
+        g = int(round(N ** 0.5))
+        x = x + self._pos(self.decoder_embed_dim, True, g).astype(x.dtype)
         for blk in self.decoder_blocks:
             x, _ = blk(x)
         return self.decoder_pred(self.decoder_norm(x))[:, 1:]
@@ -138,8 +151,9 @@ class MAEViT(nn.Module):
         """Backbone-zoo contract: dict with normed tokens (CLS first)."""
         del want_attention
         tokens, _, _ = self.forward_encoder(x, mask_ratio, rng)
+        g = x.shape[1] // self.patch_size
         return {"tokens": tokens, "attention": None, "intermediates": [tokens],
-                "grid": (self.grid, self.grid)}
+                "grid": (g, g)}
 
 
 def mae_vit_base(**kw):

@@ -66,9 +66,14 @@ def _lloyd(x, init_centroids, n_iter: int, chunk: int):
 
     def body(centroids, _):
         a, _ = _assign_chunked(x, centroids, chunk)
-        onehot = jax.nn.one_hot(a, k, dtype=x.dtype)            # [N, k]
-        sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)
-        counts = jnp.sum(onehot, axis=0)[:, None]
+        # segment_sum instead of a dense one-hot matmul: the [N, k] one-hot
+        # would cost N·k floats PER ITERATION (14.6 GB at Pascal-val scale
+        # with max_points_per_centroid=None), defeating the chunked
+        # assignment's memory bound
+        sums = jax.ops.segment_sum(x, a, num_segments=k)         # [k, D]
+        counts = jax.ops.segment_sum(
+            jnp.ones((x.shape[0],), jnp.float32), a, num_segments=k
+        )[:, None]
         new_c = sums / jnp.maximum(counts, 1.0)
         # empty cluster → keep previous centroid
         new_c = jnp.where(counts > 0, new_c, centroids)

@@ -110,7 +110,6 @@ def dilate(mask: jax.Array, radius: int) -> jax.Array:
     reference used skimage ``binary_dilation(disk(r))``, mask_propagation.py:547-549)."""
     if radius <= 0:
         return mask
-    size = 2 * radius + 1
     yy, xx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
     disk = ((yy ** 2 + xx ** 2) <= radius ** 2).astype(np.float32)
     x = mask.astype(jnp.float32)[None, None]  # NCHW

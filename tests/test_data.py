@@ -236,10 +236,12 @@ def test_loader_worker_exception_propagates(davis_tree):
             pass
 
 
-def test_pack_path_rejected_for_ytvos(tmp_path):
+def test_pack_path_rejected_for_kinetics(tmp_path):
+    (tmp_path / "v").mkdir()
+    cv2.imwrite(str(tmp_path / "v" / "0.jpg"), np.zeros((8, 8, 3), np.uint8))
     with pytest.raises(ValueError, match="DAVIS-layout"):
         make_loader(
-            "ytvos", num_clip_frames=2, batch_size=1, root=str(tmp_path),
+            "kinetics", num_clip_frames=2, batch_size=1, root=str(tmp_path),
             pack_path=str(tmp_path / "x.pack"),
         )
 

@@ -43,6 +43,40 @@ def test_moco_predictor():
     p = MoCoPredictor(hidden_dim=32, out_dim=8)
     v = p.init(jax.random.PRNGKey(0), jnp.zeros((4, 16)))
     assert p.apply(v, jnp.zeros((4, 16))).shape == (4, 8)
+    # final affine-free BN standardizes features: running stats exist for bn2
+    assert set(v["batch_stats"]) == {"bn1", "bn2"}
+
+
+def test_moco_predictor_matches_torch_oracle():
+    """Predictor output == torch _build_mlp(2, in, hidden, out, last_bn=True)
+    in eval mode, from the same state dict (reference models.py:1749-1763)."""
+    torch = pytest.importorskip("torch")
+    tnn = torch.nn
+    in_dim, hidden, out = 16, 32, 8
+    torch.manual_seed(0)
+    mlp = tnn.Sequential(
+        tnn.Linear(in_dim, hidden, bias=False),
+        tnn.BatchNorm1d(hidden),
+        tnn.ReLU(inplace=True),
+        tnn.Linear(hidden, out, bias=False),
+        tnn.BatchNorm1d(out, affine=False),
+    )
+    # non-trivial running stats
+    mlp.train()
+    with torch.no_grad():
+        for _ in range(3):
+            mlp(torch.randn(64, in_dim))
+    mlp.eval()
+
+    from timetuning_tpu.models.moco import import_moco_predictor
+
+    sd = {f"predictor.{k}": v.numpy() for k, v in mlp.state_dict().items()}
+    variables = import_moco_predictor(sd)
+    x = np.random.default_rng(1).normal(size=(8, in_dim)).astype(np.float32)
+    with torch.no_grad():
+        ref = mlp(torch.from_numpy(x)).numpy()
+    got = np.asarray(MoCoPredictor(hidden_dim=hidden, out_dim=out).apply(variables, x))
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-4)
 
 
 def test_fcn_head():

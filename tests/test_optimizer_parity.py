@@ -155,3 +155,69 @@ def test_unfreeze_matches_full_segments_only():
     assert bb["blocks_11"]["w"] is False
     assert bb["blocks_0"]["w"] is False
     assert trainable["prototypes"] is True
+
+
+def test_migrate_opt_state_exact_both_directions():
+    """Cross-layout opt_state migration continues the identical trajectory:
+    run K steps in one layout, convert, run more steps — params match a run
+    that never switched layouts (core/optimizer.migrate_opt_state)."""
+    import optax
+
+    from timetuning_tpu.core.optimizer import (
+        merge_subtree,
+        migrate_opt_state,
+        trainable_subtree,
+    )
+
+    def build(over_trainable):
+        return swav_optimizer(
+            _params(), lr=LR, num_steps=STEPS * 2,
+            unfreeze_layers=("blocks.1",),
+            opt_over_trainable=over_trainable,
+        )
+
+    tx_full, mask = build(False)
+    tx_sub, _ = build(True)
+    grad_fn = jax.grad(_loss_jax)
+
+    def step_full(params, st):
+        g = grad_fn(params)
+        upd, st = tx_full.update(g, st, params)
+        return optax.apply_updates(params, upd), st
+
+    def step_sub(params, st):
+        g = trainable_subtree(grad_fn(params), mask)
+        upd, st = tx_sub.update(g, st, trainable_subtree(params, mask))
+        return merge_subtree(params, optax.apply_updates(
+            trainable_subtree(params, mask), upd)), st
+
+    init = jax.tree.map(jnp.asarray, _params())
+
+    # uninterrupted full-tree run = ground truth
+    p_ref, st_ref = init, tx_full.init(init)
+    for _ in range(4):
+        p_ref, st_ref = step_full(p_ref, st_ref)
+
+    # full → subtree after 2 steps
+    p, st = init, tx_full.init(init)
+    for _ in range(2):
+        p, st = step_full(p, st)
+    st = migrate_opt_state(st, p, mask, to_subtree=True)
+    for _ in range(2):
+        p, st = step_sub(p, st)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        p, p_ref,
+    )
+
+    # subtree → full after 2 steps
+    p, st = init, tx_sub.init(trainable_subtree(init, mask))
+    for _ in range(2):
+        p, st = step_sub(p, st)
+    st = migrate_opt_state(st, p, mask, to_subtree=False)
+    for _ in range(2):
+        p, st = step_full(p, st)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7),
+        p, p_ref,
+    )

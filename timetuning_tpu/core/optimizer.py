@@ -55,6 +55,45 @@ def merge_subtree(full, sub):
     return tu.unflatten_dict(flat)
 
 
+def migrate_opt_state(opt_state, params, trainable_mask, to_subtree: bool):
+    """Convert an optax chain state between the two checkpoint layouts.
+
+    Full-tree layout (``opt_over_trainable=False``): the chain starts with a
+    ``optax.masked(set_to_zero)`` link (MaskedState) and Adam moments span the
+    whole params tree (zeros at frozen leaves). Subtree layout: no masked
+    link, moments over ``trainable_subtree(params, mask)`` only. Frozen-leaf
+    moments are provably zero in the full layout, so the conversion is exact
+    in both directions — restoring an old-layout checkpoint into a new-layout
+    run continues the identical trajectory (tested in
+    tests/test_checkpoint_obs.py).
+    """
+    states = list(opt_state)
+    adam_idx = [
+        i for i, s in enumerate(states) if isinstance(s, optax.ScaleByAdamState)
+    ]
+    if len(adam_idx) != 1:
+        raise ValueError("expected exactly one ScaleByAdamState in the chain")
+    adam = states[adam_idx[0]]
+    if to_subtree:
+        adam = adam._replace(
+            mu=trainable_subtree(adam.mu, trainable_mask),
+            nu=trainable_subtree(adam.nu, trainable_mask),
+        )
+        states[adam_idx[0]] = adam
+        states = [s for s in states if not isinstance(s, optax.MaskedState)]
+    else:
+        # distinct zero buffers for mu and nu: sharing one zeros tree would
+        # alias the same buffer at two donated positions of the train step
+        # (XLA rejects double donation)
+        adam = adam._replace(
+            mu=merge_subtree(jax.tree.map(jnp.zeros_like, params), adam.mu),
+            nu=merge_subtree(jax.tree.map(jnp.zeros_like, params), adam.nu),
+        )
+        states[adam_idx[0]] = adam
+        states = [optax.MaskedState(inner_state=optax.EmptyState())] + states
+    return tuple(states)
+
+
 def _norm(pattern: str) -> str:
     # Accept reference-style names ("blocks.11", "feature_extractor.backbone")
     # as well as flax-style ("blocks_11").

@@ -289,7 +289,44 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     start_epoch = 0
     resume_skip = 0
     if cfg.load_checkpoint:
-        state, start_epoch = load_checkpoint(run_dir, state)
+        try:
+            state, start_epoch = load_checkpoint(run_dir, state)
+        except Exception:
+            # Layout sniffing: the checkpoint was written with the *other*
+            # opt_state layout (full-tree vs trainable-subtree). Restore into
+            # a template of that layout and convert — the conversion is exact
+            # (frozen-leaf Adam moments are provably zero), so the trajectory
+            # continues unchanged.
+            from timetuning_tpu.core.optimizer import migrate_opt_state
+
+            alt_tx, _ = swav_optimizer(
+                params_init,
+                lr=cfg.head_lr,
+                backbone_lr=cfg.head_lr / 10,
+                num_epochs=cfg.num_epochs,
+                steps_per_epoch=steps_per_epoch,
+                unfreeze_layers=cfg.unfreeze_layers,
+                use_cosine_lr=cfg.lr_scheduler == "CosineAnnealingLR",
+                opt_over_trainable=not cfg.opt_over_trainable,
+            )
+            alt_state = init_state(
+                model, tcfg, alt_tx, rng, sample,
+                pretrained_params=pretrained, params=params_init,
+                trainable_mask=None if cfg.opt_over_trainable else trainable_mask,
+            )
+            alt_state, start_epoch = load_checkpoint(run_dir, alt_state)
+            state = alt_state.replace(
+                opt_state=migrate_opt_state(
+                    alt_state.opt_state, alt_state.params, trainable_mask,
+                    to_subtree=cfg.opt_over_trainable,
+                )
+            )
+            logger.info(
+                "checkpoint used the %s opt_state layout — converted to the "
+                "configured %s layout at restore",
+                "full-tree" if cfg.opt_over_trainable else "trainable-subtree",
+                "trainable-subtree" if cfg.opt_over_trainable else "full-tree",
+            )
         # A mid-epoch checkpoint (checkpoint_every_steps / preemption) holds
         # step > start_epoch·steps_per_epoch: fast-forward the first resumed
         # epoch past the already-consumed batches (the shuffle is keyed by

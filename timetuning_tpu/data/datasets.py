@@ -265,17 +265,17 @@ def make_categories_dict(meta_path: str) -> dict[str, dict[str, int]]:
     return mapping
 
 
-class YTVOSDataset(VideoDataset):
-    """VideoDataset + meta.json instance→category remapping
-    (reference ``YVOSDataset.map_instances``, data_loader.py:482-506,
-    774-796)."""
+class _InstanceRemapMixin:
+    """meta.json instance→category remap shared by the decoded and packed
+    YTVOS datasets (reference ``YVOSDataset.map_instances``,
+    data_loader.py:482-506, 774-796)."""
 
-    def __init__(self, *args, meta_file: str | None = None, **kw):
-        super().__init__(*args, **kw)
+    instance_map: dict | None
+
+    def _init_instance_map(self, meta_file: str | None) -> None:
         self.instance_map = make_categories_dict(meta_file) if meta_file else None
 
-    def __getitem__(self, index: int) -> dict:
-        item = super().__getitem__(index)
+    def _remap_instances(self, item: dict, index: int) -> dict:
         if self.instance_map is not None and self.use_annotations:
             vid = os.path.basename(self.ann_keys[index])
             objs = self.instance_map.get(vid, {})
@@ -285,6 +285,17 @@ class YTVOSDataset(VideoDataset):
                 out[ann == int(oid)] = cat
             item["annotations"] = out
         return item
+
+
+class YTVOSDataset(_InstanceRemapMixin, VideoDataset):
+    """VideoDataset + meta.json instance→category remapping."""
+
+    def __init__(self, *args, meta_file: str | None = None, **kw):
+        super().__init__(*args, **kw)
+        self._init_instance_map(meta_file)
+
+    def __getitem__(self, index: int) -> dict:
+        return self._remap_instances(super().__getitem__(index), index)
 
 
 class KineticsDataset(VideoDataset):
@@ -342,10 +353,26 @@ class PackedVideoDataset(VideoDataset):
             for c, idx in enumerate(clip_idx):
                 for f, i in enumerate(idx):
                     if i < len(ann_files):
-                        annots[c, f] = _decode_annotation(
-                            ann_files[i], self.decode_size
-                        )
+                        a = _decode_annotation(ann_files[i], self.decode_size)
+                        if self.map_annotations is not None:
+                            a = self.map_annotations(a, self.ann_keys[index])
+                        annots[c, f] = a
         return {"frames": frames, "annotations": annots, "label": index}
+
+
+class PackedYTVOSDataset(_InstanceRemapMixin, PackedVideoDataset):
+    """Decode-once packed cache for the flagship YTVOS training set: packed
+    frame gathers + meta.json instance→category annotation remap (the
+    reference's default training dataset, time_tuning.py:686). Annotations
+    are eval-only and stay in the annotation tree; only the mapping table is
+    needed, so the pack format itself is unchanged."""
+
+    def __init__(self, *args, meta_file: str | None = None, **kw):
+        super().__init__(*args, **kw)
+        self._init_instance_map(meta_file)
+
+    def __getitem__(self, index: int) -> dict:
+        return self._remap_instances(super().__getitem__(index), index)
 
 
 # ------------------------------------------------------------------ #

@@ -218,25 +218,23 @@ def _build_davis_like(name, root, pack_path=None, **kw):
 
 @register_dataset("ytvos")
 @register_dataset("ytvos_val")
-def _build_ytvos(name, root, **kw):
-    if kw.pop("pack_path", None):
-        raise ValueError(
-            "pack_path is only supported for DAVIS-layout datasets "
-            "(davis/mose/visor/epic-kitchen); the ytvos meta.json instance "
-            "mapping is not represented in the pack format"
-        )
+def _build_ytvos(name, root, pack_path=None, **kw):
     split = "valid" if name.endswith("_val") else "train"
     base = os.path.join(root, split)
     if not os.path.isdir(base):
         base = root
-    return YTVOSDataset(
+    meta = os.path.join(base, "meta.json")
+    common = dict(
         frames_root=os.path.join(base, "JPEGImages"),
         annotations_root=os.path.join(base, "Annotations"),
-        meta_file=os.path.join(base, "meta.json")
-        if os.path.exists(os.path.join(base, "meta.json"))
-        else None,
+        meta_file=meta if os.path.exists(meta) else None,
         **kw,
     )
+    if pack_path:
+        from timetuning_tpu.data.datasets import PackedYTVOSDataset
+
+        return PackedYTVOSDataset(pack_path=pack_path, **common)
+    return YTVOSDataset(**common)
 
 
 @register_dataset("kinetics")

@@ -52,7 +52,12 @@ def moco_vit_base(**kw) -> ViTConfig:
 
 
 class MoCoPredictor(nn.Module):
-    """2-layer BN-MLP prediction head (reference models.py:1736-1760)."""
+    """2-layer BN-MLP prediction head (reference models.py:1736-1760).
+
+    Mirrors ``_build_mlp(2, in, hidden, out, last_bn=True)``: the final Dense
+    is followed by an **affine-free** BatchNorm (SimCLR-style, no gamma/beta),
+    so q entering the contrastive loss is per-feature standardized.
+    """
 
     hidden_dim: int = 4096
     out_dim: int = 256
@@ -64,7 +69,35 @@ class MoCoPredictor(nn.Module):
         x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="fc2")(x)
+        x = nn.BatchNorm(use_running_average=True, use_bias=False, use_scale=False,
+                         dtype=self.dtype, name="bn2")(x)
         return x
+
+
+def import_moco_predictor(state_dict: dict, prefix: str = "predictor.") -> dict:
+    """Map the official MoCo-v3 predictor ``nn.Sequential`` state dict into
+    ``MoCoPredictor`` variables.
+
+    Torch layout (reference models.py:1749-1763): ``0``=Linear(no bias),
+    ``1``=BatchNorm1d, ``2``=ReLU, ``3``=Linear(no bias),
+    ``4``=BatchNorm1d(affine=False).
+    """
+    import numpy as np
+
+    def arr(key):
+        v = state_dict[prefix + key]
+        return jnp.asarray(np.asarray(v, dtype=np.float32))
+
+    params = {
+        "fc1": {"kernel": arr("0.weight").T},
+        "bn1": {"scale": arr("1.weight"), "bias": arr("1.bias")},
+        "fc2": {"kernel": arr("3.weight").T},
+    }
+    batch_stats = {
+        "bn1": {"mean": arr("1.running_mean"), "var": arr("1.running_var")},
+        "bn2": {"mean": arr("4.running_mean"), "var": arr("4.running_var")},
+    }
+    return {"params": params, "batch_stats": batch_stats}
 
 
 def contrastive_loss(

@@ -181,6 +181,21 @@ def main() -> None:
             model, tcfg, tx, AugmentConfig(out_size=224),
             trainable_mask=trainable_mask,
         )
+        # double-buffered device prefetch: batch N+1 uploads while batch N
+        # computes (mirrors core/train.py's epoch loop)
+        import numpy as _np
+
+        from timetuning_tpu.data.loader import device_prefetch
+
+        _dev0 = jax.devices()[0]
+
+        def _to_dev(batch):
+            sizes = getattr(batch, "orig_sizes", None)
+            return (
+                jax.device_put(_np.ascontiguousarray(batch[0]), _dev0),
+                None if sizes is None
+                else jax.device_put(_np.ascontiguousarray(sizes), _dev0),
+            )
 
         # loader-only epoch (host-side ceiling), after one warming epoch
         for _ in loader:
@@ -209,9 +224,9 @@ def main() -> None:
             loader.set_epoch(ep)
             t0 = time.perf_counter()
             n = 0
-            for frames, _annots, _labels in loader:
+            for frames_dev, sizes_dev in device_prefetch(loader, _to_dev):
                 state, m = full_step(
-                    state, jnp.asarray(frames), jax.random.PRNGKey(rng_i)
+                    state, frames_dev, sizes_dev, jax.random.PRNGKey(rng_i),
                 )
                 rng_i += 1
                 n += 1

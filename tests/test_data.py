@@ -304,3 +304,26 @@ def test_clip_loader_early_exit_releases_workers(davis_tree):
     assert threading.active_count() <= before + 1, (
         f"{threading.active_count() - before} leaked worker threads"
     )
+
+
+def test_orig_sizes_flow_through_loader(tmp_path):
+    """Items report the native pre-decode frame size and the loader batches
+    them as Batch.orig_sizes (feeds the aspect-preserving train resize)."""
+    root = tmp_path / "JPEGImages"
+    for v, (h, w) in enumerate([(30, 50), (40, 20)]):
+        vdir = root / f"v{v}"
+        vdir.mkdir(parents=True)
+        for f in range(3):
+            cv2.imwrite(str(vdir / f"{f:05d}.jpg"),
+                        np.zeros((h, w, 3), np.uint8))
+    ds = VideoDataset(frames_root=str(root), num_frames=2, decode_size=16)
+    assert ds.orig_size(0) == (30, 50)
+    assert ds.orig_size(1) == (40, 20)
+    np.testing.assert_array_equal(ds[1]["orig_size"], [40, 20])
+
+    loader = ClipLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=1)
+    batch = next(iter(loader))
+    frames, annots, labels = batch  # 3-tuple unpacking still works
+    assert frames.shape == (2, 2, 16, 16, 3)
+    np.testing.assert_array_equal(batch.orig_sizes, [[30, 50], [40, 20]])

@@ -186,3 +186,75 @@ def test_evaluate_cli_prototypes_requires_checkpoint(davis_tree):
             "--data_root", davis_tree,
             "--clustering_algorithm", "prototypes",
         ])
+
+
+def test_parity_extended_stages(timet_pth, voc_tree, capsys):
+    """Stages 4-6 (prototype-argmax clustering, linear probe, CBFE +
+    boundary-F) run e2e on synthetic artifacts through the one-command
+    harness (VERDICT r2 next #1)."""
+    rc = cli_parity.main([
+        "--timet_pth", timet_pth,
+        "--architecture", "vit-tiny-test",
+        "--input_resolution", "32",
+        "--pascal_root", voc_tree,
+        "--pascal_clusters", "2",
+        "--eval_resolution", "16",
+        "--proto_clustering", "true",
+        "--linear_probe", "true",
+        "--linear_probe_epochs", "1",
+        "--linear_resolution", "32",
+        "--linear_mask_size", "16",
+        "--linear_batch_size", "2",
+        "--cbfe", "true",
+        "--cbfe_clusters", "4",
+        "--cbfe_input_resolution", "32",
+        "--cbfe_resolution", "16",
+        "--cbfe_batch_size", "2",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "Pascal mIoU (prototype argmax)" in out
+    assert "Pascal linear-probe mIoU (best)" in out
+    assert "CBFE val Jaccard" in out
+    assert "CBFE val boundary-F" in out
+    assert "CBFE masked mIoU (many-to-one)" in out
+    assert "FAIL" not in out
+
+
+@pytest.fixture(scope="module")
+def timet_pth_p4(tmp_path_factory):
+    """Checkpoint sized for the dense-grid (s8-geometry) test arch."""
+    torch.manual_seed(2)
+    oracle = build_oracle(img_size=32, patch_size=4, dim=32, depth=2, heads=2)
+    head = build_oracle_head((48, 24), 32)
+    protos = torch.nn.functional.normalize(torch.randn(8, 24), dim=-1)
+    sd = {f"feature_extractor.backbone.{k}": v
+          for k, v in oracle.state_dict().items()}
+    for k, v in head.state_dict().items():
+        sd[f"feature_extractor.head.{k}"] = v
+    sd["prototypes"] = protos
+    path = tmp_path_factory.mktemp("ckpt_p4") / "TimeT_p4.pth"
+    torch.save(sd, str(path))
+    return str(path)
+
+
+def test_parity_dense_grid_geometry(timet_pth_p4, davis_tree, capsys):
+    """DAVIS propagation at the dino-s8 token-count geometry (dense patch
+    grid, pos-embed interpolation 8x8 -> 16x16): the BASELINE.json s8 row's
+    e2e seam (VERDICT r2 next #1)."""
+    rc = cli_parity.main([
+        "--timet_pth", timet_pth_p4,
+        "--architecture", "vit-tiny-test-p4",
+        "--input_resolution", "64",
+        "--davis_root", davis_tree,
+        "--num_frames", "4",
+        "--n_last_frames", "2",
+        "--size_mask_neighborhood", "4",
+        "--num_workers", "2",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "DAVIS J&F (propagation)" in out
+    assert "FAIL" not in out
+    j_row = [ln for ln in out.splitlines() if "DAVIS J (" in ln][0]
+    assert float(j_row.split("ours=")[1].split()[0]) > 0.3

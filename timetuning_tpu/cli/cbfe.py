@@ -28,10 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    setup_compilation_cache()
-
+def run_cbfe(args, log=print) -> dict:
+    """CBFE pipeline + masked Evaluator rerun; returns {"threshold",
+    "train_jaccard", "val_jaccard", "val_bf", "masked_miou"}
+    (reference cluster_based_foreground_extraction.py:281-348)."""
     from timetuning_tpu.data.pascal import pascal_loader
     from timetuning_tpu.data.transforms import IMAGENET_STD, eval_preprocess_batch
     from timetuning_tpu.eval.cbfe import CBFEConfig, ClusterBasedForegroundExtraction
@@ -69,7 +69,7 @@ def main(argv=None) -> int:
         CBFEConfig(num_clusters=args.num_clusters, resolution=args.resolution),
     )
     result = cbfe.get_foreground_masks(train_loader, val_loader)
-    print(
+    log(
         f"threshold={result['threshold']} train_j={result['train_jaccard']:.4f} "
         f"val_j={result['val_jaccard']:.4f} val_bf={result['val_bf']:.4f}"
     )
@@ -95,7 +95,20 @@ def main(argv=None) -> int:
         num_clusters=args.num_eval_clusters,
         use_mask=True,
     )
-    print(f"masked dataset-wise mIoU: {score}")
+    log(f"masked dataset-wise mIoU: {score}")
+    return {
+        "threshold": result["threshold"],
+        "train_jaccard": float(result["train_jaccard"]),
+        "val_jaccard": float(result["val_jaccard"]),
+        "val_bf": float(result["val_bf"]),
+        "masked_miou": float(score),
+    }
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_compilation_cache()
+    run_cbfe(args)
     return 0
 
 

@@ -25,10 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
-    setup_compilation_cache()
-
+def run_linear_probe(args, log=print) -> dict:
+    """Train + validate the frozen-backbone linear probe; returns
+    {"best_miou", "final_miou"} (reference linear_finetune.py:55-89)."""
     from timetuning_tpu.data.pascal import pascal_loader
     from timetuning_tpu.data.transforms import IMAGENET_STD, eval_preprocess_batch
     from timetuning_tpu.eval.linear_probe import LinearProbeConfig, LinearProbeTrainer
@@ -61,12 +60,19 @@ def main(argv=None) -> int:
         num_epochs=args.num_epochs, lr=args.lr,
     )
     tr = LinearProbeTrainer(feature_fn, res, cfg, steps_per_epoch=len(train_loader))
-    best = 0.0
+    best = miou = 0.0
     for epoch in range(args.num_epochs):
         loss = tr.train_epoch(train_loader)
         miou = tr.validate(val_loader)
         best = max(best, miou)
-        print(f"epoch {epoch}: loss={loss:.4f} val mIoU={miou:.4f} best={best:.4f}")
+        log(f"epoch {epoch}: loss={loss:.4f} val mIoU={miou:.4f} best={best:.4f}")
+    return {"best_miou": best, "final_miou": miou}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    setup_compilation_cache()
+    run_linear_probe(args)
     return 0
 
 

@@ -18,6 +18,19 @@ Stages (each runs only if its artifact is given):
      and sample-wise mIoU.
   3. **Pascal dataset-wise clustering mIoU** (reference evaluation.py:373-485
      protocol: k=21, eval resolution 112, k-means, dataset-wise Hungarian).
+  4. **Pascal prototype-argmax clustering** (``--proto_clustering``;
+     reference clustering.py:85-117 — requires the checkpoint's prototype
+     bank + projection head).
+  5. **Linear probe** (``--linear_probe``; reference linear_finetune.py:55-89
+     — frozen backbone + 1×1 conv head, Pascal trainaug/val).
+  6. **CBFE + boundary-F** (``--cbfe``; reference
+     cluster_based_foreground_extraction.py:281-348 — k=300 overclustering,
+     threshold tuning on train GT, masked dataset-wise rerun).
+
+DAVIS propagation at the dino-s8 / dino-b16 geometries runs by passing
+``--architecture dino-s8`` / ``dino-b16`` (each stage is
+architecture-generic; the dense-grid geometry is e2e-tested at test scale
+via ``vit-tiny-test-p4``).
 
 Each stage prints a side-by-side row; stages with an ``--expected_*`` value
 are gated (|ours − expected| ≤ tolerance, BASELINE.md "within 0.5" default);
@@ -36,7 +49,7 @@ from timetuning_tpu.runtime import setup_compilation_cache
 
 _HEADS = {  # timm geometry per supported parity architecture
     "dino-s16": 6, "dino-s8": 6, "msn-s16": 6, "ibot-s16": 6, "leopart": 6,
-    "dino-b16": 12, "vit": 12, "vit-tiny-test": 2,
+    "dino-b16": 12, "vit": 12, "vit-tiny-test": 2, "vit-tiny-test-p4": 2,
 }
 
 
@@ -71,6 +84,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="max |Δ| gate for the patch-embedding tokens")
     p.add_argument("--streaming", type=str2bool, default=False,
                    help="bounded-memory Pascal dataset-wise protocol")
+    # stage 4: prototype-argmax Pascal clustering (reference
+    # clustering.py:85-117; requires prototypes + head in the .pth)
+    p.add_argument("--proto_clustering", type=str2bool, default=False)
+    p.add_argument("--expected_pascal_proto_miou", type=float, default=None)
+    # stage 5: linear probe (reference linear_finetune.py:55-89)
+    p.add_argument("--linear_probe", type=str2bool, default=False)
+    p.add_argument("--linear_probe_epochs", type=int, default=50)
+    p.add_argument("--linear_resolution", type=int, default=448)
+    p.add_argument("--linear_mask_size", type=int, default=100)
+    p.add_argument("--linear_batch_size", type=int, default=64)
+    p.add_argument("--expected_linear_miou", type=float, default=None)
+    # stage 6: CBFE + boundary-F (reference
+    # cluster_based_foreground_extraction.py:281-348)
+    p.add_argument("--cbfe", type=str2bool, default=False)
+    p.add_argument("--cbfe_clusters", type=int, default=300)
+    p.add_argument("--cbfe_input_resolution", type=int, default=448)
+    p.add_argument("--cbfe_resolution", type=int, default=100)
+    p.add_argument("--cbfe_batch_size", type=int, default=32)
+    p.add_argument("--expected_cbfe_miou", type=float, default=None)
+    p.add_argument("--expected_cbfe_jaccard", type=float, default=None)
     return p
 
 
@@ -138,7 +171,16 @@ def _import_stage(args, report: _Report):
     n_protos = imported.get("prototypes", np.zeros((200, 1))).shape[0]
 
     bb = get_backbone(args.architecture)
-    img = args.input_resolution
+    # compare at the checkpoint's NATIVE resolution (pos-embed length), not
+    # the eval input resolution — import fidelity is about the stored
+    # weights; non-native forwards are covered by the torch-exact bicubic
+    # pos-embed interpolation test (tests/test_vit_golden.py)
+    try:
+        n_pos = sd["feature_extractor.backbone.pos_embed"].shape[1] - 1
+        patch = sd["feature_extractor.backbone.patch_embed.proj.weight"].shape[-1]
+        img = int(round(float(n_pos) ** 0.5)) * int(patch)
+    except KeyError:
+        img = args.input_resolution
     model = TimeT(
         feature_extractor=FeatureExtractor(
             backbone=bb.module, head_dims=head_dims, drop_cls=bb.drop_cls
@@ -204,7 +246,7 @@ def _import_stage(args, report: _Report):
         report.add("prototype scores max|Δ| (vs torch)",
                    float(np.abs(scores_j - want_scores).max()), 0.0,
                    args.feature_atol)
-    return params
+    return model, params, imported, head_dims
 
 
 def _flax_patch_embed(bb, params, xj):
@@ -231,7 +273,7 @@ def main(argv=None) -> int:
     report = _Report()
 
     print(f"== stage 1: checkpoint import fidelity ({args.timet_pth}) ==")
-    _import_stage(args, report)
+    model, params, imported, head_dims = _import_stage(args, report)
 
     if args.davis_root:
         print("\n== stage 2: DAVIS semi-supervised propagation ==")
@@ -306,6 +348,104 @@ def main(argv=None) -> int:
         )
         report.add("Pascal mIoU (dataset-wise, k=21)", float(score),
                    args.expected_pascal_miou, args.tolerance)
+
+    if args.proto_clustering and args.pascal_root:
+        print("\n== stage 4: Pascal prototype-argmax clustering mIoU ==")
+        import jax
+        import jax.numpy as jnp
+
+        from timetuning_tpu.data.pascal import pascal_loader
+        from timetuning_tpu.data.transforms import (
+            IMAGENET_STD,
+            eval_preprocess_batch,
+        )
+        from timetuning_tpu.eval.evaluator import Evaluator
+
+        if "prototypes" not in imported:
+            raise SystemExit(
+                "--proto_clustering needs a checkpoint with a prototype bank "
+                "(TimeT.pth has one; plain backbone releases do not)"
+            )
+        eval_res = args.eval_resolution or args.input_resolution // 2
+        from timetuning_tpu.models.registry import get_backbone as _gb
+
+        res_sp = _gb(args.architecture).spatial_resolution(
+            args.input_resolution
+        )
+
+        @jax.jit
+        def head_feats_jit(frames_u8):
+            x = eval_preprocess_batch(
+                frames_u8, out_size=args.input_resolution, std=IMAGENET_STD
+            )
+            feats, _ = model.apply(
+                {"params": params}, x, use_head=bool(head_dims)
+            )
+            return feats, None
+
+        loader = pascal_loader(
+            60, args.pascal_root, "val", eval_res, args.input_resolution
+        )
+        ev = Evaluator(
+            data_iter_factory=lambda: iter(loader),
+            feature_fn=lambda frames, want_attention=False: head_feats_jit(
+                jnp.asarray(frames)),
+            spatial_resolution=res_sp,
+            num_classes=args.pascal_clusters,
+            involve_bg=True,
+            ignore_index=255,
+            clustering_algorithm="prototypes",
+            prototypes=np.asarray(imported["prototypes"]),
+        )
+        score = ev.evaluate(
+            evaluation_protocol="dataset-wise",
+            eval_resolution=eval_res,
+            num_clusters=args.pascal_clusters,
+            streaming=args.streaming,
+        )
+        report.add("Pascal mIoU (prototype argmax)", float(score),
+                   args.expected_pascal_proto_miou, args.tolerance)
+
+    if args.linear_probe and args.pascal_root:
+        print("\n== stage 5: Pascal linear probe mIoU ==")
+        import argparse as _ap
+
+        from timetuning_tpu.cli.linear_probe import run_linear_probe
+
+        lp_args = _ap.Namespace(
+            architecture=args.architecture, model_path=args.timet_pth,
+            pascal_root=args.pascal_root, batch_size=args.linear_batch_size,
+            num_classes=args.pascal_clusters,
+            num_epochs=args.linear_probe_epochs,
+            input_resolution=args.linear_resolution,
+            mask_size=args.linear_mask_size, lr=0.01,
+        )
+        lp = run_linear_probe(lp_args)
+        report.add("Pascal linear-probe mIoU (best)",
+                   float(lp["best_miou"]), args.expected_linear_miou,
+                   args.tolerance)
+
+    if args.cbfe and args.pascal_root:
+        print("\n== stage 6: CBFE foreground extraction + masked mIoU ==")
+        import argparse as _ap
+
+        from timetuning_tpu.cli.cbfe import run_cbfe
+
+        cb_args = _ap.Namespace(
+            architecture=args.architecture, model_path=args.timet_pth,
+            pascal_root=args.pascal_root, batch_size=args.cbfe_batch_size,
+            num_clusters=args.cbfe_clusters,
+            input_resolution=args.cbfe_input_resolution,
+            resolution=args.cbfe_resolution,
+            eval_resolution=args.cbfe_resolution,
+            num_eval_clusters=args.pascal_clusters, many_to_one=True,
+        )
+        cb = run_cbfe(cb_args)
+        report.add("CBFE val Jaccard", cb["val_jaccard"],
+                   args.expected_cbfe_jaccard, args.tolerance)
+        report.add("CBFE val boundary-F", cb["val_bf"], None, args.tolerance)
+        report.add("CBFE masked mIoU (many-to-one)", cb["masked_miou"],
+                   args.expected_cbfe_miou, args.tolerance)
 
     return report.summary()
 

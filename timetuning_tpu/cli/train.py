@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epsilon", type=float, default=0.05)
     p.add_argument("--sinkhorn_iterations", type=int, default=10)
     p.add_argument("--use_projection_head", type=str2bool, default=True)
+    p.add_argument("--log_histograms", type=str2bool, default=False,
+                   help="per-eval-epoch assignment histogram + entropy + "
+                        "overlay gif artifacts (reference "
+                        "time_tuning.py:433-457)")
     p.add_argument("--streaming_eval", type=str2bool, default=False,
                    help="bounded-memory dataset-wise in-training eval")
     p.add_argument("--checkpoint_every_steps", type=int, default=None,
@@ -116,6 +120,7 @@ def main(argv=None) -> int:
         use_queue=args.use_queue,
         queue_size=args.queue_size,
         streaming_eval=args.streaming_eval,
+        log_histograms=args.log_histograms,
         checkpoint_every_steps=args.checkpoint_every_steps,
         handle_preemption=args.handle_preemption,
         opt_over_trainable=args.opt_over_trainable,

@@ -41,7 +41,7 @@ from timetuning_tpu.core.timet import (
     make_train_step,
 )
 from timetuning_tpu.data.datasets import SamplingMode
-from timetuning_tpu.data.loader import make_loader
+from timetuning_tpu.data.loader import device_prefetch, make_loader
 from timetuning_tpu.data.transforms import (
     AugmentConfig,
     IMAGENET_STD,
@@ -113,6 +113,9 @@ class TrainingConfig:
     # two layouts have different opt_state trees and are not
     # interchangeable at restore time).
     opt_over_trainable: bool = True
+    # per-eval-epoch prototype-assignment histogram + entropy scalars and an
+    # overlay seg-map gif artifact (reference time_tuning.py:433-457, 305-351)
+    log_histograms: bool = False
 
 
 def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
@@ -171,14 +174,14 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask,
                                 opt_over_trainable=opt_over_trainable)
 
-    def full(state, frames_u8, key, sharded=False):
+    def full(state, frames_u8, src_sizes, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
         if sharded:
             # decorrelate per-device augmentation streams (the reference's
             # per-rank DataLoader-worker RNG streams)
             k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index("data"))
         clips, _ = augment_batch(k_aug, frames_u8, None, aug_cfg,
-                                 with_annotations=False)
+                                 with_annotations=False, src_sizes=src_sizes)
         return base_step(state, clips, k_step)
 
     if mesh is None or mesh.size == 1:
@@ -192,13 +195,62 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     specs = state_partition_specs(state_like, "data")
     return jax.jit(
         jax.shard_map(
-            lambda st, f, k: full(st, f, k, sharded=True),
+            lambda st, f, sz, k: full(st, f, sz, k, sharded=True),
             mesh=mesh,
-            in_specs=(specs, P("data"), P()),
+            in_specs=(specs, P("data"), P("data"), P()),
             out_specs=(specs, P()),
         ),
         donate_argnums=(0,),
     )
+
+
+def log_training_diagnostics(
+    model, params, eval_loader, writer, run_dir: str, epoch: int,
+    cfg: TrainingConfig, spatial_res: int,
+) -> float:
+    """Prototype-assignment histogram + entropy scalars and an overlay
+    seg-map gif over the eval set (reference ``get_similarity_histogram`` /
+    ``log_assignment_histogram`` + overlay figures, time_tuning.py:433-457,
+    305-351). The histogram bincount and the prototype argmax run on device.
+    Returns the assignment entropy."""
+    from functools import partial
+
+    from timetuning_tpu.data.transforms import IMAGENET_MEAN
+    from timetuning_tpu.obs.histograms import (
+        assignment_histogram,
+        log_assignment_histogram,
+    )
+    from timetuning_tpu.obs.viz import clip_overlay_frames, write_gif
+
+    @jax.jit
+    def scores_fn(p, frames_u8):
+        x = eval_preprocess_batch(
+            frames_u8, out_size=cfg.input_resolution, std=IMAGENET_STD
+        )
+        feats, _ = model.apply({"params": p}, x, use_head=True)
+        s = model.apply({"params": p}, feats, method="similarity")
+        return x, s
+
+    hist = np.zeros(cfg.num_clusters, np.int64)
+    overlay = None
+    for frames, _masks in eval_loader:
+        x, s = scores_fn(params, jnp.asarray(frames))
+        hist += np.asarray(assignment_histogram(s, cfg.num_clusters))
+        if overlay is None:
+            n = min(8, s.shape[0])
+            seg = np.asarray(jnp.argmax(s[:n], -1)).reshape(
+                n, spatial_res, spatial_res
+            )
+            overlay = clip_overlay_frames(
+                np.asarray(x[:n], np.float32), seg,
+                IMAGENET_MEAN, IMAGENET_STD,
+            )
+    ent = log_assignment_histogram(writer, hist, epoch)
+    if overlay:
+        art_dir = os.path.join(run_dir, "artifacts")
+        os.makedirs(art_dir, exist_ok=True)
+        write_gif(overlay, os.path.join(art_dir, f"assignments_epoch{epoch}.gif"))
+    return ent
 
 
 def run_training(cfg: TrainingConfig) -> dict[str, Any]:
@@ -416,6 +468,23 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             "preempted": preempted,
         }
 
+    # double-buffered host→device prefetch: upload batch N+1 while batch N
+    # computes (device_put is async). On a mesh, put each per-device shard
+    # directly where it belongs instead of staging on device 0.
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sharding = NamedSharding(mesh, P("data"))
+    else:
+        batch_sharding = devices[0]
+
+    def to_device(batch):
+        frames = jax.device_put(np.ascontiguousarray(batch[0]), batch_sharding)
+        sizes = getattr(batch, "orig_sizes", None)
+        if sizes is not None:
+            sizes = jax.device_put(np.ascontiguousarray(sizes), batch_sharding)
+        return frames, sizes
+
     global_step = int(state.step)
     best_score = -1.0
     last_eval = None
@@ -439,6 +508,11 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             )
             writer.scalar("Scores/localization", score, epoch)
             last_eval = score
+            if cfg.log_histograms:
+                log_training_diagnostics(
+                    model, state.params, eval_loader, writer, run_dir,
+                    epoch, cfg, spatial_res,
+                )
             if score > best_score:
                 best_score = score
                 export_best(state.params, run_dir, score, epoch)
@@ -453,11 +527,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             )
         pending = None  # (step, metrics) — logged one step late so the
         # host never blocks on the in-flight device step (async dispatch)
-        for bi, (frames, _annots, _labels) in enumerate(loader):
+        for bi, (frames_dev, sizes_dev) in enumerate(
+            device_prefetch(loader, to_device)
+        ):
             if cfg.max_steps_per_epoch and bi + skip >= cfg.max_steps_per_epoch:
                 break
             rng, key = jax.random.split(rng)
-            state, metrics = step_fn(state, jnp.asarray(frames), key)
+            state, metrics = step_fn(state, frames_dev, sizes_dev, key)
             global_step += 1
             if pending is not None and jax.process_index() == 0:
                 pstep, pmetrics = pending

@@ -132,6 +132,15 @@ def generate_clip_indices(
     return out
 
 
+def _frame_size(path: str) -> tuple[int, int]:
+    """Native (H, W) of an image file — header-only read (no full decode)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        w, h = im.size
+    return h, w
+
+
 def _decode_frame(path: str, size: int, nearest: bool) -> np.ndarray:
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     assert img is not None, f"failed to decode {path}"
@@ -217,6 +226,17 @@ class VideoDataset:
     def video_name(self, index: int) -> str:
         return os.path.basename(self.keys[index])
 
+    def orig_size(self, index: int) -> tuple[int, int]:
+        """Native (H, W) of the video's frames before the square decode
+        resize — the geometry the reference's short-side train Resize sees
+        (video_transformations.py:96-103). Cached per video (header read)."""
+        cache = getattr(self, "_orig_size_cache", None)
+        if cache is None:
+            cache = self._orig_size_cache = {}
+        if index not in cache:
+            cache[index] = _frame_size(self.tree[self.keys[index]][0])
+        return cache[index]
+
     def __getitem__(self, index: int) -> dict:
         key = self.keys[index]
         files = self.tree[key]
@@ -244,7 +264,10 @@ class VideoDataset:
                         if self.map_annotations is not None:
                             a = self.map_annotations(a, self.ann_keys[index])
                         annots[c, f] = a
-        return {"frames": frames, "annotations": annots, "label": index}
+        return {
+            "frames": frames, "annotations": annots, "label": index,
+            "orig_size": np.asarray(self.orig_size(index), np.int32),
+        }
 
 
 def make_categories_dict(meta_path: str) -> dict[str, dict[str, int]]:
@@ -331,10 +354,16 @@ class PackedVideoDataset(VideoDataset):
             f"{self.decode_size}"
         )
 
+    def orig_size(self, index: int) -> tuple[int, int]:
+        entry = self.pack_index[os.path.basename(self.keys[index])]
+        if len(entry) >= 4:  # (start, n, h0, w0) — recorded at pack build
+            return int(entry[2]), int(entry[3])
+        return super().orig_size(index)  # legacy (start, n) index
+
     def __getitem__(self, index: int) -> dict:
         key = self.keys[index]
         name = os.path.basename(key)
-        start, n = self.pack_index[name]
+        start, n = self.pack_index[name][:2]
         rng = self._rng(index)
         clip_idx = generate_clip_indices(
             rng, n, self.num_frames, self.num_clips,
@@ -357,7 +386,10 @@ class PackedVideoDataset(VideoDataset):
                         if self.map_annotations is not None:
                             a = self.map_annotations(a, self.ann_keys[index])
                         annots[c, f] = a
-        return {"frames": frames, "annotations": annots, "label": index}
+        return {
+            "frames": frames, "annotations": annots, "label": index,
+            "orig_size": np.asarray(self.orig_size(index), np.int32),
+        }
 
 
 class PackedYTVOSDataset(_InstanceRemapMixin, PackedVideoDataset):

@@ -32,6 +32,21 @@ from timetuning_tpu.data.datasets import (
 )
 
 
+class Batch(tuple):
+    """(frames, annotations, labels) — unpacks like the historical 3-tuple —
+    plus ``orig_sizes`` [B, 2] int32: each clip's native (H, W) before the
+    square decode resize, feeding the aspect-preserving train-resize
+    geometry (data/transforms.py ``src_sizes``). None when the dataset does
+    not report sizes."""
+
+    orig_sizes: "np.ndarray | None"
+
+    def __new__(cls, frames, annotations, labels, orig_sizes=None):
+        b = super().__new__(cls, (frames, annotations, labels))
+        b.orig_sizes = orig_sizes
+        return b
+
+
 class ClipLoader:
     """Iterable over batched host clips with background decode threads."""
 
@@ -142,12 +157,17 @@ class ClipLoader:
                     frames = np.stack([it["frames"] for it in items])
                     annots = np.stack([it["annotations"] for it in items])
                     labels = np.asarray([it["label"] for it in items])
+                    sizes = (
+                        np.stack([it["orig_size"] for it in items])
+                        if all("orig_size" in it for it in items)
+                        else None
+                    )
                     # [B, clips, F, H, W, (3)] → merge clips into batch like
                     # the reference's squeeze for num_clips == 1
                     if frames.shape[1] == 1:
                         frames = frames[:, 0]
                         annots = annots[:, 0]
-                    _put((bi, (frames, annots, labels)))
+                    _put((bi, Batch(frames, annots, labels, sizes)))
                 except BaseException as e:  # noqa: BLE001
                     # propagate instead of dying silently: a dead worker's
                     # claimed batch would never reach out_q and the consumer
@@ -178,6 +198,36 @@ class ClipLoader:
             # GeneratorExit (early break), exception, or normal completion:
             # release any worker blocked on the bounded queue
             stop.set()
+
+
+def device_prefetch(iterable, transform, depth: int = 2):
+    """Overlap host→device transfer with device compute: keep ``depth``
+    transformed (device-put) items in flight ahead of the consumer.
+
+    ``transform(item)`` should call ``jax.device_put`` (optionally with a
+    ``NamedSharding``) and return the device-resident payload; device_put is
+    asynchronous, so enqueuing batch N+1's upload while batch N's step is
+    executing rides the DMA engine concurrently with the MXU instead of
+    serializing upload → step → upload (the r2 pipeline did
+    ``jnp.asarray`` inline in the step loop, core/train.py:423)."""
+    it = iter(iterable)
+    from collections import deque
+
+    buf = deque()
+
+    def enqueue(k: int) -> None:
+        for _ in range(k):
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            buf.append(transform(item))
+
+    enqueue(depth)
+    while buf:
+        out = buf.popleft()
+        enqueue(1)
+        yield out
 
 
 _DATASET_BUILDERS = {}

@@ -14,16 +14,24 @@ come out, with every random parameter drawn from a `jax.random` key — so
 augmentation runs on TPU at HBM bandwidth and is exactly reproducible.
 
 Host-side precondition: frames are decoded and resized to a fixed square
-``decode_size`` (the reference's host-side ``Resize``; fixed size is required
-for static shapes). Two documented semantic divergences follow from it:
-(1) aspect ratio — the reference's short-side resize preserves it, the fixed
-square does not; (2) blur scale — the reference applies GaussianBlur (same
-sigma range) at the NATIVE decode resolution and then resizes, so its
-effective blur at the training resolution is weaker by the resize factor
-(e.g. ~1.9× for 480p→256); here blur runs post-resize at ``decode_size``.
-Grayscale and brightness/saturation/hue jitter are pointwise and commute
-with the resize; contrast jitter blends toward the frame's GLOBAL
-grayscale mean, which the aspect-distorting resize reweights slightly.
+``decode_size`` (static shapes). Reference train-time semantics are restored
+on top of that square buffer by passing the clip's NATIVE size
+(``src_sizes``):
+(1) aspect ratio — the RRC box is sampled in the geometry of the
+reference's short-side ``Resize(out_size)`` image (``get_resize_sizes``,
+video_transformations.py:96-103) and then mapped affinely onto the square
+buffer, so the crop-parameter distribution matches torchvision RRC on the
+aspect-preserved image exactly (tested vs torchvision on non-square
+inputs); the cropped content equals the reference's up to resampling-chain
+interpolation.
+(2) blur scale — the reference blurs at NATIVE resolution with a fresh PIL
+radius per frame (video_transformations.py:640); here the per-frame sigma
+is scaled per-axis by buffer/native so the blur footprint in image units
+matches (blur⇄resize commute up to the Gaussian/bilinear approximation).
+Without ``src_sizes`` the old square-geometry behavior is preserved.
+Remaining minor divergence: contrast jitter blends toward the frame's
+GLOBAL grayscale mean, which the aspect-distorting decode reweights
+slightly (pointwise photometric ops commute with the resize).
 
 Geometric ops use ``scale_and_translate`` (bilinear, frames) and nearest
 gather (annotations); photometric ops follow torchvision formulas, applied in
@@ -155,20 +163,42 @@ def _color_jitter(key, x, cfg: AugmentConfig):
     return jnp.where(do, jittered, x)
 
 
-def _gaussian_blur(key, x, cfg: AugmentConfig):
+def _gaussian_blur(key, x, cfg: AugmentConfig, scale_y=None, scale_x=None):
+    """Clip-probability blur with a fresh sigma PER FRAME (the reference's
+    PIL branch samples a new radius for every frame of the clip,
+    video_transformations.py:640). ``scale_y``/``scale_x`` convert a
+    native-resolution sigma into buffer-pixel units (buffer/native)."""
     kp, ksig = jax.random.split(key)
-    sigma = jax.random.uniform(ksig, (), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+    F, H, W, C = x.shape
+    sigma = jax.random.uniform(
+        ksig, (F,), minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1]
+    )
+    sy = sigma if scale_y is None else sigma * scale_y
+    sx = sigma if scale_x is None else sigma * scale_x
     ks = cfg.blur_ksize
     r = jnp.arange(ks, dtype=jnp.float32) - (ks - 1) / 2
-    kern = jnp.exp(-(r ** 2) / (2.0 * sigma ** 2))
-    kern = kern / jnp.sum(kern)
-    F, H, W, C = x.shape
-    xc = jnp.transpose(x, (0, 3, 1, 2)).reshape(F * C, 1, H, W)
+    ky = jnp.exp(-(r[None, :] ** 2) / (2.0 * sy[:, None] ** 2))
+    ky = ky / jnp.sum(ky, axis=-1, keepdims=True)              # [F, ks]
+    kx = jnp.exp(-(r[None, :] ** 2) / (2.0 * sx[:, None] ** 2))
+    kx = kx / jnp.sum(kx, axis=-1, keepdims=True)
+    # depthwise separable conv with a distinct kernel per frame: channels
+    # laid out as F*C groups, one grouped conv per axis
+    xc = jnp.transpose(x, (0, 3, 1, 2)).reshape(1, F * C, H, W)
     pad = ks // 2
     xc = jnp.pad(xc, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
-    dn = jax.lax.conv_dimension_numbers(xc.shape, (1, 1, ks, 1), ("NCHW", "OIHW", "NCHW"))
-    xc = jax.lax.conv_general_dilated(xc, kern.reshape(1, 1, ks, 1), (1, 1), "VALID", dimension_numbers=dn)
-    xc = jax.lax.conv_general_dilated(xc, kern.reshape(1, 1, 1, ks), (1, 1), "VALID", dimension_numbers=dn)
+    dn = jax.lax.conv_dimension_numbers(
+        xc.shape, (F * C, 1, ks, 1), ("NCHW", "OIHW", "NCHW")
+    )
+    wy = jnp.repeat(ky, C, axis=0).reshape(F * C, 1, ks, 1)
+    xc = jax.lax.conv_general_dilated(
+        xc, wy, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=F * C,
+    )
+    wx = jnp.repeat(kx, C, axis=0).reshape(F * C, 1, 1, ks)
+    xc = jax.lax.conv_general_dilated(
+        xc, wx, (1, 1), "VALID", dimension_numbers=dn,
+        feature_group_count=F * C,
+    )
     blurred = jnp.transpose(xc.reshape(F, C, H, W), (0, 2, 3, 1))
     do = jax.random.uniform(kp) < cfg.blur_p
     return jnp.where(do, blurred, x)
@@ -177,9 +207,13 @@ def _gaussian_blur(key, x, cfg: AugmentConfig):
 # --------------------------------------------------------------------- #
 # geometric: random resized crop (torchvision sampling), flips
 
-def _sample_rrc_box(key, h: int, w: int, cfg: AugmentConfig):
+def _sample_rrc_box(key, h, w, cfg: AugmentConfig):
     """torchvision RandomResizedCrop.get_params: 10 rejection-sampling tries,
-    fallback to a ratio-clamped center crop. Returns (i, j, ch, cw) floats."""
+    fallback to a ratio-clamped center crop. Returns (i, j, ch, cw) floats.
+    ``h``/``w`` may be traced (the short-side-resize geometry varies per
+    clip)."""
+    h = jnp.asarray(h, jnp.float32)
+    w = jnp.asarray(w, jnp.float32)
     area = h * w
     keys = jax.random.split(key, 4)
     scale = jax.random.uniform(keys[0], (10,), minval=cfg.crop_scale[0], maxval=cfg.crop_scale[1])
@@ -201,8 +235,8 @@ def _sample_rrc_box(key, h: int, w: int, cfg: AugmentConfig):
     j = ju * (w - cw_s)
     # fallback: center crop of the full (clamped-ratio) image
     in_ratio = w / h
-    fw = jnp.where(in_ratio < cfg.crop_ratio[0], float(w), jnp.where(in_ratio > cfg.crop_ratio[1], h * cfg.crop_ratio[1], float(w)))
-    fh = jnp.where(in_ratio < cfg.crop_ratio[0], w / cfg.crop_ratio[0], jnp.where(in_ratio > cfg.crop_ratio[1], float(h), float(h)))
+    fw = jnp.where(in_ratio < cfg.crop_ratio[0], w, jnp.where(in_ratio > cfg.crop_ratio[1], h * cfg.crop_ratio[1], w))
+    fh = jnp.where(in_ratio < cfg.crop_ratio[0], w / cfg.crop_ratio[0], h)
     fi, fj = (h - fh) / 2.0, (w - fw) / 2.0
     i = jnp.where(any_valid, i, fi)
     j = jnp.where(any_valid, j, fj)
@@ -239,21 +273,54 @@ def _crop_resize_nearest(x, i, j, ch, cw, out: int):
 
 # --------------------------------------------------------------------- #
 
-def augment_clip(key, frames, annotations, cfg: AugmentConfig):
-    """frames: [F, H, W, 3] uint8; annotations: [F, H, W] uint8 or None.
-    Returns (normalized float32 [F, out, out, 3], annotations [F, out, out])."""
+def reference_resize_geometry(h0, w0, size: int):
+    """The reference's short-side ``Resize`` output dims (``get_resize_sizes``,
+    video_transformations.py:96-103, incl. the int() truncation): returns
+    (rh, rw) with min(rh, rw) == size and aspect preserved."""
+    h0 = jnp.asarray(h0, jnp.float32)
+    w0 = jnp.asarray(w0, jnp.float32)
+    size = jnp.float32(size)
+    rh = jnp.where(w0 < h0, jnp.floor(size * h0 / w0), size)
+    rw = jnp.where(w0 < h0, size, jnp.floor(size * w0 / h0))
+    return rh, rw
+
+
+def augment_clip(key, frames, annotations, cfg: AugmentConfig, src_size=None):
+    """frames: [F, H, W, 3] uint8; annotations: [F, H, W] uint8 or None;
+    src_size: optional [2] (native H0, W0 before the square decode resize).
+    Returns (normalized float32 [F, out, out, 3], annotations [F, out, out]).
+
+    With ``src_size`` the geometric pipeline reproduces the reference's
+    train-time chain Resize(out, short-side) → RandomResizedCrop(out)
+    (time_tuning.py:592): the RRC box is sampled in the aspect-preserved
+    post-Resize geometry and mapped affinely onto the square decode buffer;
+    blur sigma is rescaled into buffer units per axis."""
     kphoto1, kphoto2, kphoto3, kgeo, kflip = jax.random.split(key, 5)
     x = frames.astype(jnp.float32) / 255.0
+    H, W = x.shape[1:3]
+
+    if src_size is None:
+        blur_scale_y = blur_scale_x = None
+        geo_h, geo_w = jnp.float32(H), jnp.float32(W)
+        box_y, box_x = jnp.float32(1.0), jnp.float32(1.0)
+    else:
+        h0 = jnp.asarray(src_size[0], jnp.float32)
+        w0 = jnp.asarray(src_size[1], jnp.float32)
+        blur_scale_y = H / h0
+        blur_scale_x = W / w0
+        geo_h, geo_w = reference_resize_geometry(h0, w0, cfg.out_size)
+        box_y = H / geo_h
+        box_x = W / geo_w
 
     # photometric (frame_transform chain, clip-consistent)
     x = _color_jitter(kphoto1, x, cfg)
     do_gray = jax.random.uniform(kphoto2) < cfg.grayscale_p
     x = jnp.where(do_gray, jnp.broadcast_to(_grayscale(x), x.shape), x)
-    x = _gaussian_blur(kphoto3, x, cfg)
+    x = _gaussian_blur(kphoto3, x, cfg, blur_scale_y, blur_scale_x)
 
     # geometric (video_transform chain, joint with annotations)
-    H, W = x.shape[1:3]
-    i, j, ch, cw = _sample_rrc_box(kgeo, H, W, cfg)
+    i, j, ch, cw = _sample_rrc_box(kgeo, geo_h, geo_w, cfg)
+    i, j, ch, cw = i * box_y, j * box_x, ch * box_y, cw * box_x
     x = _crop_resize_frames(x, i, j, ch, cw, cfg.out_size)
     do_flip = jax.random.uniform(kflip) < cfg.hflip_p
     x = jnp.where(do_flip, x[:, :, ::-1], x)
@@ -271,15 +338,26 @@ def augment_clip(key, frames, annotations, cfg: AugmentConfig):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_annotations"))
-def augment_batch(key, frames, annotations, cfg: AugmentConfig, with_annotations: bool = True):
-    """Batched fused augmentation. frames: [B, F, H, W, 3] uint8."""
+def augment_batch(key, frames, annotations, cfg: AugmentConfig,
+                  with_annotations: bool = True, src_sizes=None):
+    """Batched fused augmentation. frames: [B, F, H, W, 3] uint8;
+    src_sizes: optional [B, 2] native (H0, W0) per clip."""
     B = frames.shape[0]
     keys = jax.random.split(key, B)
     if with_annotations and annotations is not None:
+        if src_sizes is not None:
+            return jax.vmap(
+                lambda k, f, a, s: augment_clip(k, f, a, cfg, s)
+            )(keys, frames, annotations, src_sizes)
         return jax.vmap(lambda k, f, a: augment_clip(k, f, a, cfg))(
             keys, frames, annotations
         )
-    out, _ = jax.vmap(lambda k, f: augment_clip(k, f, None, cfg))(keys, frames)
+    if src_sizes is not None:
+        out, _ = jax.vmap(
+            lambda k, f, s: augment_clip(k, f, None, cfg, s)
+        )(keys, frames, src_sizes)
+    else:
+        out, _ = jax.vmap(lambda k, f: augment_clip(k, f, None, cfg))(keys, frames)
     return out, None
 
 

@@ -130,6 +130,16 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
                         img_size=32, dtype=dtype, attn_impl="xla")
         return _vit_backbone(cfg, model_path, name)
 
+    if name == "vit-tiny-test-p4":
+        # dense-grid test ViT (patch 4): the dino-s8 token-count geometry at
+        # test scale — 16x16 patch grid at 64 input, exercising the
+        # propagation/eval paths on the denser grid (BASELINE.json s8 row)
+        from timetuning_tpu.models.vit import ViTConfig
+
+        cfg = ViTConfig(patch_size=4, embed_dim=32, depth=2, num_heads=2,
+                        img_size=32, dtype=dtype, attn_impl="xla")
+        return _vit_backbone(cfg, model_path, name)
+
     if name in ("dino-s16", "msn-s16", "ibot-s16", "leopart"):
         return _vit_backbone(vit_small(16, dtype=dtype), model_path, name)
     if name == "dino-s8":

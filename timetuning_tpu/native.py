@@ -131,8 +131,10 @@ def build_clip_pack(
 ) -> dict:
     """Decode every frame of a VideoDataset tree once into a pack.
 
-    Returns the index: {video name: (start_frame, n_frames)} and writes it
-    as JSON next to the pack.
+    Returns the index: {video name: (start_frame, n_frames, native_h,
+    native_w)} and writes it as JSON next to the pack. The native dims feed
+    the aspect-preserving train-resize geometry (data/transforms.py);
+    legacy (start, n) indices are still readable (square fallback).
     """
     import json
 
@@ -160,14 +162,17 @@ def build_clip_pack(
                         "rename or split the tree into separate packs"
                     )
                 files = dataset.tree[key]
-                for fp in files:
+                native_h = native_w = s
+                for fi, fp in enumerate(files):
                     img = cv2.imread(fp)
                     if img is None:
                         raise ValueError(f"failed to decode {fp}")
+                    if fi == 0:
+                        native_h, native_w = img.shape[:2]
                     img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
                     img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
                     f.write(np.ascontiguousarray(img, np.uint8).tobytes())
-                index[name] = (start, len(files))
+                index[name] = (start, len(files), int(native_h), int(native_w))
                 start += len(files)
     except BaseException:
         if os.path.exists(tmp):

@@ -53,6 +53,13 @@ class MetricsWriter:
             self._wandb.log({tag: value}, step=step)
 
     def histogram(self, tag: str, values, step: int) -> None:
+        import numpy as np
+
+        self._jsonl.write(json.dumps({
+            "tag": tag, "step": int(step),
+            "histogram": np.asarray(values).astype(float).tolist(),
+        }) + "\n")
+        self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_histogram(tag, values, step)
 

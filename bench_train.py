@@ -89,6 +89,13 @@ def main() -> None:
                         "throughput only (no device work) — the meaningful "
                         "number in tunneled environments where per-step "
                         "host->device uploads are artificially slow")
+    p.add_argument("--arch", type=str, default="s16",
+                   choices=["s16", "b16", "s8"],
+                   help="BASELINE.json config rows: ViT-S/16 (default), "
+                        "ViT-B/16 scale-up, ViT-S/8 dense grid")
+    p.add_argument("--use_queue", action="store_true",
+                   help="the use_teacher+use_queue YTVOS variant "
+                        "(reference time_tuning.py:617-618, queue 16384)")
     args = p.parse_args()
 
     import jax
@@ -108,17 +115,25 @@ def main() -> None:
     from timetuning_tpu.models.extractor import FeatureExtractor
     from timetuning_tpu.models.vit import VisionTransformer, vit_small
 
+    from timetuning_tpu.models.vit import vit_base
+
     B, F = args.batch_size, 4
     n_steps = args.steps or 100
-    cfg = vit_small(16, img_size=224, dtype=jnp.bfloat16)
+    if args.arch == "b16":
+        cfg = vit_base(16, img_size=224, dtype=jnp.bfloat16)
+    elif args.arch == "s8":
+        cfg = vit_small(8, img_size=224, dtype=jnp.bfloat16)
+    else:
+        cfg = vit_small(16, img_size=224, dtype=jnp.bfloat16)
     fe = FeatureExtractor(
         backbone=VisionTransformer(cfg), head_dims=(1024, 1024, 512, 256)
     )
     model = TimeT(feature_extractor=fe, n_prototypes=200)
     tcfg = TimeTConfig(
-        n_prototypes=200, use_teacher=True, use_queue=False,
+        n_prototypes=200, use_teacher=True, use_queue=args.use_queue,
+        queue_size=16384,  # reference default (time_tuning.py:617)
         num_epochs=1, steps_per_epoch=max(n_steps, 100),
-        spatial_resolution=14,
+        spatial_resolution=224 // cfg.patch_size,
         frozen_trunk_blocks=10,  # reference unfreezes blocks 10/11 only
     )
     rng = jax.random.PRNGKey(0)
@@ -220,7 +235,15 @@ def main() -> None:
 
         rng_i = 0
         sustained = None
-        for ep in range(args.epochs):
+        losses = []  # device arrays — floated once at the end
+        # --steps in real-data mode: keep cycling epochs until N total
+        # optimization steps ran through decode → augment → loss (the
+        # real-data loss-curve demonstration), then dump --curve_out
+        n_epochs = args.epochs
+        if args.steps:
+            n_epochs = max(n_epochs, -(-args.steps // steps_per_epoch))
+        t_all = time.perf_counter()
+        for ep in range(n_epochs):
             loader.set_epoch(ep)
             t0 = time.perf_counter()
             n = 0
@@ -228,22 +251,48 @@ def main() -> None:
                 state, m = full_step(
                     state, frames_dev, sizes_dev, jax.random.PRNGKey(rng_i),
                 )
+                losses.append(m["loss"])
                 rng_i += 1
                 n += 1
+                if args.steps and rng_i >= args.steps:
+                    break
             float(m["loss"])  # sync the epoch
             dt = time.perf_counter() - t0
             if ep > 0:  # epoch 0 pays compile + page-cache warmup
                 sustained = n * B / dt
             print(f"# epoch {ep}: {n} steps, {n*B/dt:.0f} clips/s", flush=True)
-        print(json.dumps({
+            if args.steps and rng_i >= args.steps:
+                break
+        out = {
             "metric": "timet_epoch_pipeline_clips_per_sec",
-            "value": round(sustained, 1),
+            "value": round(sustained, 1) if sustained else None,
             "unit": f"clips/sec/chip sustained ({'packed' if args.pack else 'jpeg'} "
                     f"loader + augment + step, B={B})",
             "loader_only_clips_per_sec": round(loader_cps, 1),
             "steps_per_epoch": steps_per_epoch,
             "vs_baseline": None,
-        }))
+        }
+        if args.curve_out:
+            fl = [float(v) for v in losses]
+            curve = {
+                "metric": "timet_loss_curve_realdata",
+                "data_path": f"{'packed' if args.pack else 'jpeg'} "
+                             f"{args.dataset} tree at {args.data_root}",
+                "batch_size": B,
+                "steps": len(fl),
+                "clips_per_sec_sustained": round(
+                    len(fl) * B / (time.perf_counter() - t_all), 1),
+                "loss_first": round(fl[0], 4),
+                "loss_min": round(min(fl), 4),
+                "loss_last": round(fl[-1], 4),
+                "losses": [round(v, 4) for v in fl],
+            }
+            with open(args.curve_out, "w") as f:
+                json.dump(curve, f)
+            out["curve_out"] = args.curve_out
+            out["loss_first"] = curve["loss_first"]
+            out["loss_last"] = curve["loss_last"]
+        print(json.dumps(out))
         return
 
     if args.steps:
@@ -292,7 +341,8 @@ def main() -> None:
             {
                 "metric": "timet_train_step_clips_per_sec",
                 "value": round(B / dt, 1),
-                "unit": "clips/sec/chip (4-frame 224px clips)",
+                "unit": f"clips/sec/chip (4-frame 224px clips, ViT-{args.arch}"
+                        f"{', queue' if args.use_queue else ''})",
                 "vs_baseline": None,
             }
         )

@@ -303,3 +303,19 @@ def test_gaussian_blur_per_frame_sigma_and_scaling():
         want = gaussian_filter1d(want, sigma[f] * sx, axis=1, mode="mirror",
                                  truncate=11.0 / (sigma[f] * sx))
         np.testing.assert_allclose(out[f], want, atol=2e-3)
+
+
+def test_hue_adjust_matches_matplotlib():
+    """_adj_hue (rgb→hsv→shift→rgb with lax.select_n) == matplotlib's
+    colorspace round-trip."""
+    mpl_colors = pytest.importorskip("matplotlib.colors")
+
+    from timetuning_tpu.data.transforms import _adj_hue
+
+    x = np.random.default_rng(0).random((3, 7, 5, 3)).astype(np.float32)
+    for shift in (0.13, -0.2, 0.5):
+        got = np.asarray(_adj_hue(jnp.asarray(x), shift))
+        hsv = mpl_colors.rgb_to_hsv(x)
+        hsv[..., 0] = (hsv[..., 0] + shift) % 1.0
+        want = mpl_colors.hsv_to_rgb(hsv)
+        np.testing.assert_allclose(got, want, atol=2e-5)

@@ -123,9 +123,12 @@ def _hsv_to_rgb(h, s, v):
     q = v * (1.0 - f * s)
     t = v * (1.0 - (1.0 - f) * s)
     i = i.astype(jnp.int32) % 6
-    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
-    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
-    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    # select_n (elementwise case select) — jnp.choose lowers to gathers and
+    # measured 518 ms for a [32, 4, 256, 256, 3] batch on v5e; select_n is
+    # ~10 ms like the other photometric ops
+    r = jax.lax.select_n(i, v, q, p, p, t, v)
+    g = jax.lax.select_n(i, t, v, v, q, p, p)
+    b = jax.lax.select_n(i, p, p, t, v, v, q)
     return jnp.stack([r, g, b], axis=-1)
 
 
@@ -135,30 +138,34 @@ def _adj_hue(x, shift):
 
 
 def _color_jitter(key, x, cfg: AugmentConfig):
-    """One sampled parameter set per clip, ops in random order."""
-    kb, kc, ks, kh, korder, kapply = jax.random.split(key, 6)
+    """One sampled parameter set per clip, ONE op applied.
+
+    Reference quirk (video_transformations.py:768-780): the shuffled
+    transform list is applied as ``jittered_img = func(img)`` — each func
+    reads the ORIGINAL frame and overwrites the result, so only the LAST
+    op of the shuffled order takes effect. The last element of a uniform
+    shuffle is uniform over the four ops, so the faithful semantics are:
+    sample all four factors, apply exactly one uniformly-chosen op.
+    (Also ~100× cheaper on TPU than the scan-of-switch a do-all-four
+    pipeline needs — the vmapped scan+switch measured 1.8 s at B=32.)
+    """
+    kb, kc, ks, kh, kop, kapply = jax.random.split(key, 6)
     fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - cfg.brightness), maxval=1 + cfg.brightness)
     fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - cfg.contrast), maxval=1 + cfg.contrast)
     fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - cfg.saturation), maxval=1 + cfg.saturation)
     fh = jax.random.uniform(kh, (), minval=-cfg.hue, maxval=cfg.hue)
-    order = jax.random.permutation(korder, 4)
+    op_idx = jax.random.randint(kop, (), 0, 4)
 
-    def apply_op(x, op_idx):
-        return jax.lax.switch(
-            op_idx,
-            [
-                lambda y: _adj_brightness(y, fb),
-                lambda y: _adj_contrast(y, fc),
-                lambda y: _adj_saturation(y, fs),
-                lambda y: _adj_hue(y, fh),
-            ],
-            x,
-        )
-
-    def body(x, idx):
-        return apply_op(x, idx), None
-
-    jittered, _ = jax.lax.scan(body, x, order)
+    jittered = jax.lax.switch(
+        op_idx,
+        [
+            lambda y: _adj_brightness(y, fb),
+            lambda y: _adj_contrast(y, fc),
+            lambda y: _adj_saturation(y, fs),
+            lambda y: _adj_hue(y, fh),
+        ],
+        x,
+    )
     do = jax.random.uniform(kapply) < cfg.jitter_p
     return jnp.where(do, jittered, x)
 

@@ -1,15 +1,15 @@
-"""Fused Sinkhorn-Knopp kernel: all iterations in VMEM.
+"""Fused Sinkhorn-Knopp kernel: all iterations in VMEM. **Superseded.**
 
-The XLA path (ops/sinkhorn.py) lowers each of the 10 iterations to separate
-reduction + scale kernels, each round-tripping the [K, B] transport matrix
-(≈5 MB f32 at the training shape 200×6272) through HBM — ~2 ms of almost
-pure memory traffic on v5e. This kernel reads Q once, runs every iteration
-against the VMEM-resident matrix and writes the result once: measured
-~8× faster at the training shape.
-
-Single-device only: the data-parallel path needs ``lax.psum`` of the row
-sums inside the loop (reference my_utils.py:252-272), which stays on the
-XLA path (ops/sinkhorn.py dispatches).
+Historical: this kernel beat the r1 *materializing* XLA loop (~8× at the
+then-measured shape) by keeping the [K, B] transport matrix VMEM-resident.
+Round 3 replaced the loop everywhere with the diagonal-scaling matvec form
+(ops/sinkhorn.py): Q_t ≡ diag(a)·Q₀·diag(b) needs only two matvec *reads*
+of the unchanged Q₀ per iteration, no per-iteration writes, works across
+the data-parallel psum — and measures faster than this kernel on v5e
+(10 iters, single chip: [200, 25088] 0.83 ms vs 1.57 here; [200, 6272]
+1.19 vs 1.27). Retired from dispatch; kept (with tests) as the reference
+VMEM-resident implementation. Measured non-win — don't re-dispatch without
+beating the matvec numbers.
 """
 
 from __future__ import annotations

@@ -242,7 +242,8 @@ def main() -> None:
         n_epochs = args.epochs
         if args.steps:
             n_epochs = max(n_epochs, -(-args.steps // steps_per_epoch))
-        t_all = time.perf_counter()
+        t_steady = None      # wall-clock after epoch 0 (compile+cache warm)
+        steps_warm = 0
         for ep in range(n_epochs):
             loader.set_epoch(ep)
             t0 = time.perf_counter()
@@ -260,6 +261,9 @@ def main() -> None:
             dt = time.perf_counter() - t0
             if ep > 0:  # epoch 0 pays compile + page-cache warmup
                 sustained = n * B / dt
+            else:
+                t_steady = time.perf_counter()
+                steps_warm = rng_i
             print(f"# epoch {ep}: {n} steps, {n*B/dt:.0f} clips/s", flush=True)
             if args.steps and rng_i >= args.steps:
                 break
@@ -274,14 +278,18 @@ def main() -> None:
         }
         if args.curve_out:
             fl = [float(v) for v in losses]
+            steady_steps = len(fl) - steps_warm
+            steady_cps = (
+                round(steady_steps * B / (time.perf_counter() - t_steady), 1)
+                if t_steady is not None and steady_steps > 0 else None
+            )  # excludes the compile/page-cache warmup epoch, like `value`
             curve = {
                 "metric": "timet_loss_curve_realdata",
                 "data_path": f"{'packed' if args.pack else 'jpeg'} "
                              f"{args.dataset} tree at {args.data_root}",
                 "batch_size": B,
                 "steps": len(fl),
-                "clips_per_sec_sustained": round(
-                    len(fl) * B / (time.perf_counter() - t_all), 1),
+                "clips_per_sec_sustained": steady_cps,
                 "loss_first": round(fl[0], 4),
                 "loss_min": round(min(fl), 4),
                 "loss_last": round(fl[-1], 4),

@@ -68,3 +68,20 @@ def test_global_equals_local_concat():
     got = np.asarray(sharded(jnp.asarray(scores)))
     want = np.asarray(sinkhorn_assignment(jnp.asarray(scores), n_iters=10))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)
+
+
+def test_zero_row_and_column_stay_finite():
+    """An all-zero prototype row (ε-underflowed scores) or sample column
+    (masked queue slot) must yield a zero row/column, not NaN — the
+    diagonal-scaling form would otherwise compound r/ε into inf."""
+    rng = np.random.default_rng(5)
+    Q = np.exp(rng.normal(size=(8, 16))).astype(np.float32)
+    Q[3, :] = 0.0   # dead prototype row
+    Q[:, 7] = 0.0   # dead sample column
+    out = np.asarray(sinkhorn(jnp.asarray(Q), n_iters=10))
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out[7], 0.0)
+    np.testing.assert_array_equal(out[:, 3], 0.0)
+    # live rows still normalize to 1
+    live = np.delete(np.arange(16), 7)
+    np.testing.assert_allclose(out[live].sum(axis=1), 1.0, atol=1e-5)

@@ -319,3 +319,34 @@ def test_hue_adjust_matches_matplotlib():
         hsv[..., 0] = (hsv[..., 0] + shift) % 1.0
         want = mpl_colors.hsv_to_rgb(hsv)
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_photometric_ops_match_pil():
+    """brightness/saturation/contrast formulas == PIL ImageEnhance (the
+    backend of the torchvision functional ops the reference applies,
+    video_transformations.py:738-748), within uint8 quantization."""
+    from PIL import Image, ImageEnhance
+
+    from timetuning_tpu.data.transforms import (
+        _adj_brightness,
+        _adj_contrast,
+        _adj_saturation,
+    )
+
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 255, size=(16, 12, 3), dtype=np.uint8)
+    x = jnp.asarray(img_u8.astype(np.float32) / 255.0)[None]  # [1, H, W, 3]
+    pil = Image.fromarray(img_u8)
+    for f in (0.4, 1.0, 1.6):
+        got = np.asarray(_adj_brightness(x, f))[0] * 255.0
+        want = np.asarray(ImageEnhance.Brightness(pil).enhance(f), np.float32)
+        assert np.abs(got - want).max() <= 1.0, f"brightness {f}"
+
+        got = np.asarray(_adj_saturation(x, f))[0] * 255.0
+        want = np.asarray(ImageEnhance.Color(pil).enhance(f), np.float32)
+        assert np.abs(got - want).max() <= 2.0, f"saturation {f}"
+
+        got = np.asarray(_adj_contrast(x, f))[0] * 255.0
+        want = np.asarray(ImageEnhance.Contrast(pil).enhance(f), np.float32)
+        # PIL rounds the grayscale mean to an integer first — small bias
+        assert np.abs(got - want).max() <= 3.0, f"contrast {f}"

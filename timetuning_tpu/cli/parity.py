@@ -350,11 +350,12 @@ def main(argv=None) -> int:
                    args.expected_pascal_miou, args.tolerance)
 
     if args.proto_clustering and args.pascal_root:
+        # stage 3 always ran (same pascal_root gate), so its res_sp /
+        # eval_res / loader are live in this scope — reuse them
         print("\n== stage 4: Pascal prototype-argmax clustering mIoU ==")
         import jax
         import jax.numpy as jnp
 
-        from timetuning_tpu.data.pascal import pascal_loader
         from timetuning_tpu.data.transforms import (
             IMAGENET_STD,
             eval_preprocess_batch,
@@ -366,12 +367,6 @@ def main(argv=None) -> int:
                 "--proto_clustering needs a checkpoint with a prototype bank "
                 "(TimeT.pth has one; plain backbone releases do not)"
             )
-        eval_res = args.eval_resolution or args.input_resolution // 2
-        from timetuning_tpu.models.registry import get_backbone as _gb
-
-        res_sp = _gb(args.architecture).spatial_resolution(
-            args.input_resolution
-        )
 
         @jax.jit
         def head_feats_jit(frames_u8):
@@ -383,9 +378,6 @@ def main(argv=None) -> int:
             )
             return feats, None
 
-        loader = pascal_loader(
-            60, args.pascal_root, "val", eval_res, args.input_resolution
-        )
         ev = Evaluator(
             data_iter_factory=lambda: iter(loader),
             feature_fn=lambda frames, want_attention=False: head_feats_jit(

@@ -204,8 +204,25 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     )
 
 
+def make_diagnostics_scores_fn(model, input_resolution: int):
+    """Jitted (normalized images, prototype scores) forward for the
+    training diagnostics — built ONCE per run (re-creating it per eval
+    epoch would recompile the full model forward every time)."""
+
+    @jax.jit
+    def scores_fn(p, frames_u8):
+        x = eval_preprocess_batch(
+            frames_u8, out_size=input_resolution, std=IMAGENET_STD
+        )
+        feats, _ = model.apply({"params": p}, x, use_head=True)
+        s = model.apply({"params": p}, feats, method="similarity")
+        return x, s
+
+    return scores_fn
+
+
 def log_training_diagnostics(
-    model, params, eval_loader, writer, run_dir: str, epoch: int,
+    scores_fn, params, eval_loader, writer, run_dir: str, epoch: int,
     cfg: TrainingConfig, spatial_res: int,
 ) -> float:
     """Prototype-assignment histogram + entropy scalars and an overlay
@@ -213,23 +230,12 @@ def log_training_diagnostics(
     ``log_assignment_histogram`` + overlay figures, time_tuning.py:433-457,
     305-351). The histogram bincount and the prototype argmax run on device.
     Returns the assignment entropy."""
-    from functools import partial
-
     from timetuning_tpu.data.transforms import IMAGENET_MEAN
     from timetuning_tpu.obs.histograms import (
         assignment_histogram,
         log_assignment_histogram,
     )
     from timetuning_tpu.obs.viz import clip_overlay_frames, write_gif
-
-    @jax.jit
-    def scores_fn(p, frames_u8):
-        x = eval_preprocess_batch(
-            frames_u8, out_size=cfg.input_resolution, std=IMAGENET_STD
-        )
-        feats, _ = model.apply({"params": p}, x, use_head=True)
-        s = model.apply({"params": p}, feats, method="similarity")
-        return x, s
 
     hist = np.zeros(cfg.num_clusters, np.int64)
     overlay = None
@@ -343,7 +349,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     if cfg.load_checkpoint:
         try:
             state, start_epoch = load_checkpoint(run_dir, state)
-        except Exception:
+        except Exception as layout_err:
             # Layout sniffing: the checkpoint was written with the *other*
             # opt_state layout (full-tree vs trainable-subtree). Restore into
             # a template of that layout and convert — the conversion is exact
@@ -366,7 +372,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 pretrained_params=pretrained, params=params_init,
                 trainable_mask=None if cfg.opt_over_trainable else trainable_mask,
             )
-            alt_state, start_epoch = load_checkpoint(run_dir, alt_state)
+            try:
+                alt_state, start_epoch = load_checkpoint(run_dir, alt_state)
+            except Exception:
+                # neither layout restores: not a layout problem (corrupt
+                # file, I/O error, incompatible model) — surface the
+                # ORIGINAL failure, not the alternate-layout mismatch
+                raise layout_err
             state = alt_state.replace(
                 opt_state=migrate_opt_state(
                     alt_state.opt_state, alt_state.params, trainable_mask,
@@ -489,6 +501,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     best_score = -1.0
     last_eval = None
     last_loss = None
+    diag_scores_fn = None  # built lazily, once (log_histograms)
     for epoch in range(start_epoch, cfg.num_epochs):
         save_checkpoint(state, run_dir, epoch)
         loader.set_epoch(epoch)
@@ -509,9 +522,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             writer.scalar("Scores/localization", score, epoch)
             last_eval = score
             if cfg.log_histograms:
+                if diag_scores_fn is None:
+                    diag_scores_fn = make_diagnostics_scores_fn(
+                        model, cfg.input_resolution
+                    )
                 log_training_diagnostics(
-                    model, state.params, eval_loader, writer, run_dir,
-                    epoch, cfg, spatial_res,
+                    diag_scores_fn, state.params, eval_loader, writer,
+                    run_dir, epoch, cfg, spatial_res,
                 )
             if score > best_score:
                 best_score = score

@@ -291,7 +291,10 @@ def _build_ytvos(name, root, pack_path=None, **kw):
 def _build_kinetics(name, root, **kw):
     kw.pop("annotations_root", None)
     if kw.pop("pack_path", None):
-        raise ValueError("pack_path is only supported for DAVIS-layout datasets")
+        raise ValueError(
+            "pack_path is supported for DAVIS-layout datasets and ytvos, "
+            "not kinetics"
+        )
     return KineticsDataset(frames_root=root, **kw)
 
 

@@ -84,10 +84,7 @@ def sinkhorn(
     # so the Pallas kernel (ops/sinkhorn_pallas.py) is retired from
     # dispatch (VERDICT r2 weak #4).
     a = jnp.ones((K,), jnp.float32)
-    # Invalid columns of Q are zero, so their b never influences anything —
-    # but letting them update would compound c/ε per iteration into inf
-    # (then 0·inf = NaN in the final product). Pin them to 0: exact.
-    b = jnp.ones((B,), jnp.float32) if valid is None else valid.astype(jnp.float32)
+    b = jnp.ones((B,), jnp.float32)
     if axis_name is not None:
         # b is per-sample (device-varying under shard_map); mark the
         # replicated init accordingly or the fori_loop carry types clash
@@ -95,16 +92,20 @@ def sinkhorn(
 
     hi = jax.lax.Precision.HIGHEST  # matvecs are bandwidth-bound; don't
     # let the MXU's bf16 f32-matmul passes perturb the marginals
-    vcol = None if valid is None else valid.astype(jnp.float32)
 
     def body(_, ab):
         a, b = ab
+        # An exactly-zero marginal means that row/column of Q is all zero
+        # (a masked-invalid queue slot, or a prototype row underflowed by a
+        # small ε): its scaling can never matter, but letting it update
+        # would compound r/ε (or c/ε) per iteration into inf and poison the
+        # final product with 0·inf = NaN. Pin such rows/columns to 0 —
+        # exact, and strictly better than a materializing loop (which NaNs
+        # on an underflowed column itself).
         u = a * _maybe_psum(jnp.dot(Q, b, precision=hi), axis_name)  # [K]
-        a = a * (r / (u + _EPS))
+        a = jnp.where(u > 0, a * (r / (u + _EPS)), 0.0)
         col = b * jnp.dot(a, Q, precision=hi)               # [B] local
-        b = b * (c / (col + _EPS))
-        if vcol is not None:
-            b = b * vcol
+        b = jnp.where(col > 0, b * (c / (col + _EPS)), 0.0)
         return a, b
 
     a, b = jax.lax.fori_loop(0, n_iters, body, (a, b))

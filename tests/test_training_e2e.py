@@ -244,3 +244,26 @@ def test_log_histograms_diagnostics(davis_tree, voc_tree, tmp_path):
     art = os.path.join(result["run_dir"], "artifacts")
     gifs = [f for f in os.listdir(art) if f.endswith(".gif")]
     assert gifs, "overlay gif artifact missing"
+
+
+def test_training_with_pack_path(davis_tree, tmp_path):
+    """--pack_path: the driver builds the decode-once clip pack on first use
+    and trains through PackedVideoDataset; a second run reuses the existing
+    pack. Losses must stay finite and the index must carry native dims (the
+    aspect-preserving resize geometry)."""
+    pack = str(tmp_path / "train.clippack")
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, pack_path=pack)
+    result = run_training(cfg)
+    assert np.isfinite(result["final_loss"])
+    assert os.path.exists(pack) and os.path.exists(pack + ".index.json")
+    idx = json.load(open(pack + ".index.json"))
+    ent = next(iter(idx.values()))
+    assert len(ent) == 4  # (start, n_frames, native_h, native_w)
+    assert tuple(ent[2:]) == (48, 64)
+    # second run opens the existing pack (no rebuild): mtime unchanged
+    mtime = os.path.getmtime(pack)
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=1, pack_path=pack,
+                log_dir=str(tmp_path / "logs_pack2"))
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    assert os.path.getmtime(pack) == mtime

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--debug_nans", type=str2bool, default=False)
+    p.add_argument("--pack_path", type=str, default=None,
+                   help="decode-once packed clip cache (.clippack); built "
+                        "here on first use, then epochs gather raw frames "
+                        "instead of re-decoding JPEGs")
     p.add_argument("--multihost", type=str2bool, default=False,
                    help="call jax.distributed.initialize() (multi-host pods; "
                         "replaces the reference's MASTER_ADDR/NCCL rendezvous, "
@@ -132,6 +136,7 @@ def main(argv=None) -> int:
         eval_every=args.eval_every,
         seed=args.seed,
         compute_dtype=args.compute_dtype,
+        pack_path=args.pack_path,
     )
     result = run_training(cfg)
     print(f"done: run_dir={result['run_dir']} best={result['best_score']}")

@@ -116,6 +116,11 @@ class TrainingConfig:
     # per-eval-epoch prototype-assignment histogram + entropy scalars and an
     # overlay seg-map gif artifact (reference time_tuning.py:433-457, 305-351)
     log_histograms: bool = False
+    # decode-once packed clip cache (native/clippack.cpp): built at this path
+    # on first use, then every epoch gathers raw frames instead of re-decoding
+    # JPEGs (the reference's workers re-decode every epoch). DAVIS-layout
+    # datasets and ytvos.
+    pack_path: str | None = None
 
 
 def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
@@ -287,6 +292,27 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     # Per-host data sharding (the DistributedSampler equivalent): each host
     # loads its slice of the videos and feeds its local devices; the mesh
     # spans all hosts' devices.
+    if cfg.pack_path and not (
+        os.path.exists(cfg.pack_path)
+        and os.path.exists(cfg.pack_path + ".index.json")
+    ):
+        from timetuning_tpu.native import build_clip_pack
+
+        if jax.process_index() == 0:
+            plain = make_loader(
+                cfg.dataset, num_clip_frames=cfg.num_frames,
+                batch_size=cfg.batch_size, root=cfg.data_root,
+                decode_size=cfg.decode_size,
+            )
+            t0 = time.time()
+            build_clip_pack(plain.dataset, cfg.pack_path)
+            logger.info("clip pack built at %s in %.1fs",
+                        cfg.pack_path, time.time() - t0)
+        if jax.process_count() > 1:
+            # all hosts need the pack before opening it
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("clip_pack_built")
     loader = make_loader(
         cfg.dataset,
         num_clip_frames=cfg.num_frames,
@@ -299,6 +325,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         decode_size=cfg.decode_size,
         world_size=jax.process_count(),
         rank=jax.process_index(),
+        pack_path=cfg.pack_path,
     )
     steps_per_epoch = max(len(loader), 1)
     if cfg.max_steps_per_epoch:

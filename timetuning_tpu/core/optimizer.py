@@ -65,7 +65,9 @@ def migrate_opt_state(opt_state, params, trainable_mask, to_subtree: bool):
     moments are provably zero in the full layout, so the conversion is exact
     in both directions — restoring an old-layout checkpoint into a new-layout
     run continues the identical trajectory (tested in
-    tests/test_checkpoint_obs.py).
+    tests/test_optimizer_parity.py::test_migrate_opt_state_exact_both_directions
+    and end-to-end in
+    tests/test_training_e2e.py::test_cross_layout_checkpoint_migration).
     """
     states = list(opt_state)
     adam_idx = [

@@ -292,13 +292,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     # Per-host data sharding (the DistributedSampler equivalent): each host
     # loads its slice of the videos and feeds its local devices; the mesh
     # spans all hosts' devices.
-    if cfg.pack_path and not (
-        os.path.exists(cfg.pack_path)
-        and os.path.exists(cfg.pack_path + ".index.json")
-    ):
-        from timetuning_tpu.native import build_clip_pack
+    if cfg.pack_path:
+        if jax.process_index() == 0 and not (
+            os.path.exists(cfg.pack_path)
+            and os.path.exists(cfg.pack_path + ".index.json")
+        ):
+            from timetuning_tpu.native import build_clip_pack
 
-        if jax.process_index() == 0:
             plain = make_loader(
                 cfg.dataset, num_clip_frames=cfg.num_frames,
                 batch_size=cfg.batch_size, root=cfg.data_root,
@@ -309,7 +309,11 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             logger.info("clip pack built at %s in %.1fs",
                         cfg.pack_path, time.time() - t0)
         if jax.process_count() > 1:
-            # all hosts need the pack before opening it
+            # All hosts need the pack before opening it. Participation must
+            # be UNconditional on the existence probe: a host arriving after
+            # the build finished would otherwise skip the barrier and pair
+            # host 0's barrier psum with its first training collective
+            # (hang / mismatched collective).
             from jax.experimental import multihost_utils
 
             multihost_utils.sync_global_devices("clip_pack_built")

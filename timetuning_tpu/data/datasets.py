@@ -295,6 +295,13 @@ class _InstanceRemapMixin:
 
     instance_map: dict | None
 
+    def __init__(self, *args, meta_file: str | None = None, **kw):
+        super().__init__(*args, **kw)
+        self._init_instance_map(meta_file)
+
+    def __getitem__(self, index: int) -> dict:
+        return self._remap_instances(super().__getitem__(index), index)
+
     def _init_instance_map(self, meta_file: str | None) -> None:
         self.instance_map = make_categories_dict(meta_file) if meta_file else None
 
@@ -311,14 +318,8 @@ class _InstanceRemapMixin:
 
 
 class YTVOSDataset(_InstanceRemapMixin, VideoDataset):
-    """VideoDataset + meta.json instance→category remapping."""
-
-    def __init__(self, *args, meta_file: str | None = None, **kw):
-        super().__init__(*args, **kw)
-        self._init_instance_map(meta_file)
-
-    def __getitem__(self, index: int) -> dict:
-        return self._remap_instances(super().__getitem__(index), index)
+    """VideoDataset + meta.json instance→category remapping (the mixin owns
+    the ``meta_file`` kwarg and the __getitem__ remap)."""
 
 
 class KineticsDataset(VideoDataset):
@@ -397,14 +398,8 @@ class PackedYTVOSDataset(_InstanceRemapMixin, PackedVideoDataset):
     frame gathers + meta.json instance→category annotation remap (the
     reference's default training dataset, time_tuning.py:686). Annotations
     are eval-only and stay in the annotation tree; only the mapping table is
-    needed, so the pack format itself is unchanged."""
-
-    def __init__(self, *args, meta_file: str | None = None, **kw):
-        super().__init__(*args, **kw)
-        self._init_instance_map(meta_file)
-
-    def __getitem__(self, index: int) -> dict:
-        return self._remap_instances(super().__getitem__(index), index)
+    needed, so the pack format itself is unchanged. The mixin owns the
+    ``meta_file`` kwarg and the __getitem__ remap."""
 
 
 # ------------------------------------------------------------------ #

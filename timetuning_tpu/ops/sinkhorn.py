@@ -88,7 +88,7 @@ def sinkhorn(
     if axis_name is not None:
         # b is per-sample (device-varying under shard_map); mark the
         # replicated init accordingly or the fori_loop carry types clash
-        b = jax.lax.pvary(b, (axis_name,))
+        b = jax.lax.pcast(b, (axis_name,), to="varying")
 
     hi = jax.lax.Precision.HIGHEST  # matvecs are bandwidth-bound; don't
     # let the MXU's bf16 f32-matmul passes perturb the marginals

@@ -267,3 +267,29 @@ def test_training_with_pack_path(davis_tree, tmp_path):
     result2 = run_training(cfg2)
     assert np.isfinite(result2["final_loss"])
     assert os.path.getmtime(pack) == mtime
+
+
+def test_training_zero1(davis_tree, tmp_path):
+    """--zero1: the driver trains with ZeRO-1 optimizer-state sharding on
+    the 2-device mesh (cfg.num_devices=2) and resumes a checkpoint written
+    in that layout."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, zero1=True)
+    result = run_training(cfg)
+    assert np.isfinite(result["final_loss"])
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, zero1=True,
+                load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    assert result2["global_step"] == 4
+
+
+def test_zero1_resumes_subtree_checkpoint(davis_tree, tmp_path):
+    """A pre-ZeRO-1 (trainable-subtree) checkpoint restores into a zero1
+    run through the layout-sniffing migration path."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1)
+    result = run_training(cfg)
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, zero1=True,
+                load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    assert result2["global_step"] == 4

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--debug_nans", type=str2bool, default=False)
+    p.add_argument("--zero1", type=str2bool, default=False,
+                   help="ZeRO-1 optimizer-state sharding across the data "
+                        "axis (multi-device only; requires "
+                        "opt_over_trainable)")
     p.add_argument("--pack_path", type=str, default=None,
                    help="decode-once packed clip cache (.clippack); built "
                         "here on first use, then epochs gather raw frames "
@@ -137,6 +141,7 @@ def main(argv=None) -> int:
         seed=args.seed,
         compute_dtype=args.compute_dtype,
         pack_path=args.pack_path,
+        zero1=args.zero1,
     )
     result = run_training(cfg)
     print(f"done: run_dir={result['run_dir']} best={result['best_score']}")

@@ -225,3 +225,178 @@ def swav_optimizer(
         optax.scale_by_learning_rate(lr_schedule),
     )
     return tx, trainable
+
+
+def migrate_subtree_to_zero1(opt_state, zero1_plan):
+    """Convert a trainable-subtree opt_state (``swav_optimizer(...,
+    opt_over_trainable=True)``) into the ZeRO-1 flat-vector layout — exact:
+    both chains are (ScaleByAdamState, ScheduledWDState, EmptyState,
+    lr-schedule state); only the Adam moment leaves change shape, and
+    ``ravel_pytree`` uses the same deterministic leaf order the plan's
+    vectors were built with. Enables resuming a pre-ZeRO-1 checkpoint into
+    a ``zero1=True`` run."""
+    from jax.flatten_util import ravel_pytree
+
+    states = list(opt_state)
+    adam_idx = [
+        i for i, s in enumerate(states) if isinstance(s, optax.ScaleByAdamState)
+    ]
+    if len(adam_idx) != 1:
+        raise ValueError("expected exactly one ScaleByAdamState in the chain")
+    adam = states[adam_idx[0]]
+    pad_n = zero1_plan.padded - zero1_plan.length
+
+    def vec(tree):
+        flat, _ = ravel_pytree(tree)
+        if flat.shape[0] != zero1_plan.length:
+            raise ValueError(
+                f"moment tree has {flat.shape[0]} elements, plan expects "
+                f"{zero1_plan.length} — different trainable set"
+            )
+        return jnp.pad(flat, (0, pad_n))
+
+    states[adam_idx[0]] = adam._replace(mu=vec(adam.mu), nu=vec(adam.nu))
+    return tuple(states)
+
+
+class Zero1Plan(NamedTuple):
+    """Static plan for ZeRO-1 optimizer-state sharding (beyond-reference;
+    the reference replicates AdamW state on every DDP rank).
+
+    The trainable subtree is flattened to one [length] vector, zero-padded
+    to ``padded = world * chunk``, and the optimizer state lives over that
+    padded vector, sharded along the data axis — each device holds the
+    [chunk] slice it updates. Inside the step, gradients arrive by a
+    ``psum_scatter`` (reduce-scatter: same bytes on the wire as the
+    all-reduce it replaces), the AdamW update runs on 1/world of the
+    elements, and an ``all_gather`` rebuilds the full update vector. The
+    per-element lr-group and weight-decay masks are baked as [padded]
+    vectors and sliced per device at trace time.
+    """
+
+    length: int
+    padded: int
+    chunk: int
+    world: int
+    lr_vec: Any           # np/jnp [padded] per-element lr factor
+    decay_vec: Any        # np/jnp [padded] 1.0 where weight decay applies
+    wd_fn: Any            # step -> weight decay scalar
+    lr_schedule: Any      # optax schedule
+
+
+def _vec_scheduled_decay(wd_fn, decay_vec) -> optax.GradientTransformation:
+    """add_scheduled_decay over a flat vector with a 0/1 decay mask vector."""
+
+    def init(params):
+        del params
+        return ScheduledWDState(jnp.zeros((), jnp.int32))
+
+    def update(updates, state, params=None):
+        wd = wd_fn(state.step)
+        return updates + wd * params * decay_vec, ScheduledWDState(state.step + 1)
+
+    return optax.GradientTransformation(init, update)
+
+
+def _zero1_chain(plan: Zero1Plan, lr_vec, decay_vec) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        _vec_scheduled_decay(plan.wd_fn, decay_vec),
+        optax.GradientTransformation(
+            lambda p: optax.EmptyState(),
+            lambda u, s, p=None: (u * lr_vec, s),
+        ),
+        optax.scale_by_learning_rate(plan.lr_schedule),
+    )
+
+
+def zero1_chunk_tx(plan: Zero1Plan, device_index) -> optax.GradientTransformation:
+    """The per-device [chunk] transformation: the same elementwise chain as
+    ``swav_optimizer`` but over this device's slice of the flat vector
+    (``device_index`` may be a traced ``lax.axis_index``)."""
+    sl = lambda v: jax.lax.dynamic_slice(  # noqa: E731
+        jnp.asarray(v), (device_index * plan.chunk,), (plan.chunk,)
+    )
+    return _zero1_chain(plan, sl(plan.lr_vec), sl(plan.decay_vec))
+
+
+def zero1_global_tx(plan: Zero1Plan) -> optax.GradientTransformation:
+    """The full-[padded]-vector twin of ``zero1_chunk_tx`` — used only to
+    ``init`` the optimizer state (outside shard_map, where the state is then
+    sharded along its only axis) and in single-device equivalence tests."""
+    return _zero1_chain(
+        plan, jnp.asarray(plan.lr_vec), jnp.asarray(plan.decay_vec)
+    )
+
+
+def swav_optimizer_zero1(
+    params,
+    world_size: int,
+    lr: float = 1e-4,
+    backbone_lr: float | None = None,
+    num_steps: int = 100_000,
+    unfreeze_layers: Sequence[str] = ("blocks.11", "blocks.10"),
+    wd_start: float = 0.04,
+    wd_end: float = 0.4,
+    num_epochs: int | None = None,
+    steps_per_epoch: int | None = None,
+    use_cosine_lr: bool = True,
+) -> tuple[optax.GradientTransformation, Any, Zero1Plan]:
+    """ZeRO-1 variant of ``swav_optimizer``: returns ``(tx_global,
+    trainable_mask, plan)``. ``tx_global`` inits the [padded]-vector
+    optimizer state; the train step uses ``zero1_chunk_tx(plan,
+    axis_index)`` on its shard. Elementwise-identical to the subtree
+    ``swav_optimizer`` (tested), with 1/world the optimizer memory and
+    update FLOPs per device.
+
+    Checkpoint note: this is a third opt_state layout (flat [padded]
+    vectors) and restores only into a run with the same world size and
+    trainable set."""
+    import numpy as np
+    from jax.flatten_util import ravel_pytree
+
+    if backbone_lr is None:
+        backbone_lr = lr / 10.0
+    groups, trainable, decay = build_masks(params, unfreeze_layers)
+    lr_factor = jax.tree.map(
+        lambda g: {"head": 1.0, "backbone": backbone_lr / lr, "frozen": 0.0}[g],
+        groups,
+    )
+    sub = trainable_subtree(params, trainable)
+    lr_sub = trainable_subtree(lr_factor, trainable)
+    decay_sub = trainable_subtree(decay, trainable)
+
+    def vec_of(factor_tree):
+        tree = jax.tree.map(
+            lambda p, f: jnp.full(p.shape, float(f), jnp.float32),
+            sub, factor_tree,
+        )
+        return ravel_pytree(tree)[0]
+
+    lr_vec = vec_of(lr_sub)
+    decay_vec = vec_of(decay_sub)
+    length = int(lr_vec.shape[0])
+    chunk = -(-length // world_size)
+    padded = chunk * world_size
+    pad = lambda v: jnp.pad(v, (0, padded - length))  # noqa: E731
+    lr_vec, decay_vec = np.asarray(pad(lr_vec)), np.asarray(pad(decay_vec))
+
+    if num_epochs is not None and steps_per_epoch is not None:
+        num_steps = num_epochs * steps_per_epoch
+    wd_sched = cosine_scheduler(wd_start, wd_end, 1, num_steps)
+
+    def wd_fn(step):
+        sched = jnp.asarray(wd_sched)
+        return sched[jnp.minimum(step, sched.shape[0] - 1)]
+
+    if use_cosine_lr:
+        lr_schedule = optax.cosine_decay_schedule(lr, num_steps, alpha=0.0)
+    else:
+        lr_schedule = lambda _: lr  # noqa: E731
+
+    plan = Zero1Plan(
+        length=length, padded=padded, chunk=chunk, world=world_size,
+        lr_vec=lr_vec, decay_vec=decay_vec, wd_fn=wd_fn,
+        lr_schedule=lr_schedule,
+    )
+    return zero1_global_tx(plan), trainable, plan

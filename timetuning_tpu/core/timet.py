@@ -166,6 +166,7 @@ def init_state(
     pretrained_params=None,
     params=None,
     trainable_mask=None,
+    zero1_plan=None,
 ) -> TrainState:
     """Initialize params (optionally grafting imported pretrained weights),
     teacher copy, queue, optimizer state.
@@ -197,6 +198,18 @@ def init_state(
         opt_params = trainable_subtree(params, trainable_mask)
     else:
         opt_params = params
+    if zero1_plan is not None:
+        # ZeRO-1: optimizer state over the padded flat vector of the
+        # trainable subtree (sharded along the data axis by
+        # state_partition_specs; tx here is zero1_global_tx(plan))
+        from jax.flatten_util import ravel_pytree
+
+        flat, _ = ravel_pytree(opt_params)
+        assert flat.shape[0] == zero1_plan.length, (
+            f"zero1 plan built for {zero1_plan.length} trainable elements, "
+            f"state has {flat.shape[0]}"
+        )
+        opt_params = jnp.pad(flat, (0, zero1_plan.padded - zero1_plan.length))
     return TrainState(
         params=params,
         opt_state=tx.init(opt_params),
@@ -224,7 +237,9 @@ def _graft(params, pretrained):
     return tu.unflatten_dict(flat)
 
 
-def state_partition_specs(state: TrainState, axis_name: str = "data"):
+def state_partition_specs(
+    state: TrainState, axis_name: str = "data", zero1_padded: int | None = None
+):
     """PartitionSpecs for a TrainState on a 1-D data mesh.
 
     Every leaf is replicated except the feature queue, which is sharded along
@@ -233,12 +248,25 @@ def state_partition_specs(state: TrainState, axis_name: str = "data"):
     update inside the step is computed from the *local* batch shard, so a
     replicated out-spec would be a lie: XLA would keep one device's queue and
     silently discard every other device's stored features.
+
+    ``zero1_padded``: with ZeRO-1 optimizer sharding, the [padded]-vector
+    opt_state leaves (Adam mu/nu) shard along the axis too — each device
+    holds only the chunk it updates.
     """
     from jax.sharding import PartitionSpec as P
 
     specs = jax.tree.map(lambda _: P(), state)
     if state.queue is not None:
         specs = specs.replace(queue=P(axis_name))
+    if zero1_padded is not None:
+        specs = specs.replace(
+            opt_state=jax.tree.map(
+                lambda x: P(axis_name)
+                if getattr(x, "ndim", 0) == 1 and x.shape[0] == zero1_padded
+                else P(),
+                state.opt_state,
+            )
+        )
     return specs
 
 
@@ -248,6 +276,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     trainable_mask=None,
     opt_over_trainable: bool = False,
+    zero1_plan=None,
 ):
     """Build the jittable train step. Returns ``step_fn(state, clip, rng)``.
 
@@ -275,6 +304,13 @@ def make_train_step(
     """
     if opt_over_trainable and trainable_mask is None:
         raise ValueError("opt_over_trainable=True requires trainable_mask")
+    if zero1_plan is not None and not (
+        opt_over_trainable and cfg.axis_name is not None
+    ):
+        raise ValueError(
+            "zero1_plan requires opt_over_trainable=True and a mesh axis "
+            "(ZeRO-1 shards the optimizer state across data-parallel devices)"
+        )
     momentum_schedule = cosine_scheduler(
         cfg.ema_start, cfg.ema_end, cfg.num_epochs, cfg.steps_per_epoch
     )
@@ -490,7 +526,44 @@ def make_train_step(
                 return loss_fn(tu.unflatten_dict({**frozen_p, **tp}))
 
             loss, g_t = jax.value_and_grad(loss_trainable)(train_p)
-            if opt_over_trainable:
+            if zero1_plan is not None:
+                # ZeRO-1 (beyond-reference): gradients arrive by
+                # reduce-scatter (same wire bytes as the all-reduce it
+                # replaces), each device runs AdamW on its 1/world chunk of
+                # the flat trainable vector against its opt_state shard,
+                # and an all_gather rebuilds the update. Elementwise
+                # identical to the subtree path (tested).
+                from jax.flatten_util import ravel_pytree
+
+                from timetuning_tpu.core.optimizer import (
+                    merge_subtree,
+                    zero1_chunk_tx,
+                )
+
+                loss = jax.lax.pmean(loss, cfg.axis_name)
+                sub = tu.unflatten_dict(train_p)
+                p_flat, unravel = ravel_pytree(sub)
+                g_flat, _ = ravel_pytree(tu.unflatten_dict(g_t))
+                pad_n = zero1_plan.padded - zero1_plan.length
+                g_chunk = jax.lax.psum_scatter(
+                    jnp.pad(g_flat, (0, pad_n)), cfg.axis_name,
+                    scatter_dimension=0, tiled=True,
+                ) / zero1_plan.world
+                idx = jax.lax.axis_index(cfg.axis_name)
+                p_chunk = jax.lax.dynamic_slice(
+                    jnp.pad(p_flat, (0, pad_n)),
+                    (idx * zero1_plan.chunk,), (zero1_plan.chunk,),
+                )
+                ctx = zero1_chunk_tx(zero1_plan, idx)
+                updates_chunk, opt_state = ctx.update(
+                    g_chunk, state.opt_state, p_chunk
+                )
+                u_full = jax.lax.all_gather(
+                    updates_chunk, cfg.axis_name, tiled=True
+                )[: zero1_plan.length]
+                new_sub = unravel(p_flat + u_full)
+                params = merge_subtree(state.params, new_sub)
+            elif opt_over_trainable:
                 # optimizer state / update / pmean over the trainable
                 # subtree only; frozen leaves pass through untouched
                 g_sub = tu.unflatten_dict(g_t)

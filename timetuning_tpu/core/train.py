@@ -116,6 +116,13 @@ class TrainingConfig:
     # per-eval-epoch prototype-assignment histogram + entropy scalars and an
     # overlay seg-map gif artifact (reference time_tuning.py:433-457, 305-351)
     log_histograms: bool = False
+    # ZeRO-1 optimizer-state sharding (beyond-reference): Adam moments shard
+    # across the data axis (1/N memory per device), gradients arrive by
+    # reduce-scatter and the update runs on 1/N of the elements. Requires
+    # opt_over_trainable and >1 device (silently off single-device). The
+    # opt_state checkpoint layout becomes flat vectors restorable only at
+    # the same world size; subtree-layout checkpoints migrate in exactly.
+    zero1: bool = False
     # decode-once packed clip cache (native/clippack.cpp): built at this path
     # on first use, then every epoch gathers raw frames instead of re-decoding
     # JPEGs (the reference's workers re-decode every epoch). DAVIS-layout
@@ -171,13 +178,14 @@ def build_model(cfg: TrainingConfig):
 
 def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
                    mesh=None, state_like=None, trainable_mask=None,
-                   opt_over_trainable: bool | None = None):
+                   opt_over_trainable: bool | None = None, zero1_plan=None):
     """uint8 batch → augment → TimeT step, one jitted program; shard_map'd
     over the data mesh when it has more than one device."""
     if opt_over_trainable is None:
         opt_over_trainable = trainable_mask is not None
     base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask,
-                                opt_over_trainable=opt_over_trainable)
+                                opt_over_trainable=opt_over_trainable,
+                                zero1_plan=zero1_plan)
 
     def full(state, frames_u8, src_sizes, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
@@ -197,13 +205,21 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
 
     from timetuning_tpu.core.timet import state_partition_specs
 
-    specs = state_partition_specs(state_like, "data")
+    specs = state_partition_specs(
+        state_like, "data",
+        zero1_padded=zero1_plan.padded if zero1_plan is not None else None,
+    )
     return jax.jit(
         jax.shard_map(
             lambda st, f, sz, k: full(st, f, sz, k, sharded=True),
             mesh=mesh,
             in_specs=(specs, P("data"), P("data"), P()),
             out_specs=(specs, P()),
+            # ZeRO-1 ends with an all_gather whose output is identical on
+            # every device but typed "varying" (no invariant all_gather in
+            # this JAX); the replicated params out-spec is correct, so the
+            # static VMA check must be waived for that step only.
+            check_vma=zero1_plan is None,
         ),
         donate_argnums=(0,),
     )
@@ -360,20 +376,35 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, cfg.input_resolution, cfg.input_resolution, 3))
     params_init = model.init(rng, sample)["params"]
-    tx, trainable_mask = swav_optimizer(
-        params_init,
+    zero1 = cfg.zero1 and mesh is not None and n_dev > 1
+    opt_kwargs = dict(
         lr=cfg.head_lr,
         backbone_lr=cfg.head_lr / 10,
         num_epochs=cfg.num_epochs,
         steps_per_epoch=steps_per_epoch,
         unfreeze_layers=cfg.unfreeze_layers,
         use_cosine_lr=cfg.lr_scheduler == "CosineAnnealingLR",
-        opt_over_trainable=cfg.opt_over_trainable,
     )
+    zero1_plan = None
+    if zero1:
+        if not cfg.opt_over_trainable:
+            raise ValueError("zero1=True requires opt_over_trainable=True")
+        from timetuning_tpu.core.optimizer import swav_optimizer_zero1
+
+        tx, trainable_mask, zero1_plan = swav_optimizer_zero1(
+            params_init, world_size=n_dev, **opt_kwargs
+        )
+    else:
+        tx, trainable_mask = swav_optimizer(
+            params_init,
+            opt_over_trainable=cfg.opt_over_trainable,
+            **opt_kwargs,
+        )
     state = init_state(
         model, tcfg, tx, rng, sample,
         pretrained_params=pretrained, params=params_init,
         trainable_mask=trainable_mask if cfg.opt_over_trainable else None,
+        zero1_plan=zero1_plan,
     )
     start_epoch = 0
     resume_skip = 0
@@ -381,27 +412,32 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         try:
             state, start_epoch = load_checkpoint(run_dir, state)
         except Exception as layout_err:
-            # Layout sniffing: the checkpoint was written with the *other*
-            # opt_state layout (full-tree vs trainable-subtree). Restore into
-            # a template of that layout and convert — the conversion is exact
-            # (frozen-leaf Adam moments are provably zero), so the trajectory
-            # continues unchanged.
-            from timetuning_tpu.core.optimizer import migrate_opt_state
+            # Layout sniffing: the checkpoint was written with a *different*
+            # opt_state layout. Restore into a template of that layout and
+            # convert — both conversions are exact, so the trajectory
+            # continues unchanged:
+            #   * full-tree ↔ trainable-subtree (frozen-leaf Adam moments
+            #     are provably zero);
+            #   * trainable-subtree → ZeRO-1 flat vectors (same leaves,
+            #     deterministic ravel order) for zero1 runs resuming a
+            #     pre-ZeRO-1 checkpoint.
+            from timetuning_tpu.core.optimizer import (
+                migrate_opt_state,
+                migrate_subtree_to_zero1,
+            )
 
             alt_tx, _ = swav_optimizer(
                 params_init,
-                lr=cfg.head_lr,
-                backbone_lr=cfg.head_lr / 10,
-                num_epochs=cfg.num_epochs,
-                steps_per_epoch=steps_per_epoch,
-                unfreeze_layers=cfg.unfreeze_layers,
-                use_cosine_lr=cfg.lr_scheduler == "CosineAnnealingLR",
-                opt_over_trainable=not cfg.opt_over_trainable,
+                opt_over_trainable=(
+                    True if zero1 else not cfg.opt_over_trainable
+                ),
+                **opt_kwargs,
             )
             alt_state = init_state(
                 model, tcfg, alt_tx, rng, sample,
                 pretrained_params=pretrained, params=params_init,
-                trainable_mask=None if cfg.opt_over_trainable else trainable_mask,
+                trainable_mask=trainable_mask
+                if (zero1 or not cfg.opt_over_trainable) else None,
             )
             try:
                 alt_state, start_epoch = load_checkpoint(run_dir, alt_state)
@@ -410,17 +446,26 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 # file, I/O error, incompatible model) — surface the
                 # ORIGINAL failure, not the alternate-layout mismatch
                 raise layout_err
-            state = alt_state.replace(
-                opt_state=migrate_opt_state(
+            if zero1:
+                new_opt = migrate_subtree_to_zero1(
+                    alt_state.opt_state, zero1_plan
+                )
+                from_layout, to_layout = "trainable-subtree", "ZeRO-1"
+            else:
+                new_opt = migrate_opt_state(
                     alt_state.opt_state, alt_state.params, trainable_mask,
                     to_subtree=cfg.opt_over_trainable,
                 )
-            )
+                from_layout = (
+                    "full-tree" if cfg.opt_over_trainable else "trainable-subtree"
+                )
+                to_layout = (
+                    "trainable-subtree" if cfg.opt_over_trainable else "full-tree"
+                )
+            state = alt_state.replace(opt_state=new_opt)
             logger.info(
                 "checkpoint used the %s opt_state layout — converted to the "
-                "configured %s layout at restore",
-                "full-tree" if cfg.opt_over_trainable else "trainable-subtree",
-                "trainable-subtree" if cfg.opt_over_trainable else "full-tree",
+                "configured %s layout at restore", from_layout, to_layout,
             )
         # A mid-epoch checkpoint (checkpoint_every_steps / preemption) holds
         # step > start_epoch·steps_per_epoch: fast-forward the first resumed
@@ -436,7 +481,8 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     aug_cfg = AugmentConfig(out_size=cfg.input_resolution)
     step_fn = make_full_step(model, tcfg, tx, aug_cfg, mesh, state_like=state,
                              trainable_mask=trainable_mask,
-                             opt_over_trainable=cfg.opt_over_trainable)
+                             opt_over_trainable=cfg.opt_over_trainable,
+                             zero1_plan=zero1_plan)
 
     evaluator = None
     if cfg.pascal_root:

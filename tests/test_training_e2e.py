@@ -293,3 +293,16 @@ def test_zero1_resumes_subtree_checkpoint(davis_tree, tmp_path):
     result2 = run_training(cfg2)
     assert np.isfinite(result2["final_loss"])
     assert result2["global_step"] == 4
+
+
+def test_zero1_resumes_full_tree_checkpoint(davis_tree, tmp_path):
+    """A full-tree-layout checkpoint (opt_over_trainable=False) restores
+    into a zero1 run via the exact two-hop full->subtree->ZeRO-1
+    migration."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, opt_over_trainable=False)
+    run_training(cfg)
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, zero1=True,
+                load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    assert result2["global_step"] == 4

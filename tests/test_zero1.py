@@ -3,10 +3,10 @@ replicates AdamW state on every DDP rank, time_tuning.py:379-429).
 
 Proven on the 8-virtual-device CPU mesh:
 1. **Trajectory equivalence**: the ZeRO-1 step (reduce-scattered gradients,
-   per-device chunk AdamW over the flat trainable vector, all-gathered
+   per-device chunk AdamW over the flat trainable vector, psum-rebuilt
    updates) matches the replicated trainable-subtree path over multiple
    steps — including the lr-group factors and the scheduled weight decay,
-   which are baked as per-element vectors.
+   which travel as per-element vectors in the sharded state.
 2. **State sharding**: the Adam moment leaves live as [padded] vectors
    sharded P('data') — each device holds 1/world of the moments.
 3. **Checkpoint migration**: a trainable-subtree opt_state converts exactly
@@ -78,10 +78,6 @@ def _shard_step(step, state, plan):
             step, mesh=mesh,
             in_specs=(specs, P("data"), P()),
             out_specs=(specs, P()),
-            # the zero1 step's closing all_gather is identical on every
-            # device but typed varying — waive the static VMA check there
-            # (see make_full_step)
-            check_vma=plan is None,
         )
     ), specs
 
@@ -130,13 +126,13 @@ def test_zero1_matches_replicated_subtree():
 
 def test_zero1_tx_matches_subtree_tx_exactly():
     """Collective-free exactness: assembling the per-device chunk updates
-    (zero1_chunk_tx at each index over its slice) must reproduce the
-    subtree ``swav_optimizer`` update BIT-for-bit over multiple steps —
-    same Adam, same scheduled decay, same lr-group factors, just flattened
-    and chunked."""
+    (the same ``zero1_tx`` applied to each device's slice of the
+    ``Zero1State`` leaves) must reproduce the subtree ``swav_optimizer``
+    update BIT-for-bit over multiple steps — same Adam, same scheduled
+    decay, same lr-group factors, just flattened and chunked."""
     from jax.flatten_util import ravel_pytree
 
-    from timetuning_tpu.core.optimizer import trainable_subtree, zero1_chunk_tx
+    from timetuning_tpu.core.optimizer import trainable_subtree
 
     vcfg = ViTConfig(patch_size=PATCH, embed_dim=32, depth=2, num_heads=2,
                      img_size=IMG, attn_impl="xla")
@@ -171,7 +167,6 @@ def test_zero1_tx_matches_subtree_tx_exactly():
         p_pad = jnp.pad(p_flat, (0, plan.padded - plan.length))
         chunks, new_states = [], []
         for d in range(world):
-            ctx = zero1_chunk_tx(plan, jnp.asarray(d))
             opt_d = jax.tree.map(
                 lambda x: x[d * plan.chunk:(d + 1) * plan.chunk]
                 if getattr(x, "ndim", 0) == 1 and x.shape[0] == plan.padded
@@ -179,7 +174,7 @@ def test_zero1_tx_matches_subtree_tx_exactly():
                 opt_vec,
             )
             sl = slice(d * plan.chunk, (d + 1) * plan.chunk)
-            u_d, opt_d = ctx.update(g_pad[sl], opt_d, p_pad[sl])
+            u_d, opt_d = tx_g.update(g_pad[sl], opt_d, p_pad[sl])
             chunks.append(u_d)
             new_states.append(opt_d)
         u_full = jnp.concatenate(chunks)[: plan.length]

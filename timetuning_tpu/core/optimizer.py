@@ -184,30 +184,17 @@ def swav_optimizer(
     provably never change. Pair it with ``init_state(...,
     trainable_mask=mask)`` and ``make_train_step(..., opt_over_trainable=
     True)``; the trajectory is identical (tested)."""
-    if backbone_lr is None:
-        backbone_lr = lr / 10.0  # reference driver: time_tuning.py:613
-    groups, trainable, decay = build_masks(params, unfreeze_layers)
-
-    lr_factor = jax.tree.map(
-        lambda g: {"head": 1.0, "backbone": backbone_lr / lr, "frozen": 0.0}[g],
-        groups,
+    trainable, lr_factor, decay = _swav_groups(
+        params, lr, backbone_lr, unfreeze_layers
     )
     if opt_over_trainable:
         lr_factor = trainable_subtree(lr_factor, trainable)
         decay = trainable_subtree(decay, trainable)
 
-    if num_epochs is not None and steps_per_epoch is not None:
-        num_steps = num_epochs * steps_per_epoch
-    wd_sched = cosine_scheduler(wd_start, wd_end, 1, num_steps)
-
-    def wd_fn(step):
-        sched = jnp.asarray(wd_sched)
-        return sched[jnp.minimum(step, sched.shape[0] - 1)]
-
-    if use_cosine_lr:
-        lr_schedule = optax.cosine_decay_schedule(lr, num_steps, alpha=0.0)
-    else:
-        lr_schedule = lambda _: lr  # noqa: E731
+    wd_fn, lr_schedule = _swav_schedules(
+        lr, num_steps, wd_start, wd_end, use_cosine_lr,
+        num_epochs, steps_per_epoch,
+    )
 
     freeze_links = () if opt_over_trainable else (
         # zero grads of frozen leaves so adam moments stay at 0 for them
@@ -227,23 +214,26 @@ def swav_optimizer(
     return tx, trainable
 
 
+def _find_one(states, kind, what: str):
+    found = [s for s in states if isinstance(s, kind)]
+    if len(found) != 1:
+        raise ValueError(f"expected exactly one {what} in the chain")
+    return found[0]
+
+
 def migrate_subtree_to_zero1(opt_state, zero1_plan):
     """Convert a trainable-subtree opt_state (``swav_optimizer(...,
-    opt_over_trainable=True)``) into the ZeRO-1 flat-vector layout — exact:
-    both chains are (ScaleByAdamState, ScheduledWDState, EmptyState,
-    lr-schedule state); only the Adam moment leaves change shape, and
-    ``ravel_pytree`` uses the same deterministic leaf order the plan's
-    vectors were built with. Enables resuming a pre-ZeRO-1 checkpoint into
-    a ``zero1=True`` run."""
+    opt_over_trainable=True)``) into the ZeRO-1 ``Zero1State`` — exact: the
+    Adam moments flatten by the same deterministic ``ravel_pytree`` order
+    the plan's vectors were built with, and the schedule counters carry
+    over. Enables resuming a pre-ZeRO-1 checkpoint into a ``zero1=True``
+    run."""
     from jax.flatten_util import ravel_pytree
 
     states = list(opt_state)
-    adam_idx = [
-        i for i, s in enumerate(states) if isinstance(s, optax.ScaleByAdamState)
-    ]
-    if len(adam_idx) != 1:
-        raise ValueError("expected exactly one ScaleByAdamState in the chain")
-    adam = states[adam_idx[0]]
+    adam = _find_one(states, optax.ScaleByAdamState, "ScaleByAdamState")
+    wd = _find_one(states, ScheduledWDState, "ScheduledWDState")
+    sched = _find_one(states, optax.ScaleByScheduleState, "ScaleByScheduleState")
     pad_n = zero1_plan.padded - zero1_plan.length
 
     def vec(tree):
@@ -255,8 +245,13 @@ def migrate_subtree_to_zero1(opt_state, zero1_plan):
             )
         return jnp.pad(flat, (0, pad_n))
 
-    states[adam_idx[0]] = adam._replace(mu=vec(adam.mu), nu=vec(adam.nu))
-    return tuple(states)
+    return Zero1State(
+        adam=adam._replace(mu=vec(adam.mu), nu=vec(adam.nu)),
+        wd=wd,
+        sched=sched,
+        lr_vec=jnp.asarray(zero1_plan.lr_vec),
+        decay_vec=jnp.asarray(zero1_plan.decay_vec),
+    )
 
 
 class Zero1Plan(NamedTuple):
@@ -264,69 +259,101 @@ class Zero1Plan(NamedTuple):
     the reference replicates AdamW state on every DDP rank).
 
     The trainable subtree is flattened to one [length] vector, zero-padded
-    to ``padded = world * chunk``, and the optimizer state lives over that
-    padded vector, sharded along the data axis — each device holds the
-    [chunk] slice it updates. Inside the step, gradients arrive by a
-    ``psum_scatter`` (reduce-scatter: same bytes on the wire as the
-    all-reduce it replaces), the AdamW update runs on 1/world of the
-    elements, and an ``all_gather`` rebuilds the full update vector. The
-    per-element lr-group and weight-decay masks are baked as [padded]
-    vectors and sliced per device at trace time.
+    to ``padded = world * chunk``, and the optimizer state (``Zero1State``)
+    lives over that padded vector, sharded along the data axis — each
+    device holds the [chunk] slice it updates. Inside the step, gradients
+    arrive by a ``psum_scatter`` (reduce-scatter), the AdamW update runs on
+    1/world of the elements, and a zeros-scatter + ``psum`` rebuilds the
+    full update vector with statically-inferable replication. The
+    per-element lr-group and weight-decay masks travel as [padded] vector
+    *state leaves* so they shard with the moments — no full-length
+    per-device constants.
     """
 
     length: int
     padded: int
     chunk: int
     world: int
-    lr_vec: Any           # np/jnp [padded] per-element lr factor
-    decay_vec: Any        # np/jnp [padded] 1.0 where weight decay applies
+    lr_vec: Any           # np [padded] per-element lr factor (init only)
+    decay_vec: Any        # np [padded] 1.0 where decay applies (init only)
     wd_fn: Any            # step -> weight decay scalar
     lr_schedule: Any      # optax schedule
 
 
-def _vec_scheduled_decay(wd_fn, decay_vec) -> optax.GradientTransformation:
-    """add_scheduled_decay over a flat vector with a 0/1 decay mask vector."""
+class Zero1State(NamedTuple):
+    """Optimizer state of ``zero1_tx``. Every [padded]-vector leaf (Adam
+    moments AND the lr/decay mask vectors) shards P('data') via
+    ``state_partition_specs``; the counters stay replicated."""
 
-    def init(params):
-        del params
-        return ScheduledWDState(jnp.zeros((), jnp.int32))
+    adam: optax.ScaleByAdamState
+    wd: ScheduledWDState
+    sched: Any            # ScaleByScheduleState
+    lr_vec: Any
+    decay_vec: Any
 
-    def update(updates, state, params=None):
-        wd = wd_fn(state.step)
-        return updates + wd * params * decay_vec, ScheduledWDState(state.step + 1)
+
+def zero1_tx(plan: Zero1Plan) -> optax.GradientTransformation:
+    """One elementwise transformation reproducing the ``swav_optimizer``
+    chain (Adam → scheduled decay → lr-group factor → lr schedule) over
+    flat vectors. Because every op is elementwise and the masks live in the
+    state, the SAME tx serves the [padded] init/global form and the
+    per-device [chunk] form inside shard_map (state leaves arrive already
+    sliced by the sharding)."""
+    adam_tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    sched_tx = optax.scale_by_learning_rate(plan.lr_schedule)
+
+    def init(params_vec):
+        return Zero1State(
+            adam=adam_tx.init(params_vec),
+            wd=ScheduledWDState(jnp.zeros((), jnp.int32)),
+            sched=sched_tx.init(params_vec),
+            lr_vec=jnp.asarray(plan.lr_vec),
+            decay_vec=jnp.asarray(plan.decay_vec),
+        )
+
+    def update(g, s, p=None):
+        u, adam_s = adam_tx.update(g, s.adam, p)
+        u = u + plan.wd_fn(s.wd.step) * p * s.decay_vec
+        u = u * s.lr_vec
+        u, sched_s = sched_tx.update(u, s.sched, p)
+        return u, Zero1State(
+            adam=adam_s, wd=ScheduledWDState(s.wd.step + 1), sched=sched_s,
+            lr_vec=s.lr_vec, decay_vec=s.decay_vec,
+        )
 
     return optax.GradientTransformation(init, update)
 
 
-def _zero1_chain(plan: Zero1Plan, lr_vec, decay_vec) -> optax.GradientTransformation:
-    return optax.chain(
-        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
-        _vec_scheduled_decay(plan.wd_fn, decay_vec),
-        optax.GradientTransformation(
-            lambda p: optax.EmptyState(),
-            lambda u, s, p=None: (u * lr_vec, s),
-        ),
-        optax.scale_by_learning_rate(plan.lr_schedule),
+def _swav_schedules(lr, num_steps, wd_start, wd_end, use_cosine_lr,
+                    num_epochs=None, steps_per_epoch=None):
+    """The shared schedule construction of swav_optimizer and its ZeRO-1
+    twin — one definition so a schedule fix cannot diverge the two paths."""
+    if num_epochs is not None and steps_per_epoch is not None:
+        num_steps = num_epochs * steps_per_epoch
+    wd_sched = cosine_scheduler(wd_start, wd_end, 1, num_steps)
+
+    def wd_fn(step):
+        sched = jnp.asarray(wd_sched)
+        return sched[jnp.minimum(step, sched.shape[0] - 1)]
+
+    if use_cosine_lr:
+        lr_schedule = optax.cosine_decay_schedule(lr, num_steps, alpha=0.0)
+    else:
+        lr_schedule = lambda _: lr  # noqa: E731
+    return wd_fn, lr_schedule
+
+
+def _swav_groups(params, lr, backbone_lr, unfreeze_layers):
+    """Shared group construction: (trainable_mask, lr_factor tree, decay
+    tree) with the reference's lr-group ratios."""
+    if backbone_lr is None:
+        backbone_lr = lr / 10.0  # reference driver: time_tuning.py:613
+    groups, trainable, decay = build_masks(params, unfreeze_layers)
+    lr_factor = jax.tree.map(
+        lambda g: {"head": 1.0, "backbone": backbone_lr / lr, "frozen": 0.0}[g],
+        groups,
     )
-
-
-def zero1_chunk_tx(plan: Zero1Plan, device_index) -> optax.GradientTransformation:
-    """The per-device [chunk] transformation: the same elementwise chain as
-    ``swav_optimizer`` but over this device's slice of the flat vector
-    (``device_index`` may be a traced ``lax.axis_index``)."""
-    sl = lambda v: jax.lax.dynamic_slice(  # noqa: E731
-        jnp.asarray(v), (device_index * plan.chunk,), (plan.chunk,)
-    )
-    return _zero1_chain(plan, sl(plan.lr_vec), sl(plan.decay_vec))
-
-
-def zero1_global_tx(plan: Zero1Plan) -> optax.GradientTransformation:
-    """The full-[padded]-vector twin of ``zero1_chunk_tx`` — used only to
-    ``init`` the optimizer state (outside shard_map, where the state is then
-    sharded along its only axis) and in single-device equivalence tests."""
-    return _zero1_chain(
-        plan, jnp.asarray(plan.lr_vec), jnp.asarray(plan.decay_vec)
-    )
+    return trainable, lr_factor, decay
 
 
 def swav_optimizer_zero1(
@@ -342,25 +369,21 @@ def swav_optimizer_zero1(
     steps_per_epoch: int | None = None,
     use_cosine_lr: bool = True,
 ) -> tuple[optax.GradientTransformation, Any, Zero1Plan]:
-    """ZeRO-1 variant of ``swav_optimizer``: returns ``(tx_global,
-    trainable_mask, plan)``. ``tx_global`` inits the [padded]-vector
-    optimizer state; the train step uses ``zero1_chunk_tx(plan,
-    axis_index)`` on its shard. Elementwise-identical to the subtree
-    ``swav_optimizer`` (tested), with 1/world the optimizer memory and
-    update FLOPs per device.
+    """ZeRO-1 variant of ``swav_optimizer``: returns ``(tx, trainable_mask,
+    plan)`` where ``tx = zero1_tx(plan)`` both inits the [padded]-vector
+    ``Zero1State`` and runs the per-device chunk update inside the step.
+    Elementwise-identical to the subtree ``swav_optimizer`` (tested), with
+    1/world the optimizer memory and update FLOPs per device.
 
-    Checkpoint note: this is a third opt_state layout (flat [padded]
+    Checkpoint note: this is a third opt_state layout (``Zero1State`` flat
     vectors) and restores only into a run with the same world size and
-    trainable set."""
+    trainable set; trainable-subtree checkpoints migrate in via
+    ``migrate_subtree_to_zero1``."""
     import numpy as np
     from jax.flatten_util import ravel_pytree
 
-    if backbone_lr is None:
-        backbone_lr = lr / 10.0
-    groups, trainable, decay = build_masks(params, unfreeze_layers)
-    lr_factor = jax.tree.map(
-        lambda g: {"head": 1.0, "backbone": backbone_lr / lr, "frozen": 0.0}[g],
-        groups,
+    trainable, lr_factor, decay = _swav_groups(
+        params, lr, backbone_lr, unfreeze_layers
     )
     sub = trainable_subtree(params, trainable)
     lr_sub = trainable_subtree(lr_factor, trainable)
@@ -381,22 +404,13 @@ def swav_optimizer_zero1(
     pad = lambda v: jnp.pad(v, (0, padded - length))  # noqa: E731
     lr_vec, decay_vec = np.asarray(pad(lr_vec)), np.asarray(pad(decay_vec))
 
-    if num_epochs is not None and steps_per_epoch is not None:
-        num_steps = num_epochs * steps_per_epoch
-    wd_sched = cosine_scheduler(wd_start, wd_end, 1, num_steps)
-
-    def wd_fn(step):
-        sched = jnp.asarray(wd_sched)
-        return sched[jnp.minimum(step, sched.shape[0] - 1)]
-
-    if use_cosine_lr:
-        lr_schedule = optax.cosine_decay_schedule(lr, num_steps, alpha=0.0)
-    else:
-        lr_schedule = lambda _: lr  # noqa: E731
-
+    wd_fn, lr_schedule = _swav_schedules(
+        lr, num_steps, wd_start, wd_end, use_cosine_lr,
+        num_epochs, steps_per_epoch,
+    )
     plan = Zero1Plan(
         length=length, padded=padded, chunk=chunk, world=world_size,
         lr_vec=lr_vec, decay_vec=decay_vec, wd_fn=wd_fn,
         lr_schedule=lr_schedule,
     )
-    return zero1_global_tx(plan), trainable, plan
+    return zero1_tx(plan), trainable, plan

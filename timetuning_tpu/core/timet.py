@@ -201,14 +201,16 @@ def init_state(
     if zero1_plan is not None:
         # ZeRO-1: optimizer state over the padded flat vector of the
         # trainable subtree (sharded along the data axis by
-        # state_partition_specs; tx here is zero1_global_tx(plan))
+        # state_partition_specs; tx here is zero1_tx(plan))
         from jax.flatten_util import ravel_pytree
 
         flat, _ = ravel_pytree(opt_params)
-        assert flat.shape[0] == zero1_plan.length, (
-            f"zero1 plan built for {zero1_plan.length} trainable elements, "
-            f"state has {flat.shape[0]}"
-        )
+        if flat.shape[0] != zero1_plan.length:
+            raise ValueError(
+                f"zero1 plan built for {zero1_plan.length} trainable "
+                f"elements, state has {flat.shape[0]} — different "
+                "trainable set"
+            )
         opt_params = jnp.pad(flat, (0, zero1_plan.padded - zero1_plan.length))
     return TrainState(
         params=params,
@@ -528,17 +530,16 @@ def make_train_step(
             loss, g_t = jax.value_and_grad(loss_trainable)(train_p)
             if zero1_plan is not None:
                 # ZeRO-1 (beyond-reference): gradients arrive by
-                # reduce-scatter (same wire bytes as the all-reduce it
-                # replaces), each device runs AdamW on its 1/world chunk of
-                # the flat trainable vector against its opt_state shard,
-                # and an all_gather rebuilds the update. Elementwise
-                # identical to the subtree path (tested).
+                # reduce-scatter, each device runs AdamW on its 1/world
+                # chunk of the flat trainable vector against its opt_state
+                # shard (the lr/decay mask vectors ride the state and are
+                # sharded the same way), and a zeros-scatter + psum
+                # rebuilds the update with statically-inferable
+                # replication, so the shard_map VMA check stays ON.
+                # Elementwise identical to the subtree path (tested).
                 from jax.flatten_util import ravel_pytree
 
-                from timetuning_tpu.core.optimizer import (
-                    merge_subtree,
-                    zero1_chunk_tx,
-                )
+                from timetuning_tpu.core.optimizer import merge_subtree
 
                 loss = jax.lax.pmean(loss, cfg.axis_name)
                 sub = tu.unflatten_dict(train_p)
@@ -554,12 +555,17 @@ def make_train_step(
                     jnp.pad(p_flat, (0, pad_n)),
                     (idx * zero1_plan.chunk,), (zero1_plan.chunk,),
                 )
-                ctx = zero1_chunk_tx(zero1_plan, idx)
-                updates_chunk, opt_state = ctx.update(
+                updates_chunk, opt_state = tx.update(
                     g_chunk, state.opt_state, p_chunk
                 )
-                u_full = jax.lax.all_gather(
-                    updates_chunk, cfg.axis_name, tiled=True
+                u_full = jax.lax.psum(
+                    jax.lax.dynamic_update_slice(
+                        jnp.zeros(
+                            (zero1_plan.padded,), updates_chunk.dtype
+                        ),
+                        updates_chunk, (idx * zero1_plan.chunk,),
+                    ),
+                    cfg.axis_name,
                 )[: zero1_plan.length]
                 new_sub = unravel(p_flat + u_full)
                 params = merge_subtree(state.params, new_sub)

@@ -215,11 +215,6 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
             mesh=mesh,
             in_specs=(specs, P("data"), P("data"), P()),
             out_specs=(specs, P()),
-            # ZeRO-1 ends with an all_gather whose output is identical on
-            # every device but typed "varying" (no invariant all_gather in
-            # this JAX); the replicated params out-spec is correct, so the
-            # static VMA check must be waived for that step only.
-            check_vma=zero1_plan is None,
         ),
         donate_argnums=(0,),
     )
@@ -426,32 +421,49 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 migrate_subtree_to_zero1,
             )
 
-            alt_tx, _ = swav_optimizer(
-                params_init,
-                opt_over_trainable=(
-                    True if zero1 else not cfg.opt_over_trainable
-                ),
-                **opt_kwargs,
-            )
-            alt_state = init_state(
-                model, tcfg, alt_tx, rng, sample,
-                pretrained_params=pretrained, params=params_init,
-                trainable_mask=trainable_mask
-                if (zero1 or not cfg.opt_over_trainable) else None,
-            )
-            try:
-                alt_state, start_epoch = load_checkpoint(run_dir, alt_state)
-            except Exception:
-                # neither layout restores: not a layout problem (corrupt
-                # file, I/O error, incompatible model) — surface the
-                # ORIGINAL failure, not the alternate-layout mismatch
-                raise layout_err
-            if zero1:
-                new_opt = migrate_subtree_to_zero1(
-                    alt_state.opt_state, zero1_plan
+            def restore_as(over_trainable: bool):
+                alt_tx, _ = swav_optimizer(
+                    params_init, opt_over_trainable=over_trainable,
+                    **opt_kwargs,
                 )
-                from_layout, to_layout = "trainable-subtree", "ZeRO-1"
+                alt_state = init_state(
+                    model, tcfg, alt_tx, rng, sample,
+                    pretrained_params=pretrained, params=params_init,
+                    trainable_mask=trainable_mask if over_trainable else None,
+                )
+                return load_checkpoint(run_dir, alt_state)
+
+            if zero1:
+                # a zero1 run can resume either tree layout: subtree
+                # migrates directly; full-tree takes the exact two-hop
+                # full→subtree→ZeRO-1 conversion
+                try:
+                    alt_state, start_epoch = restore_as(True)
+                    sub_opt = alt_state.opt_state
+                    from_layout = "trainable-subtree"
+                except Exception:
+                    try:
+                        alt_state, start_epoch = restore_as(False)
+                    except Exception:
+                        # no layout restores: not a layout problem (corrupt
+                        # file, I/O error, incompatible model) — surface
+                        # the ORIGINAL failure
+                        raise layout_err
+                    sub_opt = migrate_opt_state(
+                        alt_state.opt_state, alt_state.params,
+                        trainable_mask, to_subtree=True,
+                    )
+                    from_layout = "full-tree"
+                new_opt = migrate_subtree_to_zero1(sub_opt, zero1_plan)
+                to_layout = "ZeRO-1"
             else:
+                try:
+                    alt_state, start_epoch = restore_as(
+                        not cfg.opt_over_trainable
+                    )
+                except Exception:
+                    # see above — surface the original failure
+                    raise layout_err
                 new_opt = migrate_opt_state(
                     alt_state.opt_state, alt_state.params, trainable_mask,
                     to_subtree=cfg.opt_over_trainable,

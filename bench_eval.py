@@ -1,0 +1,85 @@
+"""Benchmark: mask-propagation eval pipeline throughput (frames/sec/chip).
+
+BASELINE.json config row 4 — the `cli.propagate` compute path as one jitted
+program per clip: 480p decode-resize → ViT-S/16 dense features → k-NN label
+propagation (n_last=4, radius=12, topk=5, reference mask_propagation.py
+defaults) → upsampled argmax. Measured steady-state with on-device inputs
+and chained dispatches (host IO excluded: on a real TPU host the loader and
+DMA overlap this compute; through a tunneled dev chip the CLI is
+dispatch-latency bound and unrepresentative).
+
+Prints one JSON line like bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    p = argparse.ArgumentParser("bench_eval")
+    p.add_argument("--dtype", choices=["bfloat16", "float32"],
+                   default="bfloat16")
+    p.add_argument("--num_frames", type=int, default=25)
+    p.add_argument("--input_resolution", type=int, default=224)
+    p.add_argument("--iters", type=int, default=12)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from timetuning_tpu.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    from timetuning_tpu.data.transforms import eval_preprocess_batch
+    from timetuning_tpu.models.registry import get_backbone
+    from timetuning_tpu.ops.propagation import propagate_labels
+    from timetuning_tpu.ops.resize import resize_bilinear
+
+    T, S, K = args.num_frames, args.input_resolution, 2
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    bb = get_backbone("dino-s16", None, dtype=dtype)
+    res = bb.spatial_resolution(S)
+
+    @jax.jit
+    def clip_eval(frames_u8, first_onehot):
+        x = eval_preprocess_batch(frames_u8, out_size=S)
+        out = bb.module.apply(bb.variables, x)
+        feats = out["tokens"][:, 1:]
+        segs = propagate_labels(
+            feats, first_onehot, n_last=4, radius=12, topk=5
+        )
+        up = resize_bilinear(segs.reshape(T - 1, K, res, res), (S, S))
+        return jnp.argmax(up, axis=1).astype(jnp.uint8)
+
+    # distinct on-device buffers: repeated identical dispatches can be
+    # memoized by the tunnel runtime (see bench.py)
+    make = jax.jit(lambda key: (
+        jax.random.randint(key, (T, 480, 854, 3), 0, 255, jnp.uint8),
+        jax.random.uniform(key, (K, res * res)),
+    ))
+    bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
+    for i in range(3):
+        float(clip_eval(*bufs[i % 2]).mean())  # compile + warm
+
+    n = args.iters
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = clip_eval(*bufs[i % 2])
+    float(out.mean())  # sync (block_until_ready can no-op on the tunnel)
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "propagation_eval_fps",
+        "value": round(n * T / dt, 1),
+        "unit": f"frames/sec/chip ({args.dtype}, {T}-frame 480p clips, "
+                f"ViT-s16 @ {S}, radius 12)",
+        "ms_per_clip": round(1000 * dt / n, 2),
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -221,3 +221,36 @@ def test_packed_ytvos_matches_decode(tmp_path):
         np.testing.assert_array_equal(a["annotations"], b["annotations"])
         # remap actually happened (ids → category ids incl. 3 for vid1's car)
     assert set(np.unique(packed[1]["annotations"])) == {2, 3}
+
+
+def test_packed_kinetics_matches_decode(tmp_path):
+    """pack_path covers the annotation-free kinetics layout too: the packed
+    loader returns identical clips and all-zero masks."""
+    cv2 = pytest.importorskip("cv2")
+    from timetuning_tpu.data.loader import make_loader
+
+    root = tmp_path / "frames"
+    rng = np.random.default_rng(9)
+    for v in range(2):
+        d = root / f"clip{v}"
+        d.mkdir(parents=True)
+        for f in range(4):
+            cv2.imwrite(
+                str(d / f"{f:05d}.jpg"),
+                rng.integers(0, 255, size=(32, 32, 3), dtype=np.uint8),
+            )
+    plain = make_loader(
+        "kinetics", num_clip_frames=2, batch_size=2, root=str(root),
+        decode_size=32, shuffle=False, drop_last=False, num_workers=1,
+    )
+    pack_path = str(tmp_path / "kin.pack")
+    build_clip_pack(plain.dataset, pack_path)
+    packed = make_loader(
+        "kinetics", num_clip_frames=2, batch_size=2, root=str(root),
+        decode_size=32, pack_path=pack_path, shuffle=False, drop_last=False,
+        num_workers=1,
+    )
+    fa, aa, _ = next(iter(plain))
+    fb, ab, _ = next(iter(packed))
+    np.testing.assert_array_equal(fa, fb)
+    np.testing.assert_array_equal(ab, 0)

@@ -126,7 +126,7 @@ class TrainingConfig:
     # decode-once packed clip cache (native/clippack.cpp): built at this path
     # on first use, then every epoch gathers raw frames instead of re-decoding
     # JPEGs (the reference's workers re-decode every epoch). DAVIS-layout
-    # datasets and ytvos.
+    # datasets, ytvos and kinetics.
     pack_path: str | None = None
 
 

@@ -288,12 +288,15 @@ def _build_ytvos(name, root, pack_path=None, **kw):
 
 
 @register_dataset("kinetics")
-def _build_kinetics(name, root, **kw):
+def _build_kinetics(name, root, pack_path=None, **kw):
     kw.pop("annotations_root", None)
-    if kw.pop("pack_path", None):
-        raise ValueError(
-            "pack_path is supported for DAVIS-layout datasets and ytvos, "
-            "not kinetics"
+    if pack_path:
+        from timetuning_tpu.data.datasets import PackedVideoDataset
+
+        # annotation-free: PackedVideoDataset with an empty annotation tree
+        # returns zero masks, exactly like KineticsDataset
+        return PackedVideoDataset(
+            frames_root=root, annotations_root="", pack_path=pack_path, **kw
         )
     return KineticsDataset(frames_root=root, **kw)
 

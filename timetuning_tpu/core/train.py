@@ -641,6 +641,22 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, frames_dev, sizes_dev, key)
             global_step += 1
+            if global_step == 1 and jax.process_index() == 0:
+                # one-time device-memory report after the first real step
+                # (peak includes compile temporaries + the donated-state
+                # update); memory_stats() is None on backends without it
+                stats = jax.local_devices()[0].memory_stats() or {}
+                if "bytes_in_use" in stats:
+                    gib = 1024 ** 3
+                    logger.info(
+                        "device memory after step 1: %.2f GiB in use, "
+                        "%.2f GiB peak",
+                        stats["bytes_in_use"] / gib,
+                        stats.get("peak_bytes_in_use", 0) / gib,
+                    )
+                    writer.scalar(
+                        "Memory/bytes_in_use", float(stats["bytes_in_use"]), 1
+                    )
             if pending is not None and jax.process_index() == 0:
                 pstep, pmetrics = pending
                 last_loss = float(pmetrics["loss"])

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 
 BASELINE_FPS = 5000.0  # driver-set target (BASELINE.md)
@@ -48,20 +47,12 @@ def main() -> None:
     )
     bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
 
-    # compile + warmup (block via scalar readback — robust on all platforms;
-    # several passes: first post-compile dispatches run slow)
-    for i in range(4):
-        float(forward(params, bufs[i % 2]).mean())
+    from bench_util import time_chained_fps
 
-    iters = 40
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = forward(params, bufs[i % 2])
-    out.block_until_ready()
-    float(out.mean())
-    dt = (time.perf_counter() - t0) / iters
-
-    fps = batch / dt
+    fps = time_chained_fps(
+        forward, [(params, bufs[0]), (params, bufs[1])],
+        iters=40, units_per_call=batch,
+    )
     print(
         json.dumps(
             {

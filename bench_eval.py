@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import time
 
 
 def main() -> None:
@@ -55,28 +54,21 @@ def main() -> None:
         up = resize_bilinear(segs.reshape(T - 1, K, res, res), (S, S))
         return jnp.argmax(up, axis=1).astype(jnp.uint8)
 
-    # distinct on-device buffers: repeated identical dispatches can be
-    # memoized by the tunnel runtime (see bench.py)
+    from bench_util import time_chained_fps
+
     make = jax.jit(lambda key: (
         jax.random.randint(key, (T, 480, 854, 3), 0, 255, jnp.uint8),
         jax.random.uniform(key, (K, res * res)),
     ))
     bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
-    for i in range(3):
-        float(clip_eval(*bufs[i % 2]).mean())  # compile + warm
-
-    n = args.iters
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = clip_eval(*bufs[i % 2])
-    float(out.mean())  # sync (block_until_ready can no-op on the tunnel)
-    dt = time.perf_counter() - t0
+    fps = time_chained_fps(clip_eval, bufs, iters=args.iters,
+                           units_per_call=T)
     print(json.dumps({
         "metric": "propagation_eval_fps",
-        "value": round(n * T / dt, 1),
+        "value": round(fps, 1),
         "unit": f"frames/sec/chip ({args.dtype}, {T}-frame 480p clips, "
                 f"ViT-s16 @ {S}, radius 12)",
-        "ms_per_clip": round(1000 * dt / n, 2),
+        "ms_per_clip": round(1000 * T / fps, 2),
         "vs_baseline": None,
     }))
 

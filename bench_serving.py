@@ -16,7 +16,6 @@ import argparse
 import json
 import os
 import tempfile
-import time
 
 
 def main() -> None:
@@ -50,24 +49,16 @@ def main() -> None:
     finally:
         os.unlink(path)
 
-    # distinct on-device buffers: repeated identical dispatches can be
-    # memoized by the tunnel runtime (see bench.py)
+    from bench_util import time_chained_fps
+
     make = jax.jit(
         lambda key: jax.random.randint(key, shape, 0, 255, jnp.uint8)
     )
-    bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
-    for i in range(4):
-        float(jnp.asarray(fn(bufs[i % 2])).mean())  # compile + warm
-
-    n = args.iters
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = fn(bufs[i % 2])
-    float(jnp.asarray(out).mean())  # sync via scalar readback
-    dt = time.perf_counter() - t0
+    bufs = [(make(jax.random.PRNGKey(i)),) for i in range(2)]
+    fps = time_chained_fps(fn, bufs, iters=args.iters, units_per_call=B)
     print(json.dumps({
         "metric": "serving_artifact_fps",
-        "value": round(n * B / dt, 1),
+        "value": round(fps, 1),
         "unit": f"frames/sec/chip (exported StableHLO, "
                 f"{args.architecture} @ {args.input_resolution}, bf16)",
         "artifact_mb": round(len(blob) / 1e6, 1),

@@ -236,10 +236,13 @@ def test_loader_worker_exception_propagates(davis_tree):
             pass
 
 
-def test_pack_path_rejected_for_kinetics(tmp_path):
+def test_pack_path_missing_pack_errors_clearly(tmp_path):
+    """kinetics pack_path is supported (PackedVideoDataset with an empty
+    annotation tree — full round-trip in test_native); pointing it at a
+    nonexistent pack must fail up front, not mid-epoch."""
     (tmp_path / "v").mkdir()
     cv2.imwrite(str(tmp_path / "v" / "0.jpg"), np.zeros((8, 8, 3), np.uint8))
-    with pytest.raises(ValueError, match="DAVIS-layout"):
+    with pytest.raises(FileNotFoundError):
         make_loader(
             "kinetics", num_clip_frames=2, batch_size=1, root=str(tmp_path),
             pack_path=str(tmp_path / "x.pack"),

@@ -70,12 +70,9 @@ def migrate_opt_state(opt_state, params, trainable_mask, to_subtree: bool):
     tests/test_training_e2e.py::test_cross_layout_checkpoint_migration).
     """
     states = list(opt_state)
-    adam_idx = [
-        i for i, s in enumerate(states) if isinstance(s, optax.ScaleByAdamState)
-    ]
-    if len(adam_idx) != 1:
-        raise ValueError("expected exactly one ScaleByAdamState in the chain")
-    adam = states[adam_idx[0]]
+    adam = _find_one(states, optax.ScaleByAdamState, "ScaleByAdamState")
+    # identity-based index: tuple == on array-bearing states is ambiguous
+    adam_idx = [i for i, s in enumerate(states) if s is adam]
     if to_subtree:
         adam = adam._replace(
             mu=trainable_subtree(adam.mu, trainable_mask),

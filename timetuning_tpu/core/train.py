@@ -406,6 +406,18 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     if cfg.load_checkpoint:
         try:
             state, start_epoch = load_checkpoint(run_dir, state)
+            if zero1:
+                # The lr-group/decay mask vectors are CONFIG, not state —
+                # they ride the opt_state only so they shard with the
+                # moments. A restored checkpoint must not resurrect stale
+                # factors (e.g. a changed backbone_lr): rebake from the
+                # current plan, like the tree layouts do implicitly.
+                state = state.replace(
+                    opt_state=state.opt_state._replace(
+                        lr_vec=jnp.asarray(zero1_plan.lr_vec),
+                        decay_vec=jnp.asarray(zero1_plan.decay_vec),
+                    )
+                )
         except Exception as layout_err:
             # Layout sniffing: the checkpoint was written with a *different*
             # opt_state layout. Restore into a template of that layout and
@@ -590,6 +602,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     best_score = -1.0
     last_eval = None
     last_loss = None
+    mem_reported = False   # one-time device-memory report (first step)
     diag_scores_fn = None  # built lazily, once (log_histograms)
     for epoch in range(start_epoch, cfg.num_epochs):
         save_checkpoint(state, run_dir, epoch)
@@ -641,21 +654,27 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             rng, key = jax.random.split(rng)
             state, metrics = step_fn(state, frames_dev, sizes_dev, key)
             global_step += 1
-            if global_step == 1 and jax.process_index() == 0:
-                # one-time device-memory report after the first real step
-                # (peak includes compile temporaries + the donated-state
-                # update); memory_stats() is None on backends without it
+            if not mem_reported and jax.process_index() == 0:
+                # One-time device-memory report after this run's first step
+                # (also fires on resumed runs). Sync the in-flight step
+                # first — dispatch is async, so reading stats immediately
+                # would race the step's own allocations; memory_stats() is
+                # None on backends without it.
+                mem_reported = True
+                jax.block_until_ready(metrics["loss"])
                 stats = jax.local_devices()[0].memory_stats() or {}
                 if "bytes_in_use" in stats:
                     gib = 1024 ** 3
                     logger.info(
-                        "device memory after step 1: %.2f GiB in use, "
+                        "device memory after step %d: %.2f GiB in use, "
                         "%.2f GiB peak",
+                        global_step,
                         stats["bytes_in_use"] / gib,
                         stats.get("peak_bytes_in_use", 0) / gib,
                     )
                     writer.scalar(
-                        "Memory/bytes_in_use", float(stats["bytes_in_use"]), 1
+                        "Memory/bytes_in_use", float(stats["bytes_in_use"]),
+                        global_step,
                     )
             if pending is not None and jax.process_index() == 0:
                 pstep, pmetrics = pending

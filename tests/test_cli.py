@@ -152,3 +152,24 @@ def test_export_cli_roundtrip(tmp_path, capsys):
     assert "round-trip check" in stdout
     import os
     assert os.path.getsize(out) > 1000
+
+
+def test_export_cli_symbolic_batch(tmp_path, capsys):
+    """--symbolic_batch: one artifact serves multiple batch sizes (XLA
+    attention path; the check runs a second batch through the same
+    deserialized artifact)."""
+    from timetuning_tpu.cli import export as cli_export
+
+    out = str(tmp_path / "feat_sym.stablehlo")
+    rc = cli_export.main([
+        "--architecture", "vit-tiny-test",
+        "--batch_size", "4",
+        "--input_resolution", "32",
+        "--compute_dtype", "float32",
+        "--symbolic_batch", "true",
+        "--out", out,
+        "--check", "true",
+    ])
+    stdout = capsys.readouterr().out
+    assert rc == 0, stdout
+    assert "symbolic-batch check: batch 3 ok" in stdout

@@ -39,14 +39,23 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--check", type=str2bool, default=True,
                    help="deserialize and verify against the live forward")
+    p.add_argument("--symbolic_batch", type=str2bool, default=False,
+                   help="export with a symbolic batch dimension: one "
+                        "artifact serves ANY batch size (forces the XLA "
+                        "attention path — the fused Pallas kernels have "
+                        "batch-static grids); --batch_size becomes only "
+                        "the round-trip-check batch")
     return p
 
 
 def export_features(architecture: str, model_path: str | None,
                     batch_size: int, input_resolution: int,
-                    compute_dtype: str = "bfloat16"):
+                    compute_dtype: str = "bfloat16",
+                    symbolic_batch: bool = False):
     """Build and AOT-export the uint8→features forward. Returns
     (serialized bytes, live_fn, example_input_shape)."""
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -56,6 +65,16 @@ def export_features(architecture: str, model_path: str | None,
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(architecture, model_path, dtype=dtype)
+    if symbolic_batch and hasattr(getattr(bb.module, "config", None),
+                                  "attn_impl"):
+        # Pallas grids are batch-static; symbolic-batch artifacts must
+        # trace the shape-polymorphic XLA attention path
+        bb = dataclasses.replace(
+            bb,
+            module=bb.module.clone(
+                config=dataclasses.replace(bb.module.config, attn_impl="xla")
+            ),
+        )
     variables = bb.variables
 
     @jax.jit
@@ -66,7 +85,13 @@ def export_features(architecture: str, model_path: str | None,
         return f
 
     shape = (batch_size, input_resolution, input_resolution, 3)
-    spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
+    if symbolic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        spec = jax.ShapeDtypeStruct(
+            (b, input_resolution, input_resolution, 3), jnp.uint8
+        )
+    else:
+        spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
     exported = jexport.export(forward)(spec)
     return exported.serialize(), forward, shape
 
@@ -88,6 +113,7 @@ def main(argv=None) -> int:
     blob, live, shape = export_features(
         args.architecture, args.model_path, args.batch_size,
         args.input_resolution, args.compute_dtype,
+        symbolic_batch=args.symbolic_batch,
     )
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -108,6 +134,18 @@ def main(argv=None) -> int:
         if err > 1e-3:
             print("FAIL: round-trip mismatch")
             return 1
+        if args.symbolic_batch:
+            # one artifact, a different batch: prove shape polymorphism
+            alt = max(1, args.batch_size // 2 + 1)
+            x2 = jnp.asarray(
+                np.random.default_rng(1).integers(
+                    0, 256, (alt,) + shape[1:], np.uint8
+                )
+            )
+            got2 = np.asarray(fn(x2))
+            assert got2.shape[0] == alt
+            print(f"symbolic-batch check: batch {alt} ok "
+                  f"(features {got2.shape})")
     return 0
 
 

@@ -110,3 +110,70 @@ def test_per_host_shards_are_complete_and_equal():
     e0 = loaders[0]._indices()
     loaders[0].set_epoch(1)
     assert loaders[0]._indices() != e0
+
+
+WORKER_TRANSFER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=pid,
+    )
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from timetuning_tpu.data.loader import host_batch_to_device
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sharding = NamedSharding(mesh, P("data"))
+    # each host's loader yields a DISTINCT local batch: host 0 rows 0..3,
+    # host 1 rows 100..103
+    local = (np.arange(4, dtype=np.float32) + 100.0 * pid).reshape(4, 1)
+    garr = host_batch_to_device(local, sharding)
+    # the GLOBAL batch must be 2 hosts x 4 rows, and this host's two
+    # devices must hold exactly its own rows (2 per device, in order)
+    assert garr.shape == (8, 1), garr.shape
+    mine = sorted(
+        float(s.data[0, 0]) for s in garr.addressable_shards
+    )
+    want = sorted(float(v) for v in local[::2, 0])
+    assert mine == want, (mine, want)
+    # global content check via an all-reduce: sum of all 8 rows
+    import jax.numpy as jnp
+    total = float(jnp.sum(garr))
+    assert total == float(local.sum() + (np.arange(4) + 100.0 * (1 - pid)).sum()), total
+    print(f"OK pid={pid} transfer", flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
+def test_two_process_host_batch_transfer(tmp_path):
+    """host_batch_to_device assembles the true global batch from distinct
+    per-host loader outputs (device_put would silently treat each host's
+    local batch as the global array)."""
+    import os
+
+    script = tmp_path / "worker_transfer.py"
+    script.write_text(WORKER_TRANSFER)
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=240)
+        assert p.returncode == 0, out[-2000:]
+        assert "transfer" in out

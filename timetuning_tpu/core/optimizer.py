@@ -218,6 +218,30 @@ def _find_one(states, kind, what: str):
     return found[0]
 
 
+def migrate_zero1_to_subtree(opt_state, params, trainable_mask):
+    """Exact inverse of ``migrate_subtree_to_zero1``: unravel the ZeRO-1
+    flat Adam moments back into the trainable-subtree chain layout
+    (ScaleByAdamState, ScheduledWDState, EmptyState, lr-schedule state).
+    Enables resuming a ZeRO-1 checkpoint into a non-ZeRO-1 run — or into a
+    ZeRO-1 run at a DIFFERENT world size via subtree as the interchange
+    layout (the padding differs per world)."""
+    from jax.flatten_util import ravel_pytree
+
+    sub = trainable_subtree(params, trainable_mask)
+    flat, unravel = ravel_pytree(sub)
+    length = int(flat.shape[0])
+    if opt_state.adam.mu.shape[0] < length:
+        raise ValueError(
+            f"zero1 moments have {opt_state.adam.mu.shape[0]} elements, "
+            f"trainable set needs {length} — different trainable set"
+        )
+    adam = opt_state.adam._replace(
+        mu=unravel(opt_state.adam.mu[:length]),
+        nu=unravel(opt_state.adam.nu[:length]),
+    )
+    return (adam, opt_state.wd, optax.EmptyState(), opt_state.sched)
+
+
 def migrate_subtree_to_zero1(opt_state, zero1_plan):
     """Convert a trainable-subtree opt_state (``swav_optimizer(...,
     opt_over_trainable=True)``) into the ZeRO-1 ``Zero1State`` — exact: the

@@ -245,7 +245,12 @@ def log_training_diagnostics(
     seg-map gif over the eval set (reference ``get_similarity_histogram`` /
     ``log_assignment_histogram`` + overlay figures, time_tuning.py:433-457,
     305-351). The histogram bincount and the prototype argmax run on device.
-    Returns the assignment entropy."""
+    Returns the assignment entropy.
+
+    Cost note: this is a SECOND full forward pass over the eval loader in
+    the same eval epoch — deliberately mirroring the reference, whose
+    ``get_similarity_histogram`` also re-iterates the whole eval loader
+    after its Evaluator pass. Opt-in (``--log_histograms``)."""
     from timetuning_tpu.data.transforms import IMAGENET_MEAN
     from timetuning_tpu.obs.histograms import (
         assignment_histogram,
@@ -372,6 +377,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     sample = jnp.zeros((1, cfg.input_resolution, cfg.input_resolution, 3))
     params_init = model.init(rng, sample)["params"]
     zero1 = cfg.zero1 and mesh is not None and n_dev > 1
+    if cfg.zero1 and not zero1:
+        logger.warning(
+            "zero1 requested but disabled: it needs >1 device (found %d). "
+            "A ZeRO-1 checkpoint can still be resumed here — restore-time "
+            "layout sniffing migrates it to the configured tree layout.",
+            n_dev,
+        )
     opt_kwargs = dict(
         lr=cfg.head_lr,
         backbone_lr=cfg.head_lr / 10,
@@ -406,6 +418,18 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     if cfg.load_checkpoint:
         try:
             state, start_epoch = load_checkpoint(run_dir, state)
+            if zero1 and (
+                state.opt_state.adam.mu.shape[0] != zero1_plan.padded
+            ):
+                # orbax restores SAVED shapes silently even into a
+                # same-structure template of different shape — a ZeRO-1
+                # checkpoint from a different world size lands here; raise
+                # into the sniffing path, which probes candidate worlds
+                raise ValueError(
+                    f"zero1 checkpoint padding "
+                    f"{state.opt_state.adam.mu.shape[0]} != plan "
+                    f"{zero1_plan.padded} (different world size)"
+                )
             if zero1:
                 # The lr-group/decay mask vectors are CONFIG, not state —
                 # they ride the opt_state only so they shard with the
@@ -420,20 +444,24 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 )
         except Exception as layout_err:
             # Layout sniffing: the checkpoint was written with a *different*
-            # opt_state layout. Restore into a template of that layout and
-            # convert — both conversions are exact, so the trajectory
-            # continues unchanged:
+            # opt_state layout. Restore into a template of each candidate
+            # layout, normalize to the trainable-subtree interchange form,
+            # then convert to the configured layout — every conversion is
+            # exact, so the trajectory continues unchanged:
             #   * full-tree ↔ trainable-subtree (frozen-leaf Adam moments
             #     are provably zero);
-            #   * trainable-subtree → ZeRO-1 flat vectors (same leaves,
-            #     deterministic ravel order) for zero1 runs resuming a
-            #     pre-ZeRO-1 checkpoint.
+            #   * trainable-subtree ↔ ZeRO-1 flat vectors (same leaves,
+            #     deterministic ravel order) — including ZeRO-1 checkpoints
+            #     written at a DIFFERENT world size (their padding differs,
+            #     so candidate worlds are probed by template shape).
             from timetuning_tpu.core.optimizer import (
                 migrate_opt_state,
                 migrate_subtree_to_zero1,
+                migrate_zero1_to_subtree,
+                swav_optimizer_zero1,
             )
 
-            def restore_as(over_trainable: bool):
+            def restore_tree(over_trainable: bool):
                 alt_tx, _ = swav_optimizer(
                     params_init, opt_over_trainable=over_trainable,
                     **opt_kwargs,
@@ -443,49 +471,80 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                     pretrained_params=pretrained, params=params_init,
                     trainable_mask=trainable_mask if over_trainable else None,
                 )
-                return load_checkpoint(run_dir, alt_state)
+                st, ep = load_checkpoint(run_dir, alt_state)
+                sub = (
+                    st.opt_state if over_trainable
+                    else migrate_opt_state(
+                        st.opt_state, st.params, trainable_mask,
+                        to_subtree=True,
+                    )
+                )
+                return st, ep, sub
+
+            def restore_zero1(world: int):
+                z_tx, _, z_plan = swav_optimizer_zero1(
+                    params_init, world_size=world, **opt_kwargs
+                )
+                z_state = init_state(
+                    model, tcfg, z_tx, rng, sample,
+                    pretrained_params=pretrained, params=params_init,
+                    trainable_mask=trainable_mask, zero1_plan=z_plan,
+                )
+                st, ep = load_checkpoint(run_dir, z_state)
+                if st.opt_state.adam.mu.shape[0] != z_plan.padded:
+                    # orbax ignores template shapes — discriminate worlds
+                    raise ValueError("padded length mismatch")
+                sub = migrate_zero1_to_subtree(
+                    st.opt_state, st.params, trainable_mask
+                )
+                return st, ep, sub
+
+            candidates = []
+            if zero1:
+                candidates += [
+                    ("trainable-subtree", lambda: restore_tree(True)),
+                    ("full-tree", lambda: restore_tree(False)),
+                ]
+            else:
+                other = not cfg.opt_over_trainable
+                candidates.append((
+                    "trainable-subtree" if other else "full-tree",
+                    lambda: restore_tree(other),
+                ))
+            # ZeRO-1 templates: distinct world sizes give distinct padded
+            # lengths, so probe a few (skipping the world the primary
+            # template already tried)
+            for w in dict.fromkeys([n_dev, 1, 2, 4, 8, 16, 32, 64]):
+                if zero1 and w == n_dev:
+                    continue
+                candidates.append(
+                    (f"ZeRO-1(world={w})", lambda w=w: restore_zero1(w))
+                )
+
+            for from_layout, attempt in candidates:
+                try:
+                    alt_state, start_epoch, sub_opt = attempt()
+                    break
+                except Exception:
+                    continue
+            else:
+                # no layout restores: not a layout problem (corrupt file,
+                # I/O error, incompatible model) — surface the ORIGINAL
+                # failure
+                raise layout_err
 
             if zero1:
-                # a zero1 run can resume either tree layout: subtree
-                # migrates directly; full-tree takes the exact two-hop
-                # full→subtree→ZeRO-1 conversion
-                try:
-                    alt_state, start_epoch = restore_as(True)
-                    sub_opt = alt_state.opt_state
-                    from_layout = "trainable-subtree"
-                except Exception:
-                    try:
-                        alt_state, start_epoch = restore_as(False)
-                    except Exception:
-                        # no layout restores: not a layout problem (corrupt
-                        # file, I/O error, incompatible model) — surface
-                        # the ORIGINAL failure
-                        raise layout_err
-                    sub_opt = migrate_opt_state(
-                        alt_state.opt_state, alt_state.params,
-                        trainable_mask, to_subtree=True,
-                    )
-                    from_layout = "full-tree"
                 new_opt = migrate_subtree_to_zero1(sub_opt, zero1_plan)
                 to_layout = "ZeRO-1"
+            elif cfg.opt_over_trainable:
+                new_opt = sub_opt
+                to_layout = "trainable-subtree"
             else:
-                try:
-                    alt_state, start_epoch = restore_as(
-                        not cfg.opt_over_trainable
-                    )
-                except Exception:
-                    # see above — surface the original failure
-                    raise layout_err
                 new_opt = migrate_opt_state(
-                    alt_state.opt_state, alt_state.params, trainable_mask,
-                    to_subtree=cfg.opt_over_trainable,
+                    sub_opt, alt_state.params, trainable_mask,
+                    to_subtree=False,
                 )
-                from_layout = (
-                    "full-tree" if cfg.opt_over_trainable else "trainable-subtree"
-                )
-                to_layout = (
-                    "trainable-subtree" if cfg.opt_over_trainable else "full-tree"
-                )
+                to_layout = "full-tree"
             state = alt_state.replace(opt_state=new_opt)
             logger.info(
                 "checkpoint used the %s opt_state layout — converted to the "
@@ -501,6 +560,26 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             max(0, int(state.step) - start_epoch * steps_per_epoch),
             steps_per_epoch,
         )
+
+    if cfg.load_checkpoint and cfg.use_queue and state.queue is not None:
+        want_rows = tcfg.queue_size * max(n_dev, 1)
+        if state.queue.shape[0] != want_rows:
+            # The queue is per-device FIFO state (queue_size/world rows
+            # each); a world-size change re-partitions it and the row
+            # counts generally don't line up. It holds unordered feature
+            # samples, so reset and let it refill (~queue_size/(B·10)
+            # steps) rather than guessing a re-sharding.
+            logger.warning(
+                "feature queue reset on restore: checkpoint has %d rows, "
+                "this world size needs %d — it refills during training",
+                state.queue.shape[0], want_rows,
+            )
+            state = state.replace(
+                queue=jnp.zeros(
+                    (want_rows, state.queue.shape[1]), state.queue.dtype
+                ),
+                queue_fill=jnp.zeros((), jnp.int32),
+            )
 
     aug_cfg = AugmentConfig(out_size=cfg.input_resolution)
     step_fn = make_full_step(model, tcfg, tx, aug_cfg, mesh, state_like=state,
@@ -591,11 +670,17 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     else:
         batch_sharding = devices[0]
 
+    from timetuning_tpu.data.loader import host_batch_to_device
+
     def to_device(batch):
-        frames = jax.device_put(np.ascontiguousarray(batch[0]), batch_sharding)
+        frames = host_batch_to_device(
+            np.ascontiguousarray(batch[0]), batch_sharding
+        )
         sizes = getattr(batch, "orig_sizes", None)
         if sizes is not None:
-            sizes = jax.device_put(np.ascontiguousarray(sizes), batch_sharding)
+            sizes = host_batch_to_device(
+                np.ascontiguousarray(sizes), batch_sharding
+            )
         return frames, sizes
 
     global_step = int(state.step)

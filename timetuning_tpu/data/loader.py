@@ -230,6 +230,27 @@ def device_prefetch(iterable, transform, depth: int = 2):
         yield out
 
 
+def host_batch_to_device(local_np, sharding):
+    """Place one host's loader output onto the mesh.
+
+    Single-host: an async ``device_put`` (sharded straight onto the mesh).
+    Multi-host: each host's loader yields a DISTINCT per-host slice of the
+    global batch (``world_size=process_count`` striding), and
+    ``device_put`` would treat the local array as the global one — JAX
+    assumes identical data on every process, unchecked, so the global
+    batch would silently collapse to the local size and every host would
+    consume a different "global" array. ``make_array_from_process_local_data``
+    assembles the true [hosts·B, ...] global array from the per-process
+    shards (batch_size is per-host under multi-host, like the reference's
+    per-rank DataLoader under DDP).
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, local_np)
+    return jax.device_put(local_np, sharding)
+
+
 _DATASET_BUILDERS = {}
 
 

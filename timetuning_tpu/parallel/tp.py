@@ -105,3 +105,122 @@ def validate_tp_geometry(config, tp: int) -> None:
     hidden = int(config.embed_dim * config.mlp_ratio)
     if (3 * config.embed_dim) % tp or hidden % tp:
         raise ValueError(f"widths not divisible by tp={tp}")
+
+
+# --- full training step under dp×tp (GSPMD) --------------------------------
+
+import re as _re
+
+_PATH_RULES = (
+    (_re.compile(r"\['attn'\]\['qkv'\]\['kernel'\]$"), P(None, MODEL_AXIS)),
+    (_re.compile(r"\['mlp'\]\['fc1'\]\['kernel'\]$"), P(None, MODEL_AXIS)),
+    (_re.compile(r"\['attn'\]\['qkv'\]\['bias'\]$"), P(MODEL_AXIS)),
+    (_re.compile(r"\['mlp'\]\['fc1'\]\['bias'\]$"), P(MODEL_AXIS)),
+    (_re.compile(r"\['attn'\]\['proj'\]\['kernel'\]$"), P(MODEL_AXIS, None)),
+    (_re.compile(r"\['mlp'\]\['fc2'\]\['kernel'\]$"), P(MODEL_AXIS, None)),
+)
+
+
+def timet_state_shardings(state, mesh: Mesh):
+    """NamedSharding tree for a ``TrainState`` on a ``(data, model)`` mesh.
+
+    The Megatron rules of ``vit_param_specs`` are applied by *path suffix*
+    anywhere in the state tree, which covers the student params, the EMA
+    teacher copy AND the Adam moments (optax's mu/nu mirror the param tree,
+    so their leaves carry the same ``['attn']['qkv']['kernel']`` path tails).
+    The feature queue shards along ``data`` (its rows are batch-derived);
+    every other leaf — embeddings, norms, prototypes, head, scalars — is
+    replicated.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    out = []
+    for path, leaf in flat:
+        s = jax.tree_util.keystr(path)
+        spec = P()
+        if s.startswith(".queue") and getattr(leaf, "ndim", 0) == 2:
+            spec = P(DATA_AXIS)
+        else:
+            for rule, p in _PATH_RULES:
+                if rule.search(s) and getattr(leaf, "ndim", 0) == len(p):
+                    spec = p
+                    break
+        out.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def make_tp_train_step(
+    model,
+    cfg,
+    tx,
+    mesh: Mesh,
+    state_like,
+    trainable_mask=None,
+    opt_over_trainable: bool = False,
+):
+    """Full TimeT training step partitioned over a 2-D ``(data, model)`` mesh.
+
+    This is the GSPMD formulation (in contrast to the dp path's explicit
+    ``shard_map``): the step is written as ONE global-array program —
+    ``cfg.axis_name`` must be ``None`` — and jitted with the Megatron
+    parameter shardings from :func:`timet_state_shardings`, a
+    ``P('data')``-sharded batch and replicated scalars. The SPMD partitioner
+    then inserts every collective itself: the model-axis all-reduce after
+    each row-parallel matmul, the data-axis reductions inside the (globally
+    normalized) Sinkhorn sums, and the gradient reduce for the replicated
+    parameters. Semantics are bit-for-bit those of the single-device step,
+    including ONE global feature FIFO (the reference's single-process queue)
+    rather than the shard_map path's per-device FIFOs — the trade for
+    letting XLA own the partitioning.
+
+    The fused Pallas kernels assume replicated weights (a Pallas call is
+    opaque to the partitioner), so the backbone is rerouted to the XLA
+    attention implementation.
+
+    ``state_like``: a ``TrainState`` (or matching ShapeDtypeStruct tree) to
+    resolve the sharding tree from. Returns ``(step_fn, shardings)`` where
+    ``step_fn(state, clip, rng)`` is jitted with donated state; place the
+    initial state with ``jax.device_put(state, shardings)`` before the first
+    call.
+    """
+    import dataclasses as _dc
+
+    from timetuning_tpu.core.timet import make_train_step
+
+    if cfg.axis_name is not None or cfg.world_size != 1:
+        raise ValueError(
+            "make_tp_train_step partitions a single global program: build "
+            "TimeTConfig with axis_name=None, world_size=1 (the data-axis "
+            "reductions are GSPMD's, not explicit psums)"
+        )
+    tp = mesh.shape[MODEL_AXIS]
+    bcfg = getattr(model.feature_extractor.backbone, "config", None)
+    if bcfg is not None:
+        validate_tp_geometry(bcfg, tp)
+        if getattr(bcfg, "attn_impl", "xla") != "xla":
+            fe = model.feature_extractor
+            fe = fe.clone(
+                backbone=fe.backbone.clone(
+                    config=_dc.replace(bcfg, attn_impl="xla")
+                )
+            )
+            model = model.clone(feature_extractor=fe)
+    if cfg.grad_attn_impl not in (None, "xla", "auto"):
+        cfg = _dc.replace(cfg, grad_attn_impl="xla")
+
+    step = make_train_step(
+        model, cfg, tx,
+        trainable_mask=trainable_mask,
+        opt_over_trainable=opt_over_trainable,
+    )
+
+    shardings = timet_state_shardings(state_like, mesh)
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(DATA_AXIS))
+    metrics_out = {"loss": repl, "momentum": repl}
+    step_fn = jax.jit(
+        step,
+        in_shardings=(shardings, batch, repl),
+        out_shardings=(shardings, metrics_out),
+        donate_argnums=0,
+    )
+    return step_fn, shardings

@@ -339,3 +339,45 @@ def test_zero1_checkpoint_resumes_at_different_world(davis_tree, tmp_path):
     log = open(os.path.join(result2["run_dir"], "train.log")).read()
     assert "ZeRO-1(world=" in log
     assert "configured ZeRO-1 layout" in log
+
+
+def test_training_tensor_parallel(davis_tree, tmp_path):
+    """--tensor_parallel: the driver trains on a (data, model) = (2, 2) mesh
+    (GSPMD step, Megatron-sharded backbone + Adam moments, global FIFO
+    queue) and resumes its own checkpoint back into the sharded placement."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, num_devices=4,
+               tensor_parallel=2)
+    result = run_training(cfg)
+    assert np.isfinite(result["final_loss"])
+    qkv = result["state"].params["feature_extractor"]["backbone"][
+        "blocks_0"]["attn"]["qkv"]["kernel"]
+    assert {s.data.shape for s in qkv.addressable_shards} == {(32, 48)}
+    assert {s.data.shape for s in result["state"].queue.addressable_shards} \
+        == {(32, 8)}  # 64 global rows / dp=2, head dim 8
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, num_devices=4,
+                tensor_parallel=2, load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    assert result2["global_step"] == 4
+
+
+def test_dp_checkpoint_resumes_under_tensor_parallel(davis_tree, tmp_path):
+    """A checkpoint written by the dp/shard_map path restores into a
+    tensor-parallel run: same opt_state tree layout, and the global queue
+    row count (queue_size) matches the dp run's world total, so nothing
+    resets — the state is simply re-placed under the Megatron shardings."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1)
+    run_training(cfg)
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, num_devices=4,
+                tensor_parallel=2, load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    assert result2["global_step"] == 4
+    log = open(os.path.join(result2["run_dir"], "train.log")).read()
+    assert "feature queue reset" not in log
+
+
+def test_tensor_parallel_rejects_zero1(davis_tree, tmp_path):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_training(_cfg(davis_tree, tmp_path, num_devices=4,
+                          tensor_parallel=2, zero1=True))

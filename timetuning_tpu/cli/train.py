@@ -79,6 +79,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="decode-once packed clip cache (.clippack); built "
                         "here on first use, then epochs gather raw frames "
                         "instead of re-decoding JPEGs")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="shard the backbone Megatron-style over a "
+                        "(data, model) mesh with this model-axis size "
+                        "(beyond-reference; for backbones that outgrow one "
+                        "chip's HBM — GSPMD step, XLA attention, global "
+                        "feature queue; incompatible with --zero1)")
     p.add_argument("--multihost", type=str2bool, default=False,
                    help="call jax.distributed.initialize() (multi-host pods; "
                         "replaces the reference's MASTER_ADDR/NCCL rendezvous, "
@@ -142,6 +148,7 @@ def main(argv=None) -> int:
         compute_dtype=args.compute_dtype,
         pack_path=args.pack_path,
         zero1=args.zero1,
+        tensor_parallel=args.tensor_parallel,
     )
     result = run_training(cfg)
     print(f"done: run_dir={result['run_dir']} best={result['best_score']}")

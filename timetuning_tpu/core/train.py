@@ -128,6 +128,15 @@ class TrainingConfig:
     # JPEGs (the reference's workers re-decode every epoch). DAVIS-layout
     # datasets, ytvos and kinetics.
     pack_path: str | None = None
+    # Tensor parallelism (beyond-reference): shard the backbone's Megatron
+    # axes over a (data, model) mesh with model size tensor_parallel; the
+    # step becomes ONE global GSPMD program (XLA inserts the model-axis
+    # all-reduces and the data-axis reductions). For backbones that outgrow
+    # one chip's HBM. Notes: the feature queue becomes one GLOBAL FIFO
+    # (the reference's single-process queue semantics) instead of the dp
+    # path's per-device FIFOs, the fused Pallas attention is rerouted to
+    # XLA (a Pallas call cannot be partitioned), and zero1 is unsupported.
+    tensor_parallel: int = 1
 
 
 def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
@@ -180,7 +189,9 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
                    mesh=None, state_like=None, trainable_mask=None,
                    opt_over_trainable: bool | None = None, zero1_plan=None):
     """uint8 batch → augment → TimeT step, one jitted program; shard_map'd
-    over the data mesh when it has more than one device."""
+    over a 1-D data mesh, GSPMD-partitioned over a 2-D (data, model) mesh
+    (tensor parallelism — the step is one global program with the Megatron
+    shardings of parallel/tp.py and ``tcfg.axis_name=None``)."""
     if opt_over_trainable is None:
         opt_over_trainable = trainable_mask is not None
     base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask,
@@ -202,6 +213,26 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
         # in place instead of copied every step
         return jax.jit(full, donate_argnums=(0,))
     from jax.sharding import PartitionSpec as P
+
+    if "model" in mesh.axis_names:
+        if tcfg.axis_name is not None:
+            raise ValueError(
+                "a (data, model) mesh runs the GSPMD step: build TimeTConfig "
+                "with axis_name=None (collectives are the partitioner's)"
+            )
+        from jax.sharding import NamedSharding
+
+        from timetuning_tpu.parallel.tp import timet_state_shardings
+
+        shardings = timet_state_shardings(state_like, mesh)
+        batch = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        return jax.jit(
+            full,
+            in_shardings=(shardings, batch, batch, repl),
+            out_shardings=(shardings, {"loss": repl, "momentum": repl}),
+            donate_argnums=(0,),
+        )
 
     from timetuning_tpu.core.timet import state_partition_specs
 
@@ -283,13 +314,34 @@ def log_training_diagnostics(
 def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     devices = jax.devices()
     n_dev = len(devices) if cfg.num_devices is None else cfg.num_devices
-    if cfg.batch_size % n_dev != 0:
-        raise ValueError(
-            f"batch_size {cfg.batch_size} must divide over {n_dev} devices "
-            "(set num_devices to a divisor)"
-        )
+    tp = max(cfg.tensor_parallel, 1)
     mesh = None
-    if n_dev > 1:
+    if tp > 1:
+        if n_dev % tp != 0:
+            raise ValueError(
+                f"tensor_parallel={tp} must divide the {n_dev} devices"
+            )
+        dp = n_dev // tp
+        if cfg.batch_size % dp != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide over the "
+                f"data axis (dp={dp} at tensor_parallel={tp})"
+            )
+        if cfg.zero1:
+            raise ValueError(
+                "zero1 and tensor_parallel are mutually exclusive (ZeRO-1 "
+                "shards the flat optimizer vector over the data axis; under "
+                "TP the moments already shard over the model axis)"
+            )
+        from timetuning_tpu.parallel.tp import make_dp_tp_mesh
+
+        mesh = make_dp_tp_mesh(dp, tp, devices=devices[:n_dev])
+    elif n_dev > 1:
+        if cfg.batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide over {n_dev} "
+                "devices (set num_devices to a divisor)"
+            )
         from timetuning_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_devices=n_dev)
@@ -304,6 +356,16 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     logger = make_file_logger("train", run_dir)
 
     model, pretrained, spatial_res = build_model(cfg)
+    if tp > 1:
+        from timetuning_tpu.parallel.tp import (
+            force_xla_attention,
+            validate_tp_geometry,
+        )
+
+        bcfg = getattr(model.feature_extractor.backbone, "config", None)
+        if bcfg is not None:
+            validate_tp_geometry(bcfg, tp)
+        model = force_xla_attention(model)
 
     # Per-host data sharding (the DistributedSampler equivalent): each host
     # loads its slice of the videos and feeds its local devices; the mesh
@@ -360,10 +422,12 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         topk=cfg.topk,
         use_teacher=cfg.use_teacher,
         use_queue=cfg.use_queue,
-        queue_size=cfg.queue_size // max(n_dev, 1),
+        # dp: per-device FIFOs of queue_size/world rows (the reference's
+        # per-rank queue); tp/GSPMD: one GLOBAL FIFO in a global program
+        queue_size=cfg.queue_size if tp > 1 else cfg.queue_size // max(n_dev, 1),
         mask_features=cfg.use_mask,
-        axis_name="data" if mesh is not None else None,
-        world_size=n_dev if mesh is not None else 1,
+        axis_name="data" if (mesh is not None and tp == 1) else None,
+        world_size=n_dev if (mesh is not None and tp == 1) else 1,
         ema_start=cfg.ema_decay,
         num_epochs=cfg.num_epochs,
         steps_per_epoch=steps_per_epoch,
@@ -562,7 +626,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         )
 
     if cfg.load_checkpoint and cfg.use_queue and state.queue is not None:
-        want_rows = tcfg.queue_size * max(n_dev, 1)
+        want_rows = tcfg.queue_size * max(tcfg.world_size, 1)
         if state.queue.shape[0] != want_rows:
             # The queue is per-device FIFO state (queue_size/world rows
             # each); a world-size change re-partitions it and the row
@@ -580,6 +644,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 ),
                 queue_fill=jnp.zeros((), jnp.int32),
             )
+
+    if tp > 1:
+        # place the (fresh or restored) state under the Megatron shardings;
+        # the GSPMD step keeps them on its outputs
+        from timetuning_tpu.parallel.tp import timet_state_shardings
+
+        state = jax.device_put(state, timet_state_shardings(state, mesh))
 
     aug_cfg = AugmentConfig(out_size=cfg.input_resolution)
     step_fn = make_full_step(model, tcfg, tx, aug_cfg, mesh, state_like=state,

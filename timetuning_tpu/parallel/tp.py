@@ -148,6 +148,24 @@ def timet_state_shardings(state, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
+def force_xla_attention(model):
+    """Clone a TimeT model so its backbone runs the plain-XLA attention
+    blocks: a Pallas call is opaque to the SPMD partitioner, so the fused
+    kernels (which assume replicated weights) cannot run on model-sharded
+    parameters. No-op when the backbone has no attn_impl or is already
+    XLA."""
+    import dataclasses as _dc
+
+    bcfg = getattr(model.feature_extractor.backbone, "config", None)
+    if bcfg is None or getattr(bcfg, "attn_impl", "xla") == "xla":
+        return model
+    fe = model.feature_extractor
+    fe = fe.clone(
+        backbone=fe.backbone.clone(config=_dc.replace(bcfg, attn_impl="xla"))
+    )
+    return model.clone(feature_extractor=fe)
+
+
 def make_tp_train_step(
     model,
     cfg,
@@ -196,14 +214,7 @@ def make_tp_train_step(
     bcfg = getattr(model.feature_extractor.backbone, "config", None)
     if bcfg is not None:
         validate_tp_geometry(bcfg, tp)
-        if getattr(bcfg, "attn_impl", "xla") != "xla":
-            fe = model.feature_extractor
-            fe = fe.clone(
-                backbone=fe.backbone.clone(
-                    config=_dc.replace(bcfg, attn_impl="xla")
-                )
-            )
-            model = model.clone(feature_extractor=fe)
+    model = force_xla_attention(model)
     if cfg.grad_attn_impl not in (None, "xla", "auto"):
         cfg = _dc.replace(cfg, grad_attn_impl="xla")
 

@@ -381,3 +381,16 @@ def test_tensor_parallel_rejects_zero1(davis_tree, tmp_path):
     with pytest.raises(ValueError, match="mutually exclusive"):
         run_training(_cfg(davis_tree, tmp_path, num_devices=4,
                           tensor_parallel=2, zero1=True))
+
+
+def test_tensor_parallel_rounds_queue_to_data_axis(davis_tree, tmp_path):
+    """queue_size not divisible by dp (dp=3, 64 rows): the global FIFO is
+    rounded down to 63 so it shards P('data') instead of crashing deep in
+    device_put with an obscure sharding error."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1, num_devices=6,
+               tensor_parallel=2, batch_size=3)
+    result = run_training(cfg)
+    assert np.isfinite(result["final_loss"])
+    assert result["state"].queue.shape[0] == 63
+    assert {s.data.shape for s in result["state"].queue.addressable_shards} \
+        == {(21, 8)}

@@ -194,6 +194,11 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     shardings of parallel/tp.py and ``tcfg.axis_name=None``)."""
     if opt_over_trainable is None:
         opt_over_trainable = trainable_mask is not None
+    gspmd = mesh is not None and "model" in mesh.axis_names
+    if gspmd:
+        from timetuning_tpu.parallel.tp import validate_tp_step
+
+        model = validate_tp_step(model, tcfg, mesh)
     base_step = make_train_step(model, tcfg, tx, trainable_mask=trainable_mask,
                                 opt_over_trainable=opt_over_trainable,
                                 zero1_plan=zero1_plan)
@@ -214,25 +219,11 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
         return jax.jit(full, donate_argnums=(0,))
     from jax.sharding import PartitionSpec as P
 
-    if "model" in mesh.axis_names:
-        if tcfg.axis_name is not None:
-            raise ValueError(
-                "a (data, model) mesh runs the GSPMD step: build TimeTConfig "
-                "with axis_name=None (collectives are the partitioner's)"
-            )
-        from jax.sharding import NamedSharding
+    if gspmd:
+        from timetuning_tpu.parallel.tp import gspmd_step_jit
 
-        from timetuning_tpu.parallel.tp import timet_state_shardings
-
-        shardings = timet_state_shardings(state_like, mesh)
-        batch = NamedSharding(mesh, P("data"))
-        repl = NamedSharding(mesh, P())
-        return jax.jit(
-            full,
-            in_shardings=(shardings, batch, batch, repl),
-            out_shardings=(shardings, {"loss": repl, "momentum": repl}),
-            donate_argnums=(0,),
-        )
+        step_fn, _ = gspmd_step_jit(full, mesh, state_like, n_batch_args=2)
+        return step_fn
 
     from timetuning_tpu.core.timet import state_partition_specs
 
@@ -314,8 +305,11 @@ def log_training_diagnostics(
 def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     devices = jax.devices()
     n_dev = len(devices) if cfg.num_devices is None else cfg.num_devices
-    tp = max(cfg.tensor_parallel, 1)
+    tp = cfg.tensor_parallel
+    if tp < 1:
+        raise ValueError(f"tensor_parallel must be >= 1, got {tp}")
     mesh = None
+    dp = n_dev
     if tp > 1:
         if n_dev % tp != 0:
             raise ValueError(
@@ -332,6 +326,12 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 "zero1 and tensor_parallel are mutually exclusive (ZeRO-1 "
                 "shards the flat optimizer vector over the data axis; under "
                 "TP the moments already shard over the model axis)"
+            )
+        if jax.process_count() > 1:
+            raise ValueError(
+                "tensor_parallel is single-host for now: the model-sharded "
+                "state breaks the process-0-only eval/export paths, which "
+                "assume fully-addressable params (use the dp path on pods)"
             )
         from timetuning_tpu.parallel.tp import make_dp_tp_mesh
 
@@ -423,8 +423,10 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         use_teacher=cfg.use_teacher,
         use_queue=cfg.use_queue,
         # dp: per-device FIFOs of queue_size/world rows (the reference's
-        # per-rank queue); tp/GSPMD: one GLOBAL FIFO in a global program
-        queue_size=cfg.queue_size if tp > 1 else cfg.queue_size // max(n_dev, 1),
+        # per-rank queue); tp/GSPMD: one GLOBAL FIFO in a global program,
+        # rounded down to a multiple of dp so its rows shard P('data')
+        queue_size=(cfg.queue_size // dp) * dp if tp > 1
+        else cfg.queue_size // max(n_dev, 1),
         mask_features=cfg.use_mask,
         axis_name="data" if (mesh is not None and tp == 1) else None,
         world_size=n_dev if (mesh is not None and tp == 1) else 1,

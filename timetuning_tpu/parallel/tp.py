@@ -44,16 +44,32 @@ def make_dp_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
 
 
+# The ONE Megatron rule table (suffix → spec), consumed by both lookup
+# paths below (flax param trees via _spec_for, whole TrainStates via
+# timet_state_shardings) so the forward/serving and training shardings
+# cannot drift apart.
+_MEGATRON_RULES = (
+    ("attn/qkv/kernel", P(None, MODEL_AXIS)),   # column parallel
+    ("mlp/fc1/kernel", P(None, MODEL_AXIS)),
+    ("attn/qkv/bias", P(MODEL_AXIS)),
+    ("mlp/fc1/bias", P(MODEL_AXIS)),
+    ("attn/proj/kernel", P(MODEL_AXIS, None)),  # row parallel (psum after)
+    ("mlp/fc2/kernel", P(MODEL_AXIS, None)),
+)
+
+
+def _suffix_spec(path_str: str, ndim: int) -> P:
+    for suffix, p in _MEGATRON_RULES:
+        if path_str.endswith(suffix) and ndim == len(p):
+            return p
+    return P()                              # replicated
+
+
 def _spec_for(path: tuple[str, ...], leaf) -> P:
     """Megatron sharding rule from the flax param path."""
-    s = "/".join(str(p) for p in path)
-    if s.endswith("attn/qkv/kernel") or s.endswith("mlp/fc1/kernel"):
-        return P(None, MODEL_AXIS)          # column parallel
-    if s.endswith("attn/qkv/bias") or s.endswith("mlp/fc1/bias"):
-        return P(MODEL_AXIS)
-    if s.endswith("attn/proj/kernel") or s.endswith("mlp/fc2/kernel"):
-        return P(MODEL_AXIS, None)          # row parallel (psum after)
-    return P()                              # replicated
+    return _suffix_spec(
+        "/".join(str(p) for p in path), getattr(leaf, "ndim", 0)
+    )
 
 
 def vit_param_specs(params) -> object:
@@ -109,16 +125,14 @@ def validate_tp_geometry(config, tp: int) -> None:
 
 # --- full training step under dp×tp (GSPMD) --------------------------------
 
-import re as _re
 
-_PATH_RULES = (
-    (_re.compile(r"\['attn'\]\['qkv'\]\['kernel'\]$"), P(None, MODEL_AXIS)),
-    (_re.compile(r"\['mlp'\]\['fc1'\]\['kernel'\]$"), P(None, MODEL_AXIS)),
-    (_re.compile(r"\['attn'\]\['qkv'\]\['bias'\]$"), P(MODEL_AXIS)),
-    (_re.compile(r"\['mlp'\]\['fc1'\]\['bias'\]$"), P(MODEL_AXIS)),
-    (_re.compile(r"\['attn'\]\['proj'\]\['kernel'\]$"), P(MODEL_AXIS, None)),
-    (_re.compile(r"\['mlp'\]\['fc2'\]\['kernel'\]$"), P(MODEL_AXIS, None)),
-)
+def _key_name(entry) -> str:
+    """Render one tree_flatten_with_path entry (DictKey / GetAttrKey /
+    SequenceKey) as its bare name."""
+    for attr in ("key", "name", "idx"):
+        if hasattr(entry, attr):
+            return str(getattr(entry, attr))
+    return str(entry)
 
 
 def timet_state_shardings(state, mesh: Mesh):
@@ -135,17 +149,31 @@ def timet_state_shardings(state, mesh: Mesh):
     flat, treedef = jax.tree_util.tree_flatten_with_path(state)
     out = []
     for path, leaf in flat:
-        s = jax.tree_util.keystr(path)
-        spec = P()
-        if s.startswith(".queue") and getattr(leaf, "ndim", 0) == 2:
+        names = [_key_name(e) for e in path]
+        ndim = getattr(leaf, "ndim", 0)
+        if names and names[0] == "queue" and ndim == 2:
             spec = P(DATA_AXIS)
         else:
-            for rule, p in _PATH_RULES:
-                if rule.search(s) and getattr(leaf, "ndim", 0) == len(p):
-                    spec = p
-                    break
+            spec = _suffix_spec("/".join(names), ndim)
         out.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def gspmd_step_jit(step, mesh: Mesh, state_like, n_batch_args: int = 1):
+    """Shared GSPMD jit harness for a TimeT step function
+    ``step(state, *batch_args, key) -> (state, {'loss', 'momentum'})``:
+    state under the Megatron shardings, the ``n_batch_args`` batch arguments
+    ``P('data')``-sharded, key and metrics replicated, state donated.
+    Returns ``(jitted_step, shardings)``."""
+    shardings = timet_state_shardings(state_like, mesh)
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        step,
+        in_shardings=(shardings,) + (batch,) * n_batch_args + (repl,),
+        out_shardings=(shardings, {"loss": repl, "momentum": repl}),
+        donate_argnums=0,
+    ), shardings
 
 
 def force_xla_attention(model):
@@ -200,38 +228,29 @@ def make_tp_train_step(
     initial state with ``jax.device_put(state, shardings)`` before the first
     call.
     """
-    import dataclasses as _dc
-
     from timetuning_tpu.core.timet import make_train_step
 
-    if cfg.axis_name is not None or cfg.world_size != 1:
-        raise ValueError(
-            "make_tp_train_step partitions a single global program: build "
-            "TimeTConfig with axis_name=None, world_size=1 (the data-axis "
-            "reductions are GSPMD's, not explicit psums)"
-        )
-    tp = mesh.shape[MODEL_AXIS]
-    bcfg = getattr(model.feature_extractor.backbone, "config", None)
-    if bcfg is not None:
-        validate_tp_geometry(bcfg, tp)
-    model = force_xla_attention(model)
-    if cfg.grad_attn_impl not in (None, "xla", "auto"):
-        cfg = _dc.replace(cfg, grad_attn_impl="xla")
-
+    model = validate_tp_step(model, cfg, mesh)
     step = make_train_step(
         model, cfg, tx,
         trainable_mask=trainable_mask,
         opt_over_trainable=opt_over_trainable,
     )
+    return gspmd_step_jit(step, mesh, state_like, n_batch_args=1)
 
-    shardings = timet_state_shardings(state_like, mesh)
-    repl = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P(DATA_AXIS))
-    metrics_out = {"loss": repl, "momentum": repl}
-    step_fn = jax.jit(
-        step,
-        in_shardings=(shardings, batch, repl),
-        out_shardings=(shardings, metrics_out),
-        donate_argnums=0,
-    )
-    return step_fn, shardings
+
+def validate_tp_step(model, cfg, mesh: Mesh):
+    """Shared preconditions for running a TimeT step under GSPMD TP: the
+    config must describe a single global program, the geometry must divide,
+    and the backbone must run XLA attention (returned model is rerouted if
+    needed)."""
+    if cfg.axis_name is not None or cfg.world_size != 1:
+        raise ValueError(
+            "the GSPMD TP step partitions a single global program: build "
+            "TimeTConfig with axis_name=None, world_size=1 (the data-axis "
+            "reductions are GSPMD's, not explicit psums)"
+        )
+    bcfg = getattr(model.feature_extractor.backbone, "config", None)
+    if bcfg is not None:
+        validate_tp_geometry(bcfg, mesh.shape[MODEL_AXIS])
+    return force_xla_attention(model)

@@ -37,7 +37,7 @@ def main() -> None:
     from timetuning_tpu.cli.export import export_features, load_exported
 
     B = args.batch_size
-    blob, _live_fn, shape = export_features(
+    blob, _live_fn, shape, _mesh = export_features(
         args.architecture, args.model_path, B, args.input_resolution,
         "bfloat16",
     )

@@ -45,15 +45,33 @@ def build_parser() -> argparse.ArgumentParser:
                         "attention path — the fused Pallas kernels have "
                         "batch-static grids); --batch_size becomes only "
                         "the round-trip-check batch")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="export a MULTI-CHIP artifact with the weights "
+                        "embedded Megatron-sharded over this many model-axis "
+                        "devices (for backbones that outgrow one chip); the "
+                        "serving side calls it on a (data_parallel, "
+                        "tensor_parallel) mesh of the same shape")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="batch-shard the multi-chip artifact over this many "
+                        "data-axis devices (total devices = data_parallel x "
+                        "tensor_parallel)")
     return p
 
 
 def export_features(architecture: str, model_path: str | None,
                     batch_size: int, input_resolution: int,
                     compute_dtype: str = "bfloat16",
-                    symbolic_batch: bool = False):
+                    symbolic_batch: bool = False,
+                    tensor_parallel: int = 1, data_parallel: int = 1):
     """Build and AOT-export the uint8→features forward. Returns
-    (serialized bytes, live_fn, example_input_shape)."""
+    (serialized bytes, live_fn, example_input_shape, mesh_or_None).
+
+    ``tensor_parallel``/``data_parallel`` > 1 export a MULTI-CHIP artifact:
+    the embedded weights carry their Megatron shardings (parallel/tp.py)
+    over a ``(data_parallel, tensor_parallel)`` mesh and the batch shards
+    over ``data`` — the serving side builds a mesh of the same shape and
+    commits the input batch ``P('data')`` before calling. The XLA attention
+    path is traced (a Pallas call is opaque to the partitioner)."""
     import dataclasses
 
     import jax
@@ -65,10 +83,15 @@ def export_features(architecture: str, model_path: str | None,
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(architecture, model_path, dtype=dtype)
-    if symbolic_batch and hasattr(getattr(bb.module, "config", None),
-                                  "attn_impl"):
-        # Pallas grids are batch-static; symbolic-batch artifacts must
-        # trace the shape-polymorphic XLA attention path
+    n_mesh = tensor_parallel * data_parallel
+    if min(tensor_parallel, data_parallel) < 1:
+        raise ValueError("tensor_parallel/data_parallel must be >= 1")
+    if (symbolic_batch or n_mesh > 1) and hasattr(
+        getattr(bb.module, "config", None), "attn_impl"
+    ):
+        # Pallas grids are batch-static AND opaque to the SPMD partitioner;
+        # symbolic-batch and multi-chip artifacts trace the
+        # shape-polymorphic / partitionable XLA attention path
         bb = dataclasses.replace(
             bb,
             module=bb.module.clone(
@@ -76,13 +99,57 @@ def export_features(architecture: str, model_path: str | None,
             ),
         )
     variables = bb.variables
+    mesh = None
+    if n_mesh > 1:
+        if symbolic_batch:
+            raise ValueError(
+                "multi-chip artifacts are static-batch: the batch shards "
+                "P('data'), which pins its size at export"
+            )
+        if batch_size % data_parallel:
+            raise ValueError(
+                f"batch_size {batch_size} must divide over "
+                f"data_parallel={data_parallel}"
+            )
+        if len(jax.devices()) < n_mesh:
+            raise ValueError(
+                f"mesh export needs {n_mesh} devices, found "
+                f"{len(jax.devices())}"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-    @jax.jit
+        from timetuning_tpu.parallel.tp import (
+            make_dp_tp_mesh,
+            validate_tp_geometry,
+            vit_param_specs,
+        )
+
+        if tensor_parallel > 1 and hasattr(bb.module, "config"):
+            validate_tp_geometry(bb.module.config, tensor_parallel)
+        mesh = make_dp_tp_mesh(data_parallel, tensor_parallel)
+        specs = vit_param_specs(variables["params"])
+        variables = {
+            "params": jax.device_put(
+                variables["params"],
+                jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs),
+            )
+        }
+
     def forward(frames_u8):
         x = eval_preprocess_batch(frames_u8, out_size=input_resolution)
         out = bb.module.apply(variables, x)
         f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
         return f
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = NamedSharding(mesh, P("data"))
+        forward = jax.jit(
+            forward, in_shardings=batch_sh, out_shardings=batch_sh
+        )
+    else:
+        forward = jax.jit(forward)
 
     shape = (batch_size, input_resolution, input_resolution, 3)
     if symbolic_batch:
@@ -90,10 +157,16 @@ def export_features(architecture: str, model_path: str | None,
         spec = jax.ShapeDtypeStruct(
             (b, input_resolution, input_resolution, 3), jnp.uint8
         )
+    elif mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = jax.ShapeDtypeStruct(
+            shape, jnp.uint8, sharding=NamedSharding(mesh, P("data"))
+        )
     else:
         spec = jax.ShapeDtypeStruct(shape, jnp.uint8)
     exported = jexport.export(forward)(spec)
-    return exported.serialize(), forward, shape
+    return exported.serialize(), forward, shape, mesh
 
 
 def load_exported(path: str):
@@ -110,23 +183,34 @@ def main(argv=None) -> int:
     setup_compilation_cache()
     import numpy as np
 
-    blob, live, shape = export_features(
+    blob, live, shape, mesh = export_features(
         args.architecture, args.model_path, args.batch_size,
         args.input_resolution, args.compute_dtype,
         symbolic_batch=args.symbolic_batch,
+        tensor_parallel=args.tensor_parallel,
+        data_parallel=args.data_parallel,
     )
     with open(args.out, "wb") as f:
         f.write(blob)
+    mesh_note = (
+        f", {args.data_parallel}x{args.tensor_parallel} mesh"
+        if mesh is not None else ""
+    )
     print(f"exported {args.architecture} forward "
           f"({shape} uint8 → features) to {args.out} "
-          f"({len(blob) / 1e6:.1f} MB)")
+          f"({len(blob) / 1e6:.1f} MB{mesh_note})")
     if args.check:
+        import jax
         import jax.numpy as jnp
 
         fn = load_exported(args.out)
         x = jnp.asarray(
             np.random.default_rng(0).integers(0, 256, shape, np.uint8)
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            x = jax.device_put(x, NamedSharding(mesh, P("data")))
         got = np.asarray(fn(x))
         want = np.asarray(live(x))
         err = float(np.abs(got.astype(np.float32) - want.astype(np.float32)).max())

@@ -84,6 +84,8 @@ def main() -> None:
     p.add_argument("--epochs", type=int, default=3,
                    help="real-data mode: first epoch warms compile + page "
                         "cache; the rest are measured")
+    p.add_argument("--fast_decode", action="store_true",
+                   help="JPEG DCT-domain reduced decode (>=2x sources)")
     p.add_argument("--loader_only", action="store_true",
                    help="real-data mode: measure host-side loader "
                         "throughput only (no device work) — the meaningful "
@@ -179,7 +181,7 @@ def main() -> None:
             args.dataset, num_clip_frames=F, batch_size=B, shuffle=True,
             num_workers=args.num_workers, root=args.data_root,
             decode_size=256, sampling_mode=SamplingMode.UNIFORM,
-            pack_path=pack_path,
+            pack_path=pack_path, fast_decode=args.fast_decode,
         )
         steps_per_epoch = len(loader)
         if steps_per_epoch == 0:

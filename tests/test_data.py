@@ -330,3 +330,40 @@ def test_orig_sizes_flow_through_loader(tmp_path):
     frames, annots, labels = batch  # 3-tuple unpacking still works
     assert frames.shape == (2, 2, 16, 16, 3)
     np.testing.assert_array_equal(batch.orig_sizes, [[30, 50], [40, 20]])
+
+
+def test_fast_decode_reduced_jpeg(tmp_path):
+    """fast_decode: JPEG DCT-domain reduced decode kicks in when the source
+    is >=2x the decode buffer and stays OFF (bit-identical) below it;
+    reduced output stays close to the faithful full-decode path."""
+    import cv2
+
+    from timetuning_tpu.data.datasets import VideoDataset
+
+    yy, xx = np.mgrid[0:512, 0:640]
+    big = np.stack([128 + 100 * np.sin(yy / 40),
+                    128 + 100 * np.cos(xx / 30),
+                    np.full_like(yy, 90)], -1).astype(np.uint8)
+    small = big[:200, :320]
+    for name, img in (("big", big), ("small", small)):
+        d = tmp_path / name / "JPEGImages" / "v0"
+        d.mkdir(parents=True)
+        for f in range(4):
+            cv2.imwrite(str(d / f"{f:05d}.jpg"), img,
+                        [cv2.IMWRITE_JPEG_QUALITY, 92])
+
+    def frames(name, fast):
+        ds = VideoDataset(
+            frames_root=str(tmp_path / name / "JPEGImages"),
+            num_frames=2, decode_size=256, fast_decode=fast,
+        )
+        return ds[0]["frames"]
+
+    full, fast = frames("big", False), frames("big", True)
+    assert fast.shape == full.shape
+    # different downsampling, same content
+    diff = np.abs(fast.astype(np.float32) - full.astype(np.float32)).mean()
+    assert 0 < diff < 4.0, diff
+    # below the 2x threshold the flag is a no-op: identical bytes
+    np.testing.assert_array_equal(frames("small", True),
+                                  frames("small", False))

@@ -172,7 +172,7 @@ def test_export_cli_symbolic_batch(tmp_path, capsys):
     ])
     stdout = capsys.readouterr().out
     assert rc == 0, stdout
-    assert "symbolic-batch check: batch 3 ok" in stdout
+    assert "symbolic-batch check: batch 5 ok" in stdout
 
 
 def test_export_cli_mesh_sharded(tmp_path, capsys):

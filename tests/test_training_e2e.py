@@ -325,11 +325,13 @@ def test_zero1_checkpoint_resumes_without_zero1(davis_tree, tmp_path):
 
 def test_zero1_checkpoint_resumes_at_different_world(davis_tree, tmp_path):
     """A ZeRO-1 checkpoint written at world=2 resumes into a zero1 run at
-    world=4 (different padding) via subtree as the interchange layout."""
+    world=3 (different padding) via subtree as the interchange layout —
+    the saved padded length is read from orbax array metadata, so the
+    restore template is exact (no world probing)."""
     cfg = _cfg(davis_tree, tmp_path, num_epochs=1, zero1=True)
     run_training(cfg)
     # world=3 is the one size whose padded length differs for this model
-    # (L=13432 divides 1/2/4/8), forcing the cross-padding sniffing path
+    # (L=13432 divides 1/2/4/8), forcing the cross-padding path
     cfg2 = _cfg(davis_tree, tmp_path, num_epochs=3, zero1=True,
                 load_checkpoint=True, num_devices=3, batch_size=3)
     result2 = run_training(cfg2)
@@ -337,7 +339,7 @@ def test_zero1_checkpoint_resumes_at_different_world(davis_tree, tmp_path):
     # steps_per_epoch shifts with the batch, so the proof of the
     # cross-world migration is the sniffing log line
     log = open(os.path.join(result2["run_dir"], "train.log")).read()
-    assert "ZeRO-1(world=" in log
+    assert "ZeRO-1(padded=" in log
     assert "configured ZeRO-1 layout" in log
 
 
@@ -363,9 +365,11 @@ def test_training_tensor_parallel(davis_tree, tmp_path):
 
 def test_dp_checkpoint_resumes_under_tensor_parallel(davis_tree, tmp_path):
     """A checkpoint written by the dp/shard_map path restores into a
-    tensor-parallel run: same opt_state tree layout, and the global queue
-    row count (queue_size) matches the dp run's world total, so nothing
-    resets — the state is simply re-placed under the Megatron shardings."""
+    tensor-parallel run (same opt_state tree layout, re-placed under the
+    Megatron shardings). The queue total matches (64 rows) but the
+    partition changed (2x32 per-device FIFOs -> 1x64 global FIFO), which
+    the sidecar meta detects — the queue resets rather than letting the
+    stale per-device queue_fill mark scrambled rows valid."""
     cfg = _cfg(davis_tree, tmp_path, num_epochs=1)
     run_training(cfg)
     cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, num_devices=4,
@@ -374,7 +378,23 @@ def test_dp_checkpoint_resumes_under_tensor_parallel(davis_tree, tmp_path):
     assert np.isfinite(result2["final_loss"])
     assert result2["global_step"] == 4
     log = open(os.path.join(result2["run_dir"], "train.log")).read()
-    assert "feature queue reset" not in log
+    assert "feature queue reset" in log
+
+
+def test_queue_resets_on_same_total_world_change(davis_tree, tmp_path):
+    """Power-of-two world change (2 -> 4 devices) keeps the TOTAL queue
+    row count identical (2x32 == 4x16), which the old shape heuristic
+    could not see; the sidecar meta detects the re-partition and resets
+    the queue instead of letting queue_fill mark half-stale FIFOs full."""
+    cfg = _cfg(davis_tree, tmp_path, num_epochs=1)
+    run_training(cfg)
+    cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, num_devices=4,
+                batch_size=4, load_checkpoint=True)
+    result2 = run_training(cfg2)
+    assert np.isfinite(result2["final_loss"])
+    log = open(os.path.join(result2["run_dir"], "train.log")).read()
+    assert "feature queue reset" in log
+    assert "2 x 32 rows" in log and "4 x 16" in log
 
 
 def test_tensor_parallel_rejects_zero1(davis_tree, tmp_path):

@@ -269,3 +269,42 @@ def test_zero1_requires_mesh_and_subtree():
     with pytest.raises(ValueError, match="zero1_plan requires"):
         make_train_step(model, cfg, tx, trainable_mask=mask,
                         opt_over_trainable=True, zero1_plan=plan)
+
+
+def test_zero1_migration_rejects_foreign_trainable_set():
+    """migrate_zero1_to_subtree guards against silent truncation: nonzero
+    moments beyond the current trainable length (a LARGER saved set whose
+    padding coincides) and a mismatched decay fingerprint both raise."""
+    from timetuning_tpu.core.optimizer import (
+        migrate_zero1_to_subtree,
+        zero1_plan_with_padding,
+    )
+    from timetuning_tpu.core.timet import TimeT, init_state  # noqa: F401
+
+    state, _, plan, mask = _build(jax.device_count(), zero1=True)
+    params = state.params
+
+    # clean round trip first (sanity)
+    sub = migrate_zero1_to_subtree(state.opt_state, params, mask, plan=plan)
+    assert isinstance(sub[0], optax.ScaleByAdamState)
+
+    # 1) moments beyond the trainable length: simulate a larger saved set
+    big = zero1_plan_with_padding(plan, plan.padded + 8)
+    mu_big = np.zeros(big.padded, np.float32)
+    mu_big[: plan.length + 4] = 0.5          # 4 foreign elements
+    bad = state.opt_state._replace(
+        adam=state.opt_state.adam._replace(
+            mu=jnp.asarray(mu_big), nu=jnp.asarray(mu_big)
+        ),
+        lr_vec=jnp.asarray(big.lr_vec),
+        decay_vec=jnp.asarray(big.decay_vec),
+    )
+    with pytest.raises(ValueError, match="different \\(larger\\) trainable"):
+        migrate_zero1_to_subtree(bad, params, mask, plan=big)
+
+    # 2) decay fingerprint mismatch (same length, different layout)
+    flipped = np.asarray(plan.decay_vec).copy()
+    flipped[:8] = 1.0 - flipped[:8]
+    bad2 = state.opt_state._replace(decay_vec=jnp.asarray(flipped))
+    with pytest.raises(ValueError, match="fingerprint"):
+        migrate_zero1_to_subtree(bad2, params, mask, plan=plan)

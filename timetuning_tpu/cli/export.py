@@ -220,7 +220,9 @@ def main(argv=None) -> int:
             return 1
         if args.symbolic_batch:
             # one artifact, a different batch: prove shape polymorphism
-            alt = max(1, args.batch_size // 2 + 1)
+            # (must genuinely differ from the example batch — at small
+            # --batch_size the old //2+1 formula degenerated to equality)
+            alt = args.batch_size + 1
             x2 = jnp.asarray(
                 np.random.default_rng(1).integers(
                     0, 256, (alt,) + shape[1:], np.uint8

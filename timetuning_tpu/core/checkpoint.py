@@ -62,13 +62,64 @@ def _to_host(x):
     return jax.device_get(x)
 
 
-def save_checkpoint(state: Any, run_dir: str, epoch: int) -> str:
-    """Write the full TrainState + epoch marker to ``run_dir/checkpoint``."""
-    path = os.path.join(os.path.abspath(run_dir), "checkpoint")
+def save_checkpoint(state: Any, run_dir: str, epoch: int,
+                    meta: dict | None = None) -> str:
+    """Write the full TrainState + epoch marker to ``run_dir/checkpoint``.
+
+    ``meta``: small JSON-able dict written as ``checkpoint_meta.json``
+    NEXT TO the orbax directory (not inside the payload, so checkpoints
+    written before the sidecar existed still restore with the same
+    template). The trainer records the queue partition (world size,
+    per-device rows) and opt_state layout here — restore uses it to
+    detect re-partitioned state exactly instead of by shape heuristics."""
+    run_dir = os.path.abspath(run_dir)
+    path = os.path.join(run_dir, "checkpoint")
     payload = {"epoch": np.asarray(epoch), "state": jax.tree.map(_to_host, state)}
     ckpt = _checkpointer()
     ckpt.save(path, payload, force=True)
+    if meta is not None and jax.process_index() == 0:
+        import json
+
+        tmp = os.path.join(run_dir, ".checkpoint_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(run_dir, "checkpoint_meta.json"))
     return path
+
+
+def load_checkpoint_meta(run_dir: str) -> dict | None:
+    """The ``checkpoint_meta.json`` sidecar, or None (pre-sidecar runs)."""
+    p = os.path.join(os.path.abspath(run_dir), "checkpoint_meta.json")
+    if not os.path.exists(p):
+        return None
+    import json
+
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def saved_zero1_padding(run_dir: str) -> int | None:
+    """The padded length of a saved ZeRO-1 opt_state, read from orbax
+    array METADATA (shapes only — no template, no data) — or None when the
+    checkpoint is absent, unreadable, or uses a tree opt_state layout.
+    Lets the restore path build the exactly-right ZeRO-1 template for a
+    checkpoint written at ANY world size instead of probing candidates."""
+    path = os.path.join(os.path.abspath(run_dir), "checkpoint")
+    if not os.path.exists(path):
+        return None
+    try:
+        tree = _checkpointer().metadata(path).item_metadata.tree
+        opt = tree["state"]["opt_state"]
+        # Zero1State renders as a dict of its fields; the flat Adam moment
+        # vector is 1-D exactly in that layout
+        mu = opt["adam"]["mu"]
+        shape = tuple(mu.shape)
+        return int(shape[0]) if len(shape) == 1 else None
+    except Exception:
+        return None
 
 
 def load_checkpoint(run_dir: str, state_template: Any) -> tuple[Any, int]:

@@ -218,13 +218,23 @@ def _find_one(states, kind, what: str):
     return found[0]
 
 
-def migrate_zero1_to_subtree(opt_state, params, trainable_mask):
+def migrate_zero1_to_subtree(opt_state, params, trainable_mask, plan=None):
     """Exact inverse of ``migrate_subtree_to_zero1``: unravel the ZeRO-1
     flat Adam moments back into the trainable-subtree chain layout
     (ScaleByAdamState, ScheduledWDState, EmptyState, lr-schedule state).
     Enables resuming a ZeRO-1 checkpoint into a non-ZeRO-1 run — or into a
     ZeRO-1 run at a DIFFERENT world size via subtree as the interchange
-    layout (the padding differs per world)."""
+    layout (the padding differs per world).
+
+    Validation against silent truncation (a saved LARGER trainable set
+    whose padding coincides with the template's): the moment tails beyond
+    the current trainable length must be exactly zero (the padding region
+    is never touched by the optimizer — real moments there mean the saved
+    vector belongs to a different trainable set), and, when ``plan`` is
+    given, the saved per-element weight-decay mask must match the plan's —
+    a pure-structure fingerprint of the trainable layout (invariant to lr
+    config, which restore rebakes anyway)."""
+    import numpy as np
     from jax.flatten_util import ravel_pytree
 
     sub = trainable_subtree(params, trainable_mask)
@@ -235,11 +245,50 @@ def migrate_zero1_to_subtree(opt_state, params, trainable_mask):
             f"zero1 moments have {opt_state.adam.mu.shape[0]} elements, "
             f"trainable set needs {length} — different trainable set"
         )
+    for name in ("mu", "nu"):
+        tail = np.asarray(getattr(opt_state.adam, name))[length:]
+        if tail.size and np.abs(tail).max() > 0:
+            raise ValueError(
+                f"zero1 {name} has nonzero moments beyond the trainable "
+                f"length {length} — the checkpoint was written with a "
+                "different (larger) trainable set"
+            )
+    if plan is not None:
+        saved_dv = np.asarray(opt_state.decay_vec)[:length]
+        want_dv = np.asarray(plan.decay_vec)[:length]
+        if not np.array_equal(saved_dv, want_dv):
+            raise ValueError(
+                "zero1 decay-mask fingerprint mismatch — the checkpoint's "
+                "trainable layout differs from this run's"
+            )
     adam = opt_state.adam._replace(
         mu=unravel(opt_state.adam.mu[:length]),
         nu=unravel(opt_state.adam.nu[:length]),
     )
     return (adam, opt_state.wd, optax.EmptyState(), opt_state.sched)
+
+
+def zero1_plan_with_padding(plan: "Zero1Plan", padded: int) -> "Zero1Plan":
+    """A copy of ``plan`` re-padded to a specific vector length — the
+    restore template for a ZeRO-1 checkpoint written at an UNKNOWN world
+    size whose padded length is known (from orbax array metadata,
+    ``checkpoint.saved_zero1_padding``). The synthetic world/chunk are
+    only template bookkeeping; the moments migrate out via
+    ``migrate_zero1_to_subtree`` immediately after restore."""
+    import numpy as np
+
+    if padded < plan.length:
+        raise ValueError(
+            f"padded={padded} smaller than the trainable length {plan.length}"
+        )
+
+    def repad(v):
+        return np.pad(np.asarray(v)[: plan.length], (0, padded - plan.length))
+
+    return plan._replace(
+        padded=padded, chunk=padded, world=1,
+        lr_vec=repad(plan.lr_vec), decay_vec=repad(plan.decay_vec),
+    )
 
 
 def migrate_subtree_to_zero1(opt_state, zero1_plan):

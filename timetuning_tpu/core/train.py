@@ -503,6 +503,19 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                     f"{zero1_plan.padded} (different world size)"
                 )
             if zero1:
+                # decay-mask fingerprint: a same-padding checkpoint from a
+                # DIFFERENT trainable set restores shape-clean here; the
+                # 0/1 decay pattern is a pure-structure fingerprint of the
+                # trainable layout (invariant to lr config) — mismatch
+                # raises into the sniffing path below
+                if not np.array_equal(
+                    np.asarray(state.opt_state.decay_vec)[: zero1_plan.length],
+                    np.asarray(zero1_plan.decay_vec)[: zero1_plan.length],
+                ):
+                    raise ValueError(
+                        "zero1 decay-mask fingerprint mismatch — the "
+                        "checkpoint's trainable layout differs"
+                    )
                 # The lr-group/decay mask vectors are CONFIG, not state —
                 # they ride the opt_state only so they shard with the
                 # moments. A restored checkpoint must not resurrect stale
@@ -553,21 +566,20 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 )
                 return st, ep, sub
 
-            def restore_zero1(world: int):
-                z_tx, _, z_plan = swav_optimizer_zero1(
-                    params_init, world_size=world, **opt_kwargs
-                )
+            def restore_zero1(z_plan):
+                from timetuning_tpu.core.optimizer import zero1_tx
+
                 z_state = init_state(
-                    model, tcfg, z_tx, rng, sample,
+                    model, tcfg, zero1_tx(z_plan), rng, sample,
                     pretrained_params=pretrained, params=params_init,
                     trainable_mask=trainable_mask, zero1_plan=z_plan,
                 )
                 st, ep = load_checkpoint(run_dir, z_state)
                 if st.opt_state.adam.mu.shape[0] != z_plan.padded:
-                    # orbax ignores template shapes — discriminate worlds
+                    # orbax ignores template shapes — discriminate paddings
                     raise ValueError("padded length mismatch")
                 sub = migrate_zero1_to_subtree(
-                    st.opt_state, st.params, trainable_mask
+                    st.opt_state, st.params, trainable_mask, plan=z_plan
                 )
                 return st, ep, sub
 
@@ -583,26 +595,62 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                     "trainable-subtree" if other else "full-tree",
                     lambda: restore_tree(other),
                 ))
-            # ZeRO-1 templates: distinct world sizes give distinct padded
-            # lengths, so probe a few (skipping the world the primary
-            # template already tried)
-            for w in dict.fromkeys([n_dev, 1, 2, 4, 8, 16, 32, 64]):
-                if zero1 and w == n_dev:
-                    continue
-                candidates.append(
-                    (f"ZeRO-1(world={w})", lambda w=w: restore_zero1(w))
-                )
+            # ZeRO-1 template: the saved padded length is readable from
+            # orbax array METADATA (shapes only), so the template is built
+            # exactly — a checkpoint from ANY world size restores. Fallback
+            # when metadata is unreadable: probe a few worlds, deduped by
+            # the padding they produce (many worlds share one).
+            from timetuning_tpu.core.checkpoint import saved_zero1_padding
+            from timetuning_tpu.core.optimizer import zero1_plan_with_padding
 
+            def base_plan():
+                if zero1_plan is not None:
+                    return zero1_plan
+                return swav_optimizer_zero1(
+                    params_init, world_size=1, **opt_kwargs
+                )[2]
+
+            z_padded = saved_zero1_padding(run_dir)
+            if z_padded is not None:
+                candidates.append((
+                    f"ZeRO-1(padded={z_padded})",
+                    lambda: restore_zero1(
+                        zero1_plan_with_padding(base_plan(), z_padded)
+                    ),
+                ))
+            else:
+                plan0 = base_plan()
+                tried = {zero1_plan.padded} if zero1 else set()
+                paddings = []
+                for w in (n_dev, 1, 2, 3, 4, 8, 16, 32, 64):
+                    p = -(-plan0.length // w) * w
+                    if p not in tried and p >= plan0.length:
+                        tried.add(p)
+                        paddings.append(p)
+                for p in paddings:
+                    candidates.append((
+                        f"ZeRO-1(padded={p})",
+                        lambda p=p: restore_zero1(
+                            zero1_plan_with_padding(plan0, p)
+                        ),
+                    ))
+
+            failures = []
             for from_layout, attempt in candidates:
                 try:
                     alt_state, start_epoch, sub_opt = attempt()
                     break
-                except Exception:
+                except Exception as cand_err:
+                    failures.append((from_layout, cand_err))
                     continue
             else:
                 # no layout restores: not a layout problem (corrupt file,
                 # I/O error, incompatible model) — surface the ORIGINAL
-                # failure
+                # failure, with each candidate's error in the log so a
+                # matched-layout-but-failed-migration diagnosis (e.g.
+                # 'different trainable set') is not hidden
+                for fl, e in failures:
+                    logger.info("restore candidate %s failed: %s", fl, e)
                 raise layout_err
 
             if zero1:
@@ -634,17 +682,33 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         )
 
     if cfg.load_checkpoint and cfg.use_queue and state.queue is not None:
+        from timetuning_tpu.core.checkpoint import load_checkpoint_meta
+
         want_rows = tcfg.queue_size * max(tcfg.world_size, 1)
-        if state.queue.shape[0] != want_rows:
-            # The queue is per-device FIFO state (queue_size/world rows
-            # each); a world-size change re-partitions it and the row
-            # counts generally don't line up. It holds unordered feature
-            # samples, so reset and let it refill (~queue_size/(B·10)
-            # steps) rather than guessing a re-sharding.
+        # The queue is FIFO state partitioned (world, rows/device); any
+        # re-partitioning scrambles which rows queue_fill marks valid —
+        # power-of-two world changes can even keep the TOTAL row count
+        # identical while halving each device's FIFO, so shape alone
+        # cannot detect it. The sidecar meta records the exact partition;
+        # checkpoints written before the sidecar fall back to the
+        # row-count check.
+        meta = load_checkpoint_meta(run_dir)
+        repartitioned = meta is not None and (
+            meta.get("queue_rows_per_device") != tcfg.queue_size
+            or meta.get("world_size") != max(tcfg.world_size, 1)
+        )
+        if state.queue.shape[0] != want_rows or repartitioned:
+            # It holds unordered feature samples, so reset and let it
+            # refill (~queue_size/(B·10) steps) rather than guessing a
+            # re-sharding.
             logger.warning(
-                "feature queue reset on restore: checkpoint has %d rows, "
-                "this world size needs %d — it refills during training",
-                state.queue.shape[0], want_rows,
+                "feature queue reset on restore: checkpoint partition "
+                "%s x %s rows, this run needs %d x %d — it refills "
+                "during training",
+                meta.get("world_size") if meta else "?",
+                meta.get("queue_rows_per_device") if meta
+                else state.queue.shape[0],
+                max(tcfg.world_size, 1), tcfg.queue_size,
             )
             state = state.replace(
                 queue=jnp.zeros(
@@ -768,8 +832,19 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     last_loss = None
     mem_reported = False   # one-time device-memory report (first step)
     diag_scores_fn = None  # built lazily, once (log_histograms)
+    # Sidecar meta (checkpoint_meta.json): the exact queue partition and
+    # opt_state layout — restore uses it to detect re-partitioned state
+    # (shape heuristics miss power-of-two world changes).
+    ckpt_meta = {
+        "world_size": max(tcfg.world_size, 1),
+        "queue_rows_per_device": tcfg.queue_size,
+        "tensor_parallel": tp,
+        "opt_layout": "zero1" if zero1 else (
+            "trainable-subtree" if cfg.opt_over_trainable else "full-tree"
+        ),
+    }
     for epoch in range(start_epoch, cfg.num_epochs):
-        save_checkpoint(state, run_dir, epoch)
+        save_checkpoint(state, run_dir, epoch, meta=ckpt_meta)
         loader.set_epoch(epoch)
         if (
             evaluator_factory is not None
@@ -852,14 +927,14 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 cfg.checkpoint_every_steps
                 and global_step % cfg.checkpoint_every_steps == 0
             ):
-                save_checkpoint(state, run_dir, epoch)
+                save_checkpoint(state, run_dir, epoch, meta=ckpt_meta)
             if preempt["flag"]:
                 pstep, pmetrics = pending
                 last_loss = float(pmetrics["loss"])
                 if jax.process_index() == 0:
                     writer.scalar("Loss/train", last_loss, pstep)
                     writer.scalar("momentum", float(pmetrics["momentum"]), pstep)
-                save_checkpoint(state, run_dir, epoch)
+                save_checkpoint(state, run_dir, epoch, meta=ckpt_meta)
                 logger.info(
                     "preemption signal — checkpoint saved at step %d "
                     "(epoch %d); resume with --load_checkpoint",

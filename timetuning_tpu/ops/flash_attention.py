@@ -88,10 +88,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit, static_argnames=("kv_len", "block_q", "block_k", "interpret")
 )
 def flash_attention_fwd_pallas(
-    q: jax.Array, k: jax.Array, v: jax.Array,
+    q: jax.Array, k: jax.Array, v: jax.Array, kv_len: int | None = None,
     block_q: int = 256, block_k: int | None = None, interpret: bool = False,
 ) -> jax.Array:
     # Tile defaults measured on v5e at S=3137 (ViT-S/8 @448, B=8·H=6 bf16):
@@ -99,22 +99,28 @@ def flash_attention_fwd_pallas(
     # (+14% — one softmax pass, no online-rescale steps); the [Tq, Skp] f32
     # score tile stays ≤ 4 MB up to Skp=4096, beyond which the online
     # streaming recurrence takes over with block_k=1024.
-    """q, k, v: [B, H, S, Dh] → [B, H, S, Dh]. Exact softmax attention."""
-    B, H, S, Dh = q.shape
+    """q: [B, H, Sq, Dh]; k, v: [B, H, Sk, Dh] → [B, H, Sq, Dh]. Exact
+    softmax attention. Sq may differ from Sk (sequence-parallel callers
+    keep queries local and gather keys); ``kv_len`` masks keys beyond that
+    index (a gathered K whose tail is padding — default: all Sk valid)."""
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    valid = Sk if kv_len is None else kv_len
     scale = 1.0 / math.sqrt(Dh)
     G = B * H
     Dp = _pad_to(Dh, 128)
     if block_k is None:
-        skp = _pad_to(S, 128)
+        skp = _pad_to(Sk, 128)
         block_k = skp if skp <= 4096 else 1024
-    block_q = min(block_q, _pad_to(S, 128))
-    block_k = min(block_k, _pad_to(S, 128))
-    Sqp = _pad_to(S, block_q)
-    Skp = _pad_to(S, block_k)
+    block_q = min(block_q, _pad_to(Sq, 128))
+    block_k = min(block_k, _pad_to(Sk, 128))
+    Sqp = _pad_to(Sq, block_q)
+    Skp = _pad_to(Sk, block_k)
 
     def prep(x, sp):
-        x = x.reshape(G, S, Dh)
-        return jnp.pad(x, ((0, 0), (0, sp - S), (0, Dp - Dh)))
+        s = x.shape[2]
+        x = x.reshape(G, s, Dh)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, Dp - Dh)))
 
     qp = prep(q, Sqp)
     kp = prep(k, Skp)
@@ -125,7 +131,7 @@ def flash_attention_fwd_pallas(
     kv_spec = pl.BlockSpec((1, Skp, Dp), lambda g, i: (g, 0, 0),
                            memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, seq_len=S,
+        functools.partial(_flash_kernel, scale=scale, seq_len=valid,
                           block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((G, Sqp, Dp), q.dtype),
         grid=(G, Sqp // block_q),
@@ -133,20 +139,30 @@ def flash_attention_fwd_pallas(
         out_specs=q_spec,
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :S, :Dh].reshape(B, H, S, Dh)
+    return out[:, :Sq, :Dh].reshape(B, H, Sq, Dh)
 
 
-def flash_attention_xla(q, k, v):
+def flash_attention_xla(q, k, v, kv_len: int | None = None):
     """Reference composition (tests / non-TPU fallback)."""
     from timetuning_tpu.ops.attention import attention_xla
 
-    return attention_xla(q, k, v)[0]
+    if kv_len is None or kv_len == k.shape[2]:
+        return attention_xla(q, k, v)[0]
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    col = jnp.arange(k.shape[2])
+    s = jnp.where(col[None, None, None, :] < kv_len, s, _NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def _chunked_bwd(q, k, v, g, block_q: int = 256):
+def _chunked_bwd(q, k, v, g, kv_len: int | None = None, block_q: int = 256):
     """Analytic softmax-attention gradient, streamed over query chunks —
     peak activation O(Tq·S) instead of the O(S²) probability tensor."""
     B, H, S, Dh = q.shape
+    Sk = k.shape[2]
     scale = 1.0 / math.sqrt(Dh)
     Sqp = _pad_to(S, block_q)
     nc = Sqp // block_q
@@ -162,12 +178,18 @@ def _chunked_bwd(q, k, v, g, block_q: int = 256):
     gc = prep(g.astype(jnp.float32))
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
+    key_ok = (
+        None if kv_len is None or kv_len == Sk
+        else (jnp.arange(Sk) < kv_len)[None, None, None, :]
+    )
 
     def scan_body(carry, args):
         dk_acc, dv_acc = carry
         q_c, g_c = args                                    # [B, H, Tq, Dh]
         s = jnp.einsum("bhqd,bhkd->bhqk", q_c, kf,
                        preferred_element_type=jnp.float32) * scale
+        if key_ok is not None:
+            s = jnp.where(key_ok, s, _NEG)
         p = jax.nn.softmax(s, axis=-1)
         dv_acc = dv_acc + jnp.einsum("bhqk,bhqd->bhkd", p, g_c,
                                      preferred_element_type=jnp.float32)
@@ -183,26 +205,35 @@ def _chunked_bwd(q, k, v, g, block_q: int = 256):
     # dk/dv accumulate in the scan carry so peak memory stays O(Tq·S) +
     # the dq output (same size as q) — stacking per-chunk dk/dv first would
     # be O(nc·S·Dh), quadratic in S
-    zeros = jnp.zeros((B, H, S, Dh), jnp.float32)
+    zeros = jnp.zeros((B, H, Sk, Dh), jnp.float32)
     (dk, dv), dq_chunks = jax.lax.scan(scan_body, (zeros, zeros), (qc, gc))
     dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(B, H, Sqp, Dh)[:, :, :S]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
-@jax.custom_vjp
-def flash_attention(q, k, v):
-    """Differentiable exact attention for long sequences ([B, H, S, Dh])."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _flash_core(kv_len, q, k, v):
     if pltpu is not None and jax.default_backend() == "tpu":
-        return flash_attention_fwd_pallas(q, k, v)
-    return flash_attention_xla(q, k, v)
+        return flash_attention_fwd_pallas(q, k, v, kv_len=kv_len)
+    return flash_attention_xla(q, k, v, kv_len=kv_len)
 
 
-def _fwd(q, k, v):
-    return flash_attention(q, k, v), (q, k, v)
+def _fwd(kv_len, q, k, v):
+    return _flash_core(kv_len, q, k, v), (q, k, v)
 
 
-def _bwd(res, g):
-    return _chunked_bwd(*res, g)
+def _bwd(kv_len, res, g):
+    return _chunked_bwd(*res, g, kv_len=kv_len)
 
 
-flash_attention.defvjp(_fwd, _bwd)
+_flash_core.defvjp(_fwd, _bwd)
+
+
+def flash_attention(q, k, v, kv_len: int | None = None):
+    """Differentiable exact attention for long sequences.
+
+    q: [B, H, Sq, Dh]; k, v: [B, H, Sk, Dh] (``Sq == Sk`` for the standard
+    self-attention block; sequence-parallel callers pass local queries
+    against gathered keys). ``kv_len`` (static) masks gathered-padding keys
+    beyond that index."""
+    return _flash_core(kv_len, q, k, v)

@@ -202,3 +202,59 @@ def test_export_cli_mesh_sharded(tmp_path, capsys):
     with open(out, "rb") as f:
         exported = jexport.deserialize(bytearray(f.read()))
     assert exported.nr_devices == 4
+
+
+def test_export_cli_sequence_parallel(tmp_path, capsys):
+    """--sequence_parallel: token-sharded artifact over a (2, 2) dp×sp mesh
+    (parallel/sp.py) — round-trip checked against the live forward, and the
+    features match the plain single-chip export bit-for-bit (same XLA
+    fallback math on the CPU test mesh)."""
+    import numpy as np
+
+    from timetuning_tpu.cli import export as cli_export
+
+    out = str(tmp_path / "feat_sp.stablehlo")
+    rc = cli_export.main([
+        "--architecture", "vit-tiny-test",
+        "--batch_size", "4",
+        "--input_resolution", "32",
+        "--compute_dtype", "float32",
+        "--sequence_parallel", "2",
+        "--data_parallel", "2",
+        "--out", out,
+        "--check", "true",
+    ])
+    stdout = capsys.readouterr().out
+    assert rc == 0, stdout
+    assert "2x2 seq mesh" in stdout
+    assert "round-trip check" in stdout
+
+    # sp features == the plain export's features (numerical equivalence of
+    # the token-sharded stack, through the full AOT path)
+    blob, live, shape, _ = cli_export.export_features(
+        "vit-tiny-test", None, 4, 32, "float32"
+    )
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from timetuning_tpu.parallel.sp import make_dp_sp_mesh
+
+    mesh = make_dp_sp_mesh(2, 2)
+    x = np.random.default_rng(0).integers(0, 256, shape, np.uint8)
+    want = np.asarray(live(x))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = np.asarray(cli_export.load_exported(out)(xs))
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-5)
+
+
+def test_export_cli_sp_tp_exclusive(tmp_path):
+    """--sequence_parallel and --tensor_parallel cannot combine."""
+    import pytest
+
+    from timetuning_tpu.cli import export as cli_export
+
+    with pytest.raises(ValueError, match="mutually"):
+        cli_export.export_features(
+            "vit-tiny-test", None, 4, 32, "float32",
+            tensor_parallel=2, sequence_parallel=2,
+        )

@@ -54,7 +54,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=1,
                    help="batch-shard the multi-chip artifact over this many "
                         "data-axis devices (total devices = data_parallel x "
-                        "tensor_parallel)")
+                        "tensor_parallel or x sequence_parallel)")
+    p.add_argument("--sequence_parallel", type=int, default=1,
+                   help="export a MULTI-CHIP artifact that shards the TOKEN "
+                        "axis over this many seq-axis devices (parallel/"
+                        "sp.py: per-block K/V all-gather, local queries) — "
+                        "for long-token geometries (e.g. s8 at high "
+                        "resolution) where one chip can't serve at target "
+                        "latency; composes with --data_parallel, mutually "
+                        "exclusive with --tensor_parallel")
     return p
 
 
@@ -62,7 +70,8 @@ def export_features(architecture: str, model_path: str | None,
                     batch_size: int, input_resolution: int,
                     compute_dtype: str = "bfloat16",
                     symbolic_batch: bool = False,
-                    tensor_parallel: int = 1, data_parallel: int = 1):
+                    tensor_parallel: int = 1, data_parallel: int = 1,
+                    sequence_parallel: int = 1):
     """Build and AOT-export the uint8→features forward. Returns
     (serialized bytes, live_fn, example_input_shape, mesh_or_None).
 
@@ -71,7 +80,14 @@ def export_features(architecture: str, model_path: str | None,
     over a ``(data_parallel, tensor_parallel)`` mesh and the batch shards
     over ``data`` — the serving side builds a mesh of the same shape and
     commits the input batch ``P('data')`` before calling. The XLA attention
-    path is traced (a Pallas call is opaque to the partitioner)."""
+    path is traced (a Pallas call is opaque to the partitioner).
+
+    ``sequence_parallel`` > 1 instead shards the TOKEN axis over a
+    ``(data_parallel, sequence_parallel)`` mesh (parallel/sp.py: replicated
+    weights, per-block K/V all-gather) — the long-token serving geometry.
+    Exported from a CPU/virtual mesh the traced per-token math is the XLA
+    fallback path (portable artifact); exported on a TPU mesh the fused
+    Pallas row kernels serialize as tpu custom calls (TPU-only artifact)."""
     import dataclasses
 
     import jax
@@ -83,9 +99,16 @@ def export_features(architecture: str, model_path: str | None,
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(architecture, model_path, dtype=dtype)
-    n_mesh = tensor_parallel * data_parallel
-    if min(tensor_parallel, data_parallel) < 1:
-        raise ValueError("tensor_parallel/data_parallel must be >= 1")
+    if min(tensor_parallel, data_parallel, sequence_parallel) < 1:
+        raise ValueError(
+            "tensor_parallel/data_parallel/sequence_parallel must be >= 1"
+        )
+    if tensor_parallel > 1 and sequence_parallel > 1:
+        raise ValueError(
+            "--tensor_parallel and --sequence_parallel are mutually "
+            "exclusive (weight-sharded vs token-sharded artifacts)"
+        )
+    n_mesh = tensor_parallel * data_parallel * sequence_parallel
     if (symbolic_batch or n_mesh > 1) and hasattr(
         getattr(bb.module, "config", None), "attn_impl"
     ):
@@ -100,6 +123,7 @@ def export_features(architecture: str, model_path: str | None,
         )
     variables = bb.variables
     mesh = None
+    sp_fwd = None
     if n_mesh > 1:
         if symbolic_batch:
             raise ValueError(
@@ -118,28 +142,44 @@ def export_features(architecture: str, model_path: str | None,
             )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from timetuning_tpu.parallel.tp import (
-            make_dp_tp_mesh,
-            validate_tp_geometry,
-            vit_param_specs,
-        )
-
-        if tensor_parallel > 1 and hasattr(bb.module, "config"):
-            validate_tp_geometry(bb.module.config, tensor_parallel)
-        mesh = make_dp_tp_mesh(data_parallel, tensor_parallel)
-        specs = vit_param_specs(variables["params"])
-        variables = {
-            "params": jax.device_put(
-                variables["params"],
-                jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs),
+        if sequence_parallel > 1:
+            if not hasattr(getattr(bb.module, "config", None), "depth"):
+                raise ValueError(
+                    "--sequence_parallel supports ViT backbones only "
+                    "(the token-sharded block stack, parallel/sp.py)"
+                )
+            from timetuning_tpu.parallel.sp import (
+                make_dp_sp_mesh,
+                sp_forward_fn,
             )
-        }
+
+            mesh = make_dp_sp_mesh(data_parallel, sequence_parallel)
+            sp_fwd = sp_forward_fn(bb.module, mesh)
+        else:
+            from timetuning_tpu.parallel.tp import (
+                make_dp_tp_mesh,
+                validate_tp_geometry,
+                vit_param_specs,
+            )
+
+            if hasattr(bb.module, "config"):
+                validate_tp_geometry(bb.module.config, tensor_parallel)
+            mesh = make_dp_tp_mesh(data_parallel, tensor_parallel)
+            specs = vit_param_specs(variables["params"])
+            variables = {
+                "params": jax.device_put(
+                    variables["params"],
+                    jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs),
+                )
+            }
 
     def forward(frames_u8):
         x = eval_preprocess_batch(frames_u8, out_size=input_resolution)
-        out = bb.module.apply(variables, x)
-        f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
-        return f
+        if sp_fwd is not None:
+            tokens = sp_fwd(variables["params"], x)
+        else:
+            tokens = bb.module.apply(variables, x)["tokens"]
+        return tokens[:, 1:] if bb.drop_cls else tokens
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -189,13 +229,16 @@ def main(argv=None) -> int:
         symbolic_batch=args.symbolic_batch,
         tensor_parallel=args.tensor_parallel,
         data_parallel=args.data_parallel,
+        sequence_parallel=args.sequence_parallel,
     )
     with open(args.out, "wb") as f:
         f.write(blob)
-    mesh_note = (
-        f", {args.data_parallel}x{args.tensor_parallel} mesh"
-        if mesh is not None else ""
-    )
+    if mesh is None:
+        mesh_note = ""
+    elif args.sequence_parallel > 1:
+        mesh_note = f", {args.data_parallel}x{args.sequence_parallel} seq mesh"
+    else:
+        mesh_note = f", {args.data_parallel}x{args.tensor_parallel} mesh"
     print(f"exported {args.architecture} forward "
           f"({shape} uint8 → features) to {args.out} "
           f"({len(blob) / 1e6:.1f} MB{mesh_note})")

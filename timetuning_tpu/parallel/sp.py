@@ -146,20 +146,10 @@ def _block_stack(params, h, *, cfg, s_valid: int, n_seq: int):
     return _ln(x, params["norm"]["scale"], params["norm"]["bias"])
 
 
-def make_sp_feature_fn(model, mesh: Mesh):
-    """Sequence-parallel dense-feature forward for a ``VisionTransformer``.
-
-    ``model``: the backbone (``models.vit.VisionTransformer``); ``mesh``: a
-    ``(data, seq)`` mesh from :func:`make_dp_sp_mesh`. Returns a jitted
-    ``fwd(params, images) -> tokens [B, 1+N, D]`` numerically equivalent to
-    ``model.apply(...)["tokens"]``: patch embed + pos-embed interpolation
-    run as one GSPMD program with the batch sharded ``P('data')``; the
-    token axis is then padded to a ``seq``-divisible length and the block
-    stack runs under shard_map with tokens sharded ``P('data', 'seq')``.
-
-    Geometry: batch must divide ``dp``. Any token count works (padding is
-    masked out of attention and sliced off the output).
-    """
+def sp_forward_fn(model, mesh: Mesh):
+    """The raw (unjitted) sequence-parallel forward — exposed separately so
+    AOT export (cli/export.py) can fold preprocessing around it before
+    tracing. See :func:`make_sp_feature_fn` for semantics."""
     cfg = model.config
     n_seq = mesh.shape[SEQ_AXIS]
 
@@ -177,8 +167,25 @@ def make_sp_feature_fn(model, mesh: Mesh):
         )
         return stack(params, h)[:, :S]
 
+    return fwd
+
+
+def make_sp_feature_fn(model, mesh: Mesh):
+    """Sequence-parallel dense-feature forward for a ``VisionTransformer``.
+
+    ``model``: the backbone (``models.vit.VisionTransformer``); ``mesh``: a
+    ``(data, seq)`` mesh from :func:`make_dp_sp_mesh`. Returns a jitted
+    ``fwd(params, images) -> tokens [B, 1+N, D]`` numerically equivalent to
+    ``model.apply(...)["tokens"]``: patch embed + pos-embed interpolation
+    run as one GSPMD program with the batch sharded ``P('data')``; the
+    token axis is then padded to a ``seq``-divisible length and the block
+    stack runs under shard_map with tokens sharded ``P('data', 'seq')``.
+
+    Geometry: batch must divide ``dp``. Any token count works (padding is
+    masked out of attention and sliced off the output).
+    """
     return jax.jit(
-        fwd,
+        sp_forward_fn(model, mesh),
         in_shardings=(
             NamedSharding(mesh, P()),
             NamedSharding(mesh, P(DATA_AXIS)),

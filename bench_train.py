@@ -172,6 +172,7 @@ def main() -> None:
                 plain = make_loader(
                     args.dataset, num_clip_frames=F, batch_size=B,
                     root=args.data_root, decode_size=256,
+                    fast_decode=args.fast_decode,
                 )
                 t0 = time.perf_counter()
                 build_clip_pack(plain.dataset, pack_path)

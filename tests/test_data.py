@@ -367,3 +367,80 @@ def test_fast_decode_reduced_jpeg(tmp_path):
     # below the 2x threshold the flag is a no-op: identical bytes
     np.testing.assert_array_equal(frames("small", True),
                                   frames("small", False))
+
+
+def test_fast_decode_mixed_resolution_video(tmp_path):
+    """A video whose later frames are SMALLER than its first frame: the
+    per-video 1/k reduction (picked from the first frame's header) must not
+    decode those frames below the buffer and upscale — they re-decode at
+    full resolution, matching the faithful path exactly."""
+    import cv2
+
+    from timetuning_tpu.data.datasets import VideoDataset
+
+    yy, xx = np.mgrid[0:512, 0:640]
+    big = np.stack([128 + 100 * np.sin(yy / 40),
+                    128 + 100 * np.cos(xx / 30),
+                    np.full_like(yy, 90)], -1).astype(np.uint8)
+    small = big[:300, :360]  # short side 300 < 2*256: no valid reduction
+    d = tmp_path / "JPEGImages" / "v0"
+    d.mkdir(parents=True)
+    for f in range(4):
+        img = big if f == 0 else small
+        cv2.imwrite(str(d / f"{f:05d}.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 92])
+
+    def frames(fast):
+        from timetuning_tpu.data.datasets import SamplingMode
+
+        ds = VideoDataset(
+            frames_root=str(tmp_path / "JPEGImages"), num_frames=4,
+            decode_size=256, fast_decode=fast,
+            sampling_mode=SamplingMode.FULL,
+        )
+        return ds[0]["frames"]
+
+    full, fast = frames(False), frames(True)
+    # the small frames (indices 1..3) must be bit-identical to the
+    # faithful path — the reduced decode would have undershot 256
+    np.testing.assert_array_equal(fast[0, 1:], full[0, 1:])
+
+
+def test_pack_build_honors_fast_decode(tmp_path):
+    """build_clip_pack decodes through the same _decode_frame path as the
+    live loader, so dataset.fast_decode applies to the one-time build."""
+    import cv2
+
+    from timetuning_tpu.data.datasets import VideoDataset
+    from timetuning_tpu.native import ClipPack, build_clip_pack
+
+    yy, xx = np.mgrid[0:512, 0:640]
+    big = np.stack([128 + 100 * np.sin(yy / 40),
+                    128 + 100 * np.cos(xx / 30),
+                    np.full_like(yy, 90)], -1).astype(np.uint8)
+    d = tmp_path / "JPEGImages" / "v0"
+    d.mkdir(parents=True)
+    for f in range(3):
+        cv2.imwrite(str(d / f"{f:05d}.jpg"), big,
+                    [cv2.IMWRITE_JPEG_QUALITY, 92])
+
+    packs = {}
+    for fast in (False, True):
+        ds = VideoDataset(frames_root=str(tmp_path / "JPEGImages"),
+                          num_frames=2, decode_size=256, fast_decode=fast)
+        p = str(tmp_path / f"pack_{fast}.clippack")
+        index = build_clip_pack(ds, p)
+        assert index["v0"][1:] == (3, 512, 640)  # n_frames + native dims
+        packs[fast] = ClipPack(p).gather(np.arange(3))
+    # reduced-DCT decode differs from full decode + bilinear, but only
+    # slightly — proving the flag reached the build
+    diff = np.abs(packs[True].astype(np.float32)
+                  - packs[False].astype(np.float32)).mean()
+    assert 0 < diff < 4.0, diff
+    # the faithful build matches the live loader's faithful decode
+    from timetuning_tpu.data.datasets import SamplingMode
+
+    ds = VideoDataset(frames_root=str(tmp_path / "JPEGImages"),
+                      num_frames=3, decode_size=256,
+                      sampling_mode=SamplingMode.FULL)
+    np.testing.assert_array_equal(packs[False][:3], ds[0]["frames"][0])

@@ -394,7 +394,7 @@ def test_queue_resets_on_same_total_world_change(davis_tree, tmp_path):
     assert np.isfinite(result2["final_loss"])
     log = open(os.path.join(result2["run_dir"], "train.log")).read()
     assert "feature queue reset" in log
-    assert "2 x 32 rows" in log and "4 x 16" in log
+    assert "2 device(s) x 32 rows" in log and "4 device(s) x 16 rows" in log
 
 
 def test_tensor_parallel_rejects_zero1(davis_tree, tmp_path):

@@ -254,18 +254,28 @@ def migrate_zero1_to_subtree(opt_state, params, trainable_mask, plan=None):
                 "different (larger) trainable set"
             )
     if plan is not None:
-        saved_dv = np.asarray(opt_state.decay_vec)[:length]
-        want_dv = np.asarray(plan.decay_vec)[:length]
-        if not np.array_equal(saved_dv, want_dv):
-            raise ValueError(
-                "zero1 decay-mask fingerprint mismatch — the checkpoint's "
-                "trainable layout differs from this run's"
-            )
+        validate_zero1_fingerprint(opt_state.decay_vec, plan)
     adam = opt_state.adam._replace(
         mu=unravel(opt_state.adam.mu[:length]),
         nu=unravel(opt_state.adam.nu[:length]),
     )
     return (adam, opt_state.wd, optax.EmptyState(), opt_state.sched)
+
+
+def validate_zero1_fingerprint(decay_vec, plan) -> None:
+    """Reject a restored ZeRO-1 opt_state written with a different
+    trainable set: the 0/1 per-element weight-decay mask is a
+    pure-structure fingerprint of the trainable layout (invariant to lr
+    config, which restore rebakes anyway)."""
+    import numpy as np
+
+    saved = np.asarray(decay_vec)[: plan.length]
+    want = np.asarray(plan.decay_vec)[: plan.length]
+    if not np.array_equal(saved, want):
+        raise ValueError(
+            "zero1 decay-mask fingerprint mismatch — the checkpoint's "
+            "trainable layout differs from this run's"
+        )
 
 
 def zero1_plan_with_padding(plan: "Zero1Plan", padded: int) -> "Zero1Plan":

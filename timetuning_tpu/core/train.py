@@ -376,6 +376,11 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     # loads its slice of the videos and feeds its local devices; the mesh
     # spans all hosts' devices.
     if cfg.pack_path:
+        if cfg.fast_decode and jax.process_index() == 0:
+            # steady-state pack epochs do no JPEG decode at all; the flag
+            # reaches build_clip_pack via the dataset below
+            logger.info("--fast_decode with --pack_path applies only to "
+                        "the one-time pack build")
         if jax.process_index() == 0 and not (
             os.path.exists(cfg.pack_path)
             and os.path.exists(cfg.pack_path + ".index.json")
@@ -503,19 +508,16 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                     f"{zero1_plan.padded} (different world size)"
                 )
             if zero1:
-                # decay-mask fingerprint: a same-padding checkpoint from a
-                # DIFFERENT trainable set restores shape-clean here; the
-                # 0/1 decay pattern is a pure-structure fingerprint of the
-                # trainable layout (invariant to lr config) — mismatch
+                # a same-padding checkpoint from a DIFFERENT trainable set
+                # restores shape-clean here — the fingerprint mismatch
                 # raises into the sniffing path below
-                if not np.array_equal(
-                    np.asarray(state.opt_state.decay_vec)[: zero1_plan.length],
-                    np.asarray(zero1_plan.decay_vec)[: zero1_plan.length],
-                ):
-                    raise ValueError(
-                        "zero1 decay-mask fingerprint mismatch — the "
-                        "checkpoint's trainable layout differs"
-                    )
+                from timetuning_tpu.core.optimizer import (
+                    validate_zero1_fingerprint,
+                )
+
+                validate_zero1_fingerprint(
+                    state.opt_state.decay_vec, zero1_plan
+                )
                 # The lr-group/decay mask vectors are CONFIG, not state —
                 # they ride the opt_state only so they shard with the
                 # moments. A restored checkpoint must not resurrect stale
@@ -702,12 +704,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             # refill (~queue_size/(B·10) steps) rather than guessing a
             # re-sharding.
             logger.warning(
-                "feature queue reset on restore: checkpoint partition "
-                "%s x %s rows, this run needs %d x %d — it refills "
-                "during training",
-                meta.get("world_size") if meta else "?",
-                meta.get("queue_rows_per_device") if meta
-                else state.queue.shape[0],
+                "feature queue reset on restore: checkpoint has %s, this "
+                "run needs %d device(s) x %d rows — it refills during "
+                "training",
+                (f"{meta.get('world_size')} device(s) x "
+                 f"{meta.get('queue_rows_per_device')} rows" if meta
+                 else f"{state.queue.shape[0]} total rows (no sidecar "
+                      "meta)"),
                 max(tcfg.world_size, 1), tcfg.queue_size,
             )
             state = state.replace(

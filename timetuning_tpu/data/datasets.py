@@ -169,6 +169,12 @@ def _decode_frame(path: str, size: int, nearest: bool,
                 break
     img = cv2.imread(path, flags)
     assert img is not None, f"failed to decode {path}"
+    if flags != cv2.IMREAD_UNCHANGED and min(img.shape[:2]) < size:
+        # Mixed-resolution video: ``reduce_for`` is the first frame's size,
+        # and the 1/k factor picked from it overshot this smaller frame —
+        # a reduced decode below the buffer would silently upscale (softer
+        # than the faithful path). Re-decode at full resolution.
+        img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
     if img.ndim == 3 and img.shape[2] >= 3:
         img = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB)

@@ -138,8 +138,9 @@ def build_clip_pack(
     """
     import json
 
-    import cv2
+    from timetuning_tpu.data.datasets import _decode_frame, _frame_size
 
+    fast = bool(getattr(dataset, "fast_decode", False))
     index: dict[str, tuple[int, int]] = {}
     s = dataset.decode_size
     n_total = sum(len(dataset.tree[key]) for key in dataset.keys)
@@ -162,15 +163,16 @@ def build_clip_pack(
                         "rename or split the tree into separate packs"
                     )
                 files = dataset.tree[key]
-                native_h = native_w = s
-                for fi, fp in enumerate(files):
-                    img = cv2.imread(fp)
-                    if img is None:
-                        raise ValueError(f"failed to decode {fp}")
-                    if fi == 0:
-                        native_h, native_w = img.shape[:2]
-                    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-                    img = cv2.resize(img, (s, s), interpolation=cv2.INTER_LINEAR)
+                native_h, native_w = _frame_size(files[0])
+                # same decode path as the live loader — dataset.fast_decode
+                # (reduced DCT-domain JPEG decode) applies to the one-time
+                # pack build, the only place a pack run still decodes
+                reduce_for = (native_h, native_w) if fast else None
+                for fp in files:
+                    img = _decode_frame(fp, s, nearest=False,
+                                        reduce_for=reduce_for)
+                    if img.ndim == 2:
+                        img = np.repeat(img[..., None], 3, axis=-1)
                     f.write(np.ascontiguousarray(img, np.uint8).tobytes())
                 index[name] = (start, len(files), int(native_h), int(native_w))
                 start += len(files)

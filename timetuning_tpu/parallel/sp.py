@@ -18,10 +18,11 @@ VMEM comfortably):
 
   * tokens are sharded ``P('data', 'seq')`` — each device holds a
     contiguous ``[B/dp, S/sp, D]`` token slab;
-  * every per-token op (LayerNorm, QKV / proj / MLP projections, residuals,
-    final norm) runs on the local slab through the SAME fused row kernels
+  * every per-token block op (LayerNorm, QKV / proj / MLP projections,
+    residuals) runs on the local slab through the SAME fused row kernels
     the single-chip long-sequence path uses (ops/fused_block.py) — no new
-    kernels, constant VMEM in S;
+    kernels, constant VMEM in S; the final norm is the plain XLA LayerNorm
+    (elementwise, trivially fused by XLA — not worth a kernel);
   * attention gathers K and V over the ``seq`` axis (``lax.all_gather``,
     tiled — 2·S·D bytes per block, the only sequence-axis communication)
     and runs the flash core with **local queries against global keys**

@@ -296,7 +296,8 @@ def main(argv=None) -> int:
                    args.tolerance)
         report.add("DAVIS J&F (propagation)", float(res["jf"]["J&F"]),
                    args.expected_davis_jf, args.tolerance)
-        report.add("DAVIS mIoU (sample-wise)", float(res["miou"]),
+        report.add("DAVIS mIoU (frame-wise, reference scoring)",
+                   float(res["miou"]),
                    args.expected_davis_miou, args.tolerance)
 
     if args.pascal_root:

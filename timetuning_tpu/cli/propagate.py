@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_optical_flow", type=str2bool, default=False)
     p.add_argument("--metric", type=str, default="jf",
                    choices=["jf", "miou", "propagation"])
+    # the reference's mIoU scoring knobs (mask_propagation.py:854-860:
+    # frame-wise protocol, k=10, many_to_one=False, involve_bg=False)
+    p.add_argument("--evaluation_protocol", type=str, default="frame-wise",
+                   choices=["frame-wise", "sample-wise", "dataset-wise"])
+    p.add_argument("--many_to_one", type=str2bool, default=False)
+    p.add_argument("--num_clusters", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=4)
     return p
 
@@ -124,8 +130,15 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
     if "jf" in metrics:
         out["jf"] = j_and_f(sequences)
     if "miou" in metrics:
+        # reference scoring config (mask_propagation.py:754,841):
+        # PredsmIoU(num_clusters, 10, involve_bg=False) under the chosen
+        # protocol — the published propagation-mIoU recipe
         out["miou"] = evaluate_localizations(
-            PredsmIoU(256, 256, involve_bg=True), gts, preds, "sample-wise"
+            PredsmIoU(getattr(args, "num_clusters", 10), 10,
+                      involve_bg=False),
+            gts, preds,
+            getattr(args, "evaluation_protocol", "frame-wise"),
+            many_to_one=bool(getattr(args, "many_to_one", False)),
         )
     if "propagation" in metrics:
         out["propagation"] = evaluate_propagation(

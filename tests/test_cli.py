@@ -67,6 +67,31 @@ def davis_tree(tmp_path_factory):
     return str(root)
 
 
+def test_evaluate_cli_gif_logging(davis_tree, tmp_path, capsys):
+    """--logging_directory: per-clip reordered/raw cluster-map gifs land
+    under <dir>/<protocol>/ (reference evaluation.py:270-300)."""
+    import glob
+
+    gif_dir = str(tmp_path / "gifs")
+    rc = cli_eval.main([
+        "--architecture", "vit-tiny-test",
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--batch_size", "2",
+        "--num_frames", "2",
+        "--input_resolution", "32",
+        "--eval_resolution", "16",
+        "--num_clusters", "2",
+        "--evaluation_protocol", "frame-wise",
+        "--num_workers", "2",
+        "--logging_directory", gif_dir,
+    ])
+    assert rc == 0
+    gifs = glob.glob(gif_dir + "/frame-wise/*.gif")
+    assert any("reordered" in g for g in gifs), gifs
+    assert any("inorder" in g for g in gifs), gifs
+
+
 def test_propagate_cli_smoke(davis_tree, capsys):
     rc = cli_prop.main([
         "--architecture", "vit-tiny-test",

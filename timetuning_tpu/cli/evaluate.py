@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_cap", type=int, default=None,
                    help="k-means fit sample size for --streaming "
                         "(default max(256*k, 16384), the faiss subsample rule)")
+    p.add_argument("--logging_directory", type=str, default=None,
+                   help="write per-clip reordered/raw cluster-map gifs here "
+                        "during evaluation (reference evaluation.py:270-300)")
     return p
 
 
@@ -140,6 +143,7 @@ def main(argv=None) -> int:
         prototypes=protos,
         uvos=args.uvos,
         ignore_index=None,
+        logging_directory=args.logging_directory,
     )
     score = ev.evaluate(
         many_to_one=args.many_to_one,

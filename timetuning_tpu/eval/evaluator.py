@@ -155,6 +155,7 @@ class Evaluator:
         fg_masks: np.ndarray | None = None,
         ignore_index: int | None = 255,
         logger: logging.Logger | None = None,
+        logging_directory: str | None = None,
     ):
         self.data_iter_factory = data_iter_factory
         self.feature_fn = feature_fn
@@ -168,6 +169,9 @@ class Evaluator:
         self.fg_masks = fg_masks
         self.ignore_index = ignore_index
         self.logger = logger or logging.getLogger("timetuning_tpu.eval")
+        # reference Evaluator writes reordered/raw cluster-map gifs under
+        # its logging directory during evaluation (evaluation.py:270-300)
+        self.logging_directory = logging_directory
 
     def _extract(self, frames, use_mask):
         B, F = frames.shape[:2]
@@ -454,6 +458,7 @@ class Evaluator:
             score = evaluate_localizations(
                 self.metric, annotations, cluster_maps, evaluation_protocol,
                 many_to_one, precision_based, ignore_index=self.ignore_index,
+                logging_directory=self.logging_directory,
             )
             self.logger.info("dataset-wise score %s", score)
             return score
@@ -478,6 +483,7 @@ class Evaluator:
                 evaluate_localizations(
                     self.metric, annotations, cluster_maps, evaluation_protocol,
                     many_to_one, precision_based,
+                    logging_directory=self.logging_directory,
                 )
             )
             self.logger.info("batch score %s", batch_scores[-1])

@@ -154,6 +154,99 @@ WORKER_TRANSFER = textwrap.dedent(
 )
 
 
+WORKER_TRAIN_STEP = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    want_loss = float(sys.argv[3]); want_proto = float(sys.argv[4])
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=pid,
+    )
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from test_train_step import make_everything, _clip
+    from timetuning_tpu.data.loader import host_batch_to_device
+
+    # same seeds on both processes -> identical replicated state
+    model, cfg, tx, state, step = make_everything(axis_name="data", world=4)
+    state = jax.tree.map(np.asarray, state)  # host values, replicatable
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    state_specs = jax.tree.map(lambda _: P(), state)
+    shard_step = jax.jit(
+        jax.shard_map(
+            step, mesh=mesh,
+            in_specs=(state_specs, P("data"), P()),
+            out_specs=(state_specs, P()),
+        )
+    )
+    # deterministic global batch of 8; this host contributes its own half
+    clip = np.asarray(_clip(7, b=8))
+    local = clip[pid * 4:(pid + 1) * 4]
+    garr = host_batch_to_device(local, NamedSharding(mesh, P("data")))
+
+    s2, m = shard_step(state, garr, jax.random.PRNGKey(0))
+    loss = float(np.asarray(jax.device_get(m["loss"])))
+    proto = float(np.abs(np.asarray(
+        jax.device_get(s2.params["prototypes"]))).sum())
+    assert abs(loss - want_loss) <= 2e-3 * max(1.0, abs(want_loss)), \\
+        (loss, want_loss)
+    assert abs(proto - want_proto) <= 1e-3 * max(1.0, abs(want_proto)), \\
+        (proto, want_proto)
+    print(f"OK pid={pid} loss={loss:.6f}", flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
+def test_two_process_full_train_step(tmp_path):
+    """The FULL TimeT train step over a real 2-process 4-device mesh
+    (rendezvous + per-host batch assembly + psum'd Sinkhorn/grads) matches
+    the single-process step on the concatenated batch — the cross-process
+    analogue of test_train_step.test_dp_matches_single_device."""
+    import os
+
+    import jax
+
+    from test_train_step import _clip, make_everything
+
+    # reference values on this (single-process) side
+    model, cfg, tx, state, step = make_everything()
+    clip = _clip(7, b=8)
+    s_ref, m_ref = jax.jit(step)(state, clip, jax.random.PRNGKey(0))
+    want_loss = float(m_ref["loss"])
+    want_proto = float(np.abs(np.asarray(s_ref.params["prototypes"])).sum())
+
+    script = tmp_path / "worker_train.py"
+    script.write_text(WORKER_TRAIN_STEP)
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ,
+               PYTHONPATH=os.pathsep.join([repo_root, tests_dir]))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port),
+             repr(want_loss), repr(want_proto)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+        assert "OK pid=" in out
+
+
 def test_two_process_host_batch_transfer(tmp_path):
     """host_batch_to_device assembles the true global batch from distinct
     per-host loader outputs (device_put would silently treat each host's

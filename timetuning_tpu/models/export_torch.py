@@ -115,7 +115,9 @@ def save_timet_pth(params: Mapping[str, Any], path: str) -> str:
     import torch
 
     sd = {
-        k: torch.from_numpy(np.ascontiguousarray(v, dtype=np.float32))
+        # copy=True: jax arrays view as READ-ONLY numpy; from_numpy on a
+        # non-writable array is undefined behavior (torch warns)
+        k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
         for k, v in timet_state_dict(params).items()
     }
     torch.save(sd, path)

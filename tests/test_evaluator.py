@@ -212,6 +212,16 @@ def test_streaming_respects_fg_masks():
     )
     assert s_stream == pytest.approx(s_mem, abs=1e-3)
 
+    # frame-level [total*F, h, w] masks must index by offset*F in the
+    # streaming batch loop (clip offsets alone would mask with the wrong
+    # clips' masks for F>1)
+    kw_flat = dict(kw, fg_masks=fg.reshape(total * F, 7, 7))
+    s_flat = Evaluator(**kw_flat).evaluate(
+        evaluation_protocol="dataset-wise", eval_resolution=28, num_clusters=3,
+        streaming=True, sample_cap=10_000_000,
+    )
+    assert s_flat == pytest.approx(s_stream, abs=1e-6)
+
 
 def test_streaming_prototypes_matches_in_memory():
     """streaming=True must honor clustering_algorithm='prototypes' (one-pass

@@ -79,3 +79,64 @@ def test_cbfe_cli_smoke(voc_tree, capsys):
     out = capsys.readouterr().out
     assert "threshold=" in out
     assert "masked dataset-wise mIoU" in out
+
+
+def test_setup_sbd_annotations_encodes_voc_and_sbd(tmp_path):
+    """SegmentationClassAug must receive BOTH the SBD .mat encodes and
+    VOC's own SegmentationClass masks (the 2012-only annotations a
+    trainaug split needs — reference data_loader.py:1028-1040), with VOC
+    taking precedence for overlapping names."""
+    import os
+
+    import scipy.io
+    from PIL import Image
+
+    from timetuning_tpu.data.pascal import (
+        PascalVOCDataset,
+        setup_sbd_annotations,
+    )
+
+    voc = tmp_path / "voc"
+    sbd = tmp_path / "sbd"
+    (voc / "SegmentationClass").mkdir(parents=True)
+    (voc / "images").mkdir()
+    (voc / "sets").mkdir()
+    (sbd / "dataset" / "cls").mkdir(parents=True)
+
+    # VOC-only mask: palette png whose INDICES are the class ids
+    pal_img = Image.fromarray(np.full((8, 8), 5, np.uint8), mode="P")
+    pal_img.putpalette([0, 0, 0] * 256)
+    pal_img.save(voc / "SegmentationClass" / "voc_only.png")
+    # overlap name: VOC says class 7, SBD says class 2 — VOC must win
+    ov = Image.fromarray(np.full((8, 8), 7, np.uint8), mode="P")
+    ov.putpalette([0, 0, 0] * 256)
+    ov.save(voc / "SegmentationClass" / "overlap.png")
+    for name, cls in (("sbd_only", 3), ("overlap", 2)):
+        scipy.io.savemat(
+            sbd / "dataset" / "cls" / f"{name}.mat",
+            {"GTcls": {"Segmentation": np.full((8, 8), cls, np.uint8)}},
+        )
+
+    n = setup_sbd_annotations(str(voc), str(sbd))
+    assert n == 3  # voc_only + overlap (VOC) + sbd_only
+
+    aug = voc / "SegmentationClassAug"
+    got = {
+        f[:-4]: np.asarray(Image.open(aug / f))
+        for f in sorted(os.listdir(aug))
+    }
+    assert set(got) == {"voc_only", "overlap", "sbd_only"}
+    assert got["voc_only"].max() == got["voc_only"].min() == 5
+    assert got["sbd_only"].max() == 3
+    assert got["overlap"].max() == 7  # VOC precedence
+
+    # a trainaug split over a VOC-only name now loads (previously
+    # FileNotFoundError: the mask never reached SegmentationClassAug)
+    import cv2
+
+    cv2.imwrite(str(voc / "images" / "voc_only.jpg"),
+                np.zeros((8, 8, 3), np.uint8))
+    (voc / "sets" / "trainaug.txt").write_text("voc_only\n")
+    ds = PascalVOCDataset(str(voc), image_set="trainaug")
+    img, mask = ds[0]
+    assert mask.max() == 5

@@ -23,8 +23,6 @@ try:
 except Exception:  # pragma: no cover
     cv2 = None
 
-from timetuning_tpu.data.transforms import IMAGENET_STD  # noqa: F401  (re-export)
-
 
 class PascalVOCDataset:
     """images/*.jpg + SegmentationClass[Aug]/*.png + sets/<split>.txt."""
@@ -119,15 +117,39 @@ def pascal_loader(
 
 
 def setup_sbd_annotations(voc_root: str, sbd_root: str) -> int:
-    """Pre-encode SBD .mat ground truth into SegmentationClassAug pngs
-    (reference ``pascalVOCLoader.setup_annotations``, data_loader.py:948-1042).
+    """Pre-encode the augmented-train annotation set into
+    ``SegmentationClassAug`` pngs: VOC's own ``SegmentationClass`` masks
+    (the 2012-only annotations a trainaug split needs) PLUS the SBD .mat
+    ground truth (reference ``pascalVOCLoader.setup_annotations``,
+    data_loader.py:1001-1042, which writes both; VOC takes precedence for
+    overlapping names, like the reference's later trainval write).
     Returns number of files written."""
     import scipy.io
 
     out_dir = os.path.join(voc_root, "SegmentationClassAug")
     os.makedirs(out_dir, exist_ok=True)
-    mat_dir = os.path.join(sbd_root, "dataset", "cls")
     count = 0
+
+    # VOC first (authoritative for overlaps). Palette indices ARE the class
+    # ids — decode through PIL 'P' mode, never cv2 (see PascalVOCDataset).
+    seg_dir = os.path.join(voc_root, "SegmentationClass")
+    if os.path.isdir(seg_dir):
+        from PIL import Image
+
+        for fn in sorted(os.listdir(seg_dir)):
+            if not fn.endswith(".png"):
+                continue
+            dst = os.path.join(out_dir, fn)
+            if os.path.exists(dst):
+                continue
+            with Image.open(os.path.join(seg_dir, fn)) as im:
+                seg = np.asarray(
+                    im if im.mode in ("P", "L") else im.convert("L")
+                ).astype(np.uint8)
+            cv2.imwrite(dst, seg)
+            count += 1
+
+    mat_dir = os.path.join(sbd_root, "dataset", "cls")
     for fn in sorted(os.listdir(mat_dir)):
         if not fn.endswith(".mat"):
             continue

@@ -159,6 +159,19 @@ def _dataset_wise_bounded(grids, key, k, grid_hw, r, n_iter, n_redo, pca_dim):
     return out.reshape(n_chunks * ppc)[:n_total]
 
 
+def prototype_merge_table(
+    prototypes: jax.Array, num_classes: int, key: jax.Array | None = None
+) -> jax.Array:
+    """[K] int32 table mapping each prototype to its merged class — the
+    k-means-over-prototypes of reference clustering.py:106-116. The merge
+    depends only on the bank, so batch-streaming callers hoist this out of
+    their loop and index cluster maps through it."""
+    if key is None:
+        key = jax.random.PRNGKey(1)
+    pn = prototypes / (jnp.linalg.norm(prototypes, axis=-1, keepdims=True) + _EPS)
+    return kmeans(pn, num_classes, key, n_iter=50, n_redo=5).assignments
+
+
 def proto_clustering(
     features: jax.Array,          # [B, F, N, D] (projection-head space)
     prototypes: jax.Array,        # [K, D]
@@ -181,8 +194,5 @@ def proto_clustering(
     )                                                              # [BF, r, r, K]
     assign = jnp.argmax(maps, axis=-1)                             # [BF, r, r]
     if num_classes is not None and num_classes < prototypes.shape[0]:
-        if key is None:
-            key = jax.random.PRNGKey(1)
-        merge = kmeans(pn, num_classes, key, n_iter=50, n_redo=5).assignments
-        assign = merge[assign]
+        assign = prototype_merge_table(prototypes, num_classes, key)[assign]
     return assign.reshape(B, F, eval_resolution, eval_resolution).astype(jnp.int32)

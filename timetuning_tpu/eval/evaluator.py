@@ -39,6 +39,7 @@ def evaluate_localizations(
     precision_based: bool = False,
     ignore_index: int | None = None,
     logging_directory: str | None = None,
+    clip_offset: int = 0,
 ) -> float:
     """Match cluster maps to annotations under a protocol; returns mean mIoU
     (reference evaluation.py:250-310). With ``logging_directory``, writes
@@ -56,13 +57,16 @@ def evaluate_localizations(
 
         sub = os.path.join(logging_directory, evaluation_protocol)
         os.makedirs(sub, exist_ok=True)
+        # clip_offset keeps names unique across the caller's batches —
+        # batch-local indices alone would overwrite same-score clips
+        n = clip_offset + i
         write_gif(
             [colorize_segmentation(f) for f in reordered_frames],
-            os.path.join(sub, f"score_{clip_score:.3f}_reordered_{i}.gif"),
+            os.path.join(sub, f"score_{clip_score:.3f}_reordered_{n}.gif"),
         )
         write_gif(
             [colorize_segmentation(f) for f in raw_frames],
-            os.path.join(sub, f"score_{clip_score:.3f}_inorder_{i}.gif"),
+            os.path.join(sub, f"score_{clip_score:.3f}_inorder_{n}.gif"),
         )
 
     if evaluation_protocol == "frame-wise":
@@ -96,6 +100,11 @@ def evaluate_localizations(
                 )
             preds_eval.reset()
     elif evaluation_protocol == "dataset-wise":
+        if logging_directory is not None:
+            logging.getLogger("timetuning_tpu.eval").warning(
+                "gif logging is a frame-/sample-wise feature (reference "
+                "evaluation.py:255-300) — no artifacts for dataset-wise"
+            )
         for i in range(B):
             for j in range(F):
                 g = gts[i, j].reshape(-1)
@@ -200,11 +209,19 @@ class Evaluator:
 
     def _mask_batch(self, feats, offset):
         """Apply precomputed FG masks to a feature batch (patch-level
-        multiply, same as the in-memory path)."""
+        multiply, same as the in-memory path). ``fg_masks`` is either
+        clip-level [total_clips, F, h, w] (what cli/cbfe passes) or
+        frame-level [total_frames, h, w]; ``offset`` counts CLIPS consumed
+        so far — frame-level arrays index by ``offset * F``."""
         if self.fg_masks is None:
             return feats
         B, F = feats.shape[:2]
-        m = jnp.asarray(self.fg_masks[offset:offset + B], jnp.float32)
+        if np.ndim(self.fg_masks) == 4:
+            m = jnp.asarray(self.fg_masks[offset:offset + B], jnp.float32)
+        else:
+            m = jnp.asarray(
+                self.fg_masks[offset * F:(offset + B) * F], jnp.float32
+            )
         m = resize_nearest(m.reshape(B, F, *m.shape[-2:]), (self.res, self.res))
         return feats * m.reshape(B, F, -1, 1)
 
@@ -218,6 +235,16 @@ class Evaluator:
         assert self.prototypes is not None
         r = eval_resolution
         offset = 0
+        merge = None
+        if num_clusters is not None and num_clusters < self.prototypes.shape[0]:
+            # the prototype-merge k-means depends only on the bank — compute
+            # it ONCE instead of re-fitting identically inside every batch's
+            # proto_clustering call
+            from timetuning_tpu.eval.clustering import prototype_merge_table
+
+            merge = np.asarray(prototype_merge_table(
+                jnp.asarray(self.prototypes), num_clusters
+            ))
         for batch in self.data_iter_factory():
             frames, annotations = batch[0], batch[1]
             frames = jnp.asarray(frames)
@@ -226,9 +253,10 @@ class Evaluator:
                 annotations = np.asarray(annotations)[:, None]
             feats = self._mask_batch(self._extract(frames, use_mask), offset)
             preds = np.asarray(
-                proto_clustering(feats, self.prototypes, r,
-                                 num_classes=num_clusters)
+                proto_clustering(feats, self.prototypes, r, num_classes=None)
             )
+            if merge is not None:
+                preds = merge[preds]
             annots = np.asarray(
                 resize_nearest(jnp.asarray(np.asarray(annotations),
                                            jnp.float32), (r, r))
@@ -464,10 +492,14 @@ class Evaluator:
             return score
 
         batch_scores = []
+        clips_seen = 0
         for batch in self.data_iter_factory():
             frames, annotations = batch[0], batch[1]
             frames = jnp.asarray(frames)
             annotations = np.asarray(annotations)
+            if frames.ndim == 4:      # image dataset → single-frame clips
+                frames = frames[:, None]
+                annotations = annotations[:, None]
             feats = self._extract(frames, use_mask)
             if self.uvos:
                 annotations = (annotations > 0).astype(np.int64)
@@ -484,7 +516,11 @@ class Evaluator:
                     self.metric, annotations, cluster_maps, evaluation_protocol,
                     many_to_one, precision_based,
                     logging_directory=self.logging_directory,
+                    clip_offset=clips_seen,
                 )
             )
+            clips_seen += int(annotations.shape[0])
             self.logger.info("batch score %s", batch_scores[-1])
+        # reference semantics: the dataset score is the MEAN OF PER-BATCH
+        # scores (evaluation.py:483), ragged final batch included as one term
         return float(np.mean(batch_scores))

@@ -2,8 +2,8 @@
 
 Re-designs the reference ``PredsmIoU`` (metrics.py:209-505) for TPU:
 
-  * ``update`` accumulates a single [num_gt, num_pred] confusion matrix on
-    device (one ``bincount`` of the joint label per call). The reference
+  * ``update`` accumulates a single [num_gt, num_pred] confusion matrix
+    (one vectorized ``bincount`` of the joint label per call). The reference
     instead kept *every flattened pixel* in host lists and later computed a
     joblib-parallel score matrix with one full array scan per (gt, pred)
     pair (metrics.py:458-479) — the confusion matrix contains identical
@@ -24,20 +24,27 @@ on demand for visualization.
 from __future__ import annotations
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 from timetuning_tpu.native import hungarian as linear_sum_assignment
 
 
 def confusion_matrix(
-    gt: jax.Array, pred: jax.Array, num_gt: int, num_pred: int
-) -> jax.Array:
-    """Device-side [num_gt, num_pred] confusion matrix of int32 counts."""
-    joint = gt.reshape(-1).astype(jnp.int32) * num_pred + pred.reshape(-1).astype(
-        jnp.int32
+    gt: np.ndarray, pred: np.ndarray, num_gt: int, num_pred: int
+) -> np.ndarray:
+    """[num_gt, num_pred] confusion matrix as ONE vectorized bincount.
+
+    Host-side on purpose: the inputs arrive as (often ignore-filtered,
+    data-dependent-length) numpy label arrays — a jitted device bincount
+    would retrace per distinct length (one compile per frame on Pascal val)
+    and pay a transfer each way, for a memory-bound op numpy does in
+    milliseconds at dataset scale."""
+    joint = (
+        np.asarray(gt).reshape(-1).astype(np.int64) * num_pred
+        + np.asarray(pred).reshape(-1).astype(np.int64)
     )
-    return jnp.bincount(joint, length=num_gt * num_pred).reshape(num_gt, num_pred)
+    return np.bincount(joint, minlength=num_gt * num_pred).reshape(
+        num_gt, num_pred
+    )
 
 
 class PredsmIoU:
@@ -46,16 +53,15 @@ class PredsmIoU:
     Capacity follows the data: the reference inferred class counts from the
     observed uniques at compute time (metrics.py:255-267); here the confusion
     matrix grows whenever an update carries an id beyond the current
-    capacity (rounded up to the next power of two to bound recompiles of the
-    jitted bincount), so k>capacity clusterings (e.g. CBFE's k=300
-    overclustering) can never silently alias into the wrong row.
+    capacity (rounded up to the next power of two to bound reallocations),
+    so k>capacity clusterings (e.g. CBFE's k=300 overclustering) can never
+    silently alias into the wrong row.
     """
 
     def __init__(self, num_pred_classes: int, num_gt_classes: int, involve_bg: bool = False):
         self.involve_bg = involve_bg
         self.num_pred_classes = 0
         self.num_gt_classes = 0
-        self._update_fn = None
         self._conf = np.zeros((0, 0), np.int64)
         # propagation-score mode keeps per-frame confusions (small)
         self._frames: list[np.ndarray] = []
@@ -87,9 +93,6 @@ class PredsmIoU:
             for f in self._frames
         ]
         self.num_gt_classes, self.num_pred_classes = new_gt, new_pred
-        self._update_fn = jax.jit(
-            lambda g, p: confusion_matrix(g, p, new_gt, new_pred)
-        )
 
     def reset(self) -> None:
         self._conf[:] = 0
@@ -100,7 +103,9 @@ class PredsmIoU:
         if gt.size == 0:
             return None
         self._ensure_capacity(int(gt.max()) + 1, int(pred.max()) + 1)
-        return np.asarray(self._update_fn(jnp.asarray(gt), jnp.asarray(pred)))
+        return confusion_matrix(
+            gt, pred, self.num_gt_classes, self.num_pred_classes
+        )
 
     def update(self, gt, pred) -> None:
         c = self._count(gt, pred)

@@ -20,6 +20,7 @@
 //                   uint8_t* out, int n_threads)   // out: n_ids*frame_bytes
 //   clippack_close(handle)
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
@@ -45,6 +46,16 @@ struct Pack {
 
 std::mutex g_mu;
 std::vector<Pack*> g_packs;
+
+// Handle validation: a stale/forged int64 must fail closed, not memcpy
+// from a dangling pointer.
+Pack* lookup(int64_t handle) {
+  Pack* p = reinterpret_cast<Pack*>(handle);
+  std::lock_guard<std::mutex> lock(g_mu);
+  return std::find(g_packs.begin(), g_packs.end(), p) != g_packs.end()
+             ? p
+             : nullptr;
+}
 
 }  // namespace
 
@@ -77,8 +88,17 @@ int64_t clippack_open(const char* path) {
   p->h = hdr[2];
   p->w = hdr[3];
   p->c = hdr[4];
-  p->frame_bytes = p->h * p->w * p->c;
-  if (kHeaderBytes + p->n * p->frame_bytes > static_cast<int64_t>(p->size)) {
+  // Reject corrupt headers: every field positive, per-dimension bounds that
+  // keep frame_bytes well under overflow, and an overflow-safe (division,
+  // not multiplication) check that the mmap actually covers n frames.
+  bool ok = p->n > 0 && p->h > 0 && p->w > 0 && p->c > 0 &&
+            p->h <= (1 << 20) && p->w <= (1 << 20) && p->c <= 16;
+  if (ok) {
+    p->frame_bytes = p->h * p->w * p->c;
+    const int64_t payload = static_cast<int64_t>(p->size) - kHeaderBytes;
+    ok = p->frame_bytes > 0 && p->n <= payload / p->frame_bytes;
+  }
+  if (!ok) {
     munmap(mem, st.st_size);
     ::close(fd);
     delete p;
@@ -90,7 +110,11 @@ int64_t clippack_open(const char* path) {
 }
 
 void clippack_info(int64_t handle, int64_t* out) {
-  const Pack* p = reinterpret_cast<const Pack*>(handle);
+  const Pack* p = lookup(handle);
+  if (p == nullptr) {
+    out[0] = out[1] = out[2] = out[3] = 0;
+    return;
+  }
   out[0] = p->n;
   out[1] = p->h;
   out[2] = p->w;
@@ -99,7 +123,8 @@ void clippack_info(int64_t handle, int64_t* out) {
 
 int clippack_gather(int64_t handle, const int64_t* ids, int64_t n_ids,
                     uint8_t* out, int n_threads) {
-  const Pack* p = reinterpret_cast<const Pack*>(handle);
+  const Pack* p = lookup(handle);
+  if (p == nullptr) return -1;
   for (int64_t i = 0; i < n_ids; ++i) {
     if (ids[i] < 0 || ids[i] >= p->n) return -1;
   }
@@ -128,12 +153,11 @@ int clippack_gather(int64_t handle, const int64_t* ids, int64_t n_ids,
 
 void clippack_close(int64_t handle) {
   Pack* p = reinterpret_cast<Pack*>(handle);
-  std::lock_guard<std::mutex> lock(g_mu);
-  for (auto it = g_packs.begin(); it != g_packs.end(); ++it) {
-    if (*it == p) {
-      g_packs.erase(it);
-      break;
-    }
+  {
+    std::lock_guard<std::mutex> lock(g_mu);
+    auto it = std::find(g_packs.begin(), g_packs.end(), p);
+    if (it == g_packs.end()) return;  // unknown handle / double close: no-op
+    g_packs.erase(it);
   }
   munmap(const_cast<uint8_t*>(p->data), p->size);
   ::close(p->fd);

@@ -73,6 +73,22 @@ def test_metrics_writer(tmp_path):
     assert '"Loss/train"' in lines[0]
 
 
+def test_metrics_writer_nonfinite_stays_strict_json(tmp_path):
+    """A diverged run's NaN/inf must not poison metrics.jsonl with
+    non-strict JSON tokens (jq/CI parsers reject NaN)."""
+    import json
+
+    w = MetricsWriter(str(tmp_path / "tb"), use_tensorboard=False)
+    w.scalar("Loss/train", float("nan"), 0)
+    w.scalar("Loss/train", float("inf"), 1)
+    w.close()
+    lines = open(str(tmp_path / "tb" / "metrics.jsonl")).read().splitlines()
+    recs = [json.loads(l, parse_constant=lambda s: pytest.fail(
+        f"non-strict JSON token {s}")) for l in lines]
+    assert recs[0]["value"] == "nan"
+    assert recs[1]["value"] == "inf"
+
+
 def test_dump_config_and_logger(tmp_path):
     path = dump_config({"lr": 1e-4, "bs": 128}, str(tmp_path))
     text = open(path).read()

@@ -254,3 +254,63 @@ def test_packed_kinetics_matches_decode(tmp_path):
     fb, ab, _ = next(iter(packed))
     np.testing.assert_array_equal(fa, fb)
     np.testing.assert_array_equal(ab, 0)
+
+
+def test_hungarian_transposed_rows_sorted():
+    """scipy contract: row_ind ascending, even for n_rows > n_cols (the
+    internally-transposed branch used to return rows in column order)."""
+    from scipy.optimize import linear_sum_assignment
+
+    from timetuning_tpu.native import hungarian
+
+    rng = np.random.default_rng(3)
+    for shape in [(5, 3), (7, 2), (4, 4), (2, 6)]:
+        cost = rng.random(shape)
+        r, c = hungarian(cost)
+        rs, cs = linear_sum_assignment(cost)
+        np.testing.assert_array_equal(np.sort(r), r)  # ascending
+        assert cost[r, c].sum() == pytest.approx(cost[rs, cs].sum())
+
+
+def test_clippack_rejects_corrupt_headers(tmp_path):
+    """Corrupt pack headers (huge/negative dims whose product overflows the
+    old size check) must fail open(), not SIGSEGV in gather."""
+    from timetuning_tpu.native import _MAGIC, ClipPack, _load_library
+
+    lib = _load_library()
+    for name, fields in [
+        ("overflow", [_MAGIC, 1 << 40, 1 << 20, 1 << 20, 3]),
+        ("negative", [_MAGIC, 4, -32, 32, 3]),
+        ("zero", [_MAGIC, 0, 32, 32, 3]),
+        ("badmagic", [0x1234, 4, 32, 32, 3]),
+    ]:
+        p = tmp_path / f"{name}.pack"
+        p.write_bytes(np.asarray(fields, np.int64).tobytes() + b"\0" * 64)
+        if lib is not None:
+            assert lib.clippack_open(str(p).encode()) == 0, name
+        with pytest.raises((ValueError, AssertionError, Exception)):
+            ClipPack(str(p))
+
+
+def test_clippack_unknown_handle_fails_closed():
+    """Stale/forged handles must be rejected by the registry, not memcpy'd
+    from a dangling pointer (info zeros, gather -1, close no-op)."""
+    import ctypes
+
+    from timetuning_tpu.native import _load_library
+
+    lib = _load_library()
+    if lib is None:
+        pytest.skip("native lib unavailable")
+    bogus = 0xDEAD
+    info = (ctypes.c_int64 * 4)(1, 2, 3, 4)
+    lib.clippack_info(bogus, info)
+    assert list(info) == [0, 0, 0, 0]
+    ids = np.asarray([0], np.int64)
+    out = np.empty(16, np.uint8)
+    rc = lib.clippack_gather(
+        bogus, ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), 1,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 1,
+    )
+    assert rc == -1
+    lib.clippack_close(bogus)  # must not crash

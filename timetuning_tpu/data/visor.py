@@ -15,13 +15,20 @@ def extract_zips(zip_dir: str, out_dir: str) -> list[str]:
     """Extract every zip in ``zip_dir`` into ``out_dir``; returns the
     extracted top-level directories."""
     os.makedirs(out_dir, exist_ok=True)
-    extracted = []
+    extracted: list[str] = []
+    seen: set[str] = set()
     for fn in sorted(os.listdir(zip_dir)):
         if not fn.endswith(".zip"):
             continue
         with zipfile.ZipFile(os.path.join(zip_dir, fn)) as zf:
             zf.extractall(out_dir)
-        extracted.append(os.path.join(out_dir, os.path.splitext(fn)[0]))
+            # report what was ACTUALLY extracted — a zip's members need
+            # not live under a directory named like the zip file
+            for name in zf.namelist():
+                top = name.split("/", 1)[0]
+                if top and top not in seen:
+                    seen.add(top)
+                    extracted.append(os.path.join(out_dir, top))
     return extracted
 
 

@@ -108,7 +108,10 @@ def hungarian(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         return linear_sum_assignment(cost.T if transposed else cost)
     rows = np.arange(n_rows)
     if transposed:
-        return out.astype(np.int64), rows
+        # scipy contract: row_ind ascending. `out` here is the matched
+        # ORIGINAL-row per original-column, i.e. unsorted rows.
+        order = np.argsort(out, kind="stable")
+        return out[order].astype(np.int64), rows[order]
     return rows, out.astype(np.int64)
 
 
@@ -180,10 +183,18 @@ def build_clip_pack(
         if os.path.exists(tmp):
             os.remove(tmp)
         raise
-    os.replace(tmp, path)
     ip = index_path or path + ".index.json"
-    with open(ip, "w") as f:
+    # Crash-window discipline: drop any stale index BEFORE publishing the
+    # new pack, publish the new index atomically AFTER. Every interruption
+    # then leaves at most ONE of (pack, index) on disk, so the
+    # exists-both rebuild guard (core/train.py) rebuilds instead of
+    # silently pairing a new pack with a stale index's offsets.
+    if os.path.exists(ip):
+        os.remove(ip)
+    os.replace(tmp, path)
+    with open(ip + ".tmp", "w") as f:
         json.dump(index, f)
+    os.replace(ip + ".tmp", ip)
     return index
 
 
@@ -204,8 +215,22 @@ class ClipPack:
             self._mm = None
         else:
             header = np.fromfile(path, dtype=np.int64, count=5)
-            assert header[0] == _MAGIC, f"{path} is not a clip pack"
+            # real raise, not assert: under `python -O` an assert would
+            # silently memmap a non-pack file as frame data
+            if header.size < 5 or header[0] != _MAGIC:
+                raise ValueError(f"{path} is not a clip pack")
             self.n, self.h, self.w, self.c = (int(x) for x in header[1:5])
+            if min(self.n, self.h, self.w, self.c) <= 0:
+                raise ValueError(f"{path} has a corrupt pack header")
+            # exact Python-int arithmetic (no int64 overflow) — mirrors the
+            # native open()'s division-based coverage check
+            need = self.n * self.h * self.w * self.c
+            avail = os.path.getsize(path) - _HEADER_BYTES
+            if need > avail:
+                raise ValueError(
+                    f"{path} truncated: header claims {need} frame bytes, "
+                    f"file holds {avail}"
+                )
             self._mm = np.memmap(
                 path, dtype=np.uint8, mode="r", offset=_HEADER_BYTES,
                 shape=(self.n, self.h, self.w, self.c),

@@ -45,7 +45,15 @@ class MetricsWriter:
             self._wandb = None
 
     def scalar(self, tag: str, value: float, step: int) -> None:
-        self._jsonl.write(json.dumps({"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        v = float(value)
+        if v != v or v in (float("inf"), float("-inf")):
+            # json.dumps would emit NaN/Infinity tokens — INVALID JSON that
+            # breaks jq/strict parsers exactly on the diverged runs worth
+            # inspecting; record the value as a string instead
+            v = str(v)
+        self._jsonl.write(json.dumps(
+            {"tag": tag, "value": v, "step": int(step)}
+        ) + "\n")
         self._jsonl.flush()
         if self._tb is not None:
             self._tb.add_scalar(tag, value, step)

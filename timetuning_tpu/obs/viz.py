@@ -7,6 +7,7 @@ Reference: my_utils.py:41-158 (``localize_objects`` overlays,
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
@@ -20,13 +21,23 @@ _DAVIS_BASE = [
 ]
 
 
-def davis_palette() -> np.ndarray:
+@functools.lru_cache(maxsize=1)
+def _davis_palette_cached() -> np.ndarray:
     pal = np.zeros((256, 3), np.uint8)
     for i, c in enumerate(_DAVIS_BASE):
         pal[i] = c
     rng = np.random.default_rng(1)
-    pal[len(_DAVIS_BASE):] = rng.integers(0, 255, size=(256 - len(_DAVIS_BASE), 3))
+    pal[len(_DAVIS_BASE):] = rng.integers(
+        0, 256, size=(256 - len(_DAVIS_BASE), 3)
+    )
+    pal.setflags(write=False)
     return pal
+
+
+def davis_palette() -> np.ndarray:
+    """The 256-color DAVIS palette — constant, computed once (per-frame
+    gif loops call this via colorize_segmentation)."""
+    return _davis_palette_cached()
 
 
 def generate_colors(n: int) -> np.ndarray:
@@ -85,6 +96,11 @@ def write_video(frames: list[np.ndarray], path: str, fps: int = 10) -> str:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     h, w = frames[0].shape[:2]
     vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not vw.isOpened():
+        raise RuntimeError(
+            f"cv2.VideoWriter could not open {path} (mp4v codec missing?) "
+            "- would have written an empty artifact"
+        )
     for f in frames:
         vw.write(cv2.cvtColor(np.asarray(f).astype(np.uint8), cv2.COLOR_RGB2BGR))
     vw.release()
@@ -101,8 +117,10 @@ def clip_overlay_frames(
     out = []
     for img, seg in zip(images, segs):
         img_d = denormalize(img, mean, std)
+        # int32, NOT uint8: overclustering ids >= 256 must not wrap (the
+        # palette indexing takes % 256 later, which only affects colors)
         seg_r = cv2.resize(
-            seg.astype(np.uint8), img_d.shape[:2][::-1],
+            seg.astype(np.int32), img_d.shape[:2][::-1],
             interpolation=cv2.INTER_NEAREST,
         )
         out.append(overlay_segmentation(img_d, seg_r))

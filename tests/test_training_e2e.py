@@ -146,25 +146,55 @@ def test_preemption_saves_and_resumes(davis_tree, tmp_path):
     assert result2["run_dir"] == run_dir
 
 
-def test_periodic_mid_epoch_checkpoints(davis_tree, tmp_path):
+def test_periodic_mid_epoch_checkpoints(davis_tree, tmp_path, monkeypatch):
     """checkpoint_every_steps must fire MID-epoch, not only at the epoch
     flush: with 2 steps/epoch × 2 epochs and every_steps=3, only the
-    mid-epoch-1 save at global step 3 can produce a step-3 checkpoint (the
-    epoch-start save holds step 2, and neither epoch flush lands on a
-    multiple of 3)."""
+    mid-epoch-1 save can hold global step 3 (epoch-top saves hold steps
+    0/2, the final save holds 4). The step-3 checkpoint is stashed by a
+    save spy and restored afterwards to exercise the mid-epoch RESUME
+    path (the final save would otherwise supersede it)."""
+    import shutil
+
+    from timetuning_tpu.core import train as train_mod
     from timetuning_tpu.core.checkpoint import load_checkpoint
 
+    saves = []
+    stash = tmp_path / "step3_stash"
+    orig_save = train_mod.save_checkpoint
+
+    def spy(state, run_dir, epoch, meta=None):
+        p = orig_save(state, run_dir, epoch, meta=meta)
+        saves.append((int(state.step), epoch))
+        if int(state.step) == 3:
+            shutil.copytree(p, stash / "checkpoint", dirs_exist_ok=True)
+            mp = os.path.join(run_dir, "checkpoint_meta.json")
+            if os.path.exists(mp):
+                shutil.copy2(mp, stash / "checkpoint_meta.json")
+        return p
+
+    monkeypatch.setattr(train_mod, "save_checkpoint", spy)
     cfg = _cfg(davis_tree, tmp_path, num_epochs=2, checkpoint_every_steps=3)
     result = run_training(cfg)
     assert result["preempted"] is False
     assert result["global_step"] == 4
+    assert (3, 1) in saves, "mid-epoch periodic save did not happen"
+    # final save persists the LAST epoch (epoch marker == num_epochs, so a
+    # same-config resume is a no-op instead of silently retraining it)
     st, ep = load_checkpoint(result["run_dir"], result["state"])
-    assert int(st.step) == 3, "mid-epoch periodic save did not happen"
-    assert ep == 1
+    assert int(st.step) == 4 and ep == 2
+    cfg_noop = _cfg(davis_tree, tmp_path, num_epochs=2, load_checkpoint=True)
+    r_noop = run_training(cfg_noop)
+    assert r_noop["run_dir"] == result["run_dir"]
+    assert r_noop["global_step"] == 4
 
-    # resume from the step-3 mid-epoch checkpoint: epoch 1's first batch was
-    # already consumed, so the resumed run must SKIP it (replaying would
-    # double-apply updates and overrun the schedules) and finish at step 4
+    # restore the stashed step-3 mid-epoch checkpoint and resume: epoch 1's
+    # first batch was already consumed, so the resumed run must SKIP it
+    # (replaying would double-apply updates and overrun the schedules)
+    shutil.rmtree(os.path.join(result["run_dir"], "checkpoint"))
+    shutil.copytree(stash / "checkpoint",
+                    os.path.join(result["run_dir"], "checkpoint"))
+    shutil.copy2(stash / "checkpoint_meta.json",
+                 os.path.join(result["run_dir"], "checkpoint_meta.json"))
     cfg2 = _cfg(davis_tree, tmp_path, num_epochs=2, load_checkpoint=True)
     result2 = run_training(cfg2)
     assert result2["run_dir"] == result["run_dir"]

@@ -362,12 +362,22 @@ def make_train_step(
         # shrinking it, silently
         import flax.traverse_util as tu
 
+        import re as _re
+
         for kpath, t in tu.flatten_dict(trainable_mask).items():
             s = "/".join(str(p) for p in kpath)
-            import re as _re
-
+            if not t or "backbone" not in s:
+                continue
             m = _re.search(r"blocks_(\d+)", s)
-            if t and m and int(m.group(1)) < split and "backbone" in s:
+            in_trunk = (
+                int(m.group(1)) < split
+                if m
+                # non-block backbone leaves: the embedding params
+                # (patch_embed / pos_embed / cls_token) run inside the
+                # trunk; only the final norm belongs to the tail
+                else "norm" not in s
+            )
+            if in_trunk:
                 raise ValueError(
                     f"frozen_trunk_blocks={split} but trainable leaf {s} "
                     "lies inside the trunk"

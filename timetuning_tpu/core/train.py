@@ -211,9 +211,13 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     def full(state, frames_u8, src_sizes, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
         if sharded:
-            # decorrelate per-device augmentation streams (the reference's
-            # per-rank DataLoader-worker RNG streams)
-            k_aug = jax.random.fold_in(k_aug, jax.lax.axis_index("data"))
+            # decorrelate per-device augmentation AND queue-FIFO sampling
+            # streams (the reference's per-rank RNG streams) — a shared
+            # step key would make every device store the same (sample,
+            # token) positions into its queue shard
+            idx = jax.lax.axis_index("data")
+            k_aug = jax.random.fold_in(k_aug, idx)
+            k_step = jax.random.fold_in(k_step, idx)
         clips, _ = augment_batch(k_aug, frames_u8, None, aug_cfg,
                                  with_annotations=False, src_sizes=src_sizes)
         return base_step(state, clips, k_step)
@@ -307,9 +311,30 @@ def log_training_diagnostics(
     return ent
 
 
+def _broadcast_str(s: str | None, max_len: int = 512) -> str:
+    """Agree on a string across processes (process 0's value wins)."""
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(max_len, np.uint8)
+    if s is not None:
+        b = s.encode()
+        if len(b) > max_len:
+            raise ValueError(f"string too long to broadcast: {s!r}")
+        buf[: len(b)] = np.frombuffer(b, np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return bytes(np.asarray(out)).rstrip(b"\0").decode()
+
+
 def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     devices = jax.devices()
     n_dev = len(devices) if cfg.num_devices is None else cfg.num_devices
+    if n_dev > len(devices):
+        # a silent devices[:n] undershoot would desynchronize world_size
+        # from the actual mesh (wrong Sinkhorn marginals, queue shapes)
+        raise ValueError(
+            f"num_devices={n_dev} exceeds the {len(devices)} available "
+            "devices"
+        )
     tp = cfg.tensor_parallel
     if tp < 1:
         raise ValueError(f"tensor_parallel must be >= 1, got {tp}")
@@ -342,20 +367,33 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
 
         mesh = make_dp_tp_mesh(dp, tp, devices=devices[:n_dev])
     elif n_dev > 1:
-        if cfg.batch_size % n_dev != 0:
+        # batch_size is PER-HOST (each host's loader yields its own slice);
+        # the global batch assembled over the mesh is batch_size * processes
+        if (cfg.batch_size * jax.process_count()) % n_dev != 0:
             raise ValueError(
-                f"batch_size {cfg.batch_size} must divide over {n_dev} "
-                "devices (set num_devices to a divisor)"
+                f"global batch {cfg.batch_size} x {jax.process_count()} "
+                f"host(s) must divide over {n_dev} devices (set "
+                "num_devices to a divisor)"
             )
         from timetuning_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(n_devices=n_dev)
 
-    run_dir = (
-        find_last_run_directory(cfg.log_dir)
-        if cfg.load_checkpoint
-        else None
-    ) or make_run_directory(cfg.log_dir)
+    if jax.process_index() == 0:
+        run_dir = (
+            find_last_run_directory(cfg.log_dir)
+            if cfg.load_checkpoint
+            else None
+        ) or make_run_directory(cfg.log_dir)
+    else:
+        run_dir = None
+    if jax.process_count() > 1:
+        # the run dir is timestamped (and resume scans the filesystem), so
+        # every process must adopt PROCESS 0's choice — independently
+        # derived paths would mismatch the cross-process checkpoint
+        # barriers (deadlock) or resume different runs per host
+        run_dir = _broadcast_str(run_dir)
+        os.makedirs(run_dir, exist_ok=True)
     dump_config(dataclasses.asdict(cfg), run_dir)
     writer = MetricsWriter(run_dir, use_tensorboard=cfg.use_tensorboard)
     logger = make_file_logger("train", run_dir)
@@ -419,6 +457,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         rank=jax.process_index(),
         pack_path=cfg.pack_path,
         fast_decode=cfg.fast_decode,
+        seed=cfg.seed,
     )
     steps_per_epoch = max(len(loader), 1)
     if cfg.max_steps_per_epoch:
@@ -678,10 +717,20 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         # (seed, epoch), so the skipped prefix is exactly what was trained)
         # instead of replaying them — replay would double-apply optimizer/EMA
         # updates and overrun the cosine schedules.
-        resume_skip = min(
-            max(0, int(state.step) - start_epoch * steps_per_epoch),
-            steps_per_epoch,
-        )
+        from timetuning_tpu.core.checkpoint import load_checkpoint_meta
+
+        _meta_r = load_checkpoint_meta(run_dir) or {}
+        if _meta_r.get("steps_per_epoch") == steps_per_epoch:
+            resume_skip = min(
+                max(0, int(state.step) - start_epoch * steps_per_epoch),
+                steps_per_epoch,
+            )
+        else:
+            # the batching changed since the save (different batch size /
+            # world / dataset) or the checkpoint predates the sidecar: the
+            # consumed-batch count is not meaningful under the new
+            # partition — restart the epoch instead of mis-skipping
+            resume_skip = 0
 
     if cfg.load_checkpoint and cfg.use_queue and state.queue is not None:
         from timetuning_tpu.core.checkpoint import load_checkpoint_meta
@@ -831,6 +880,14 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
 
     global_step = int(state.step)
     best_score = -1.0
+    if cfg.load_checkpoint:
+        # best-so-far rides the meta sidecar: without it, the first
+        # post-resume eval always re-exports a spurious new "best"
+        from timetuning_tpu.core.checkpoint import load_checkpoint_meta
+
+        _meta0 = load_checkpoint_meta(run_dir)
+        if _meta0 and "best_score" in _meta0:
+            best_score = float(_meta0["best_score"])
     last_eval = None
     last_loss = None
     mem_reported = False   # one-time device-memory report (first step)
@@ -845,6 +902,9 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         "opt_layout": "zero1" if zero1 else (
             "trainable-subtree" if cfg.opt_over_trainable else "full-tree"
         ),
+        "best_score": best_score,
+        # resume-skip is only meaningful while the batching is unchanged
+        "steps_per_epoch": steps_per_epoch,
     }
     for epoch in range(start_epoch, cfg.num_epochs):
         save_checkpoint(state, run_dir, epoch, meta=ckpt_meta)
@@ -854,7 +914,16 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             and epoch % cfg.eval_every == 0
             and jax.process_index() == 0
         ):
-            score = evaluator_factory(state.params).evaluate(
+            # On pods the post-step params are GLOBAL arrays (sharded over
+            # every host's devices); this eval is a process-0-only local
+            # computation, so pull the dp-replicated params to host first —
+            # feeding a multi-process array into a single-process jit
+            # raises (or deadlocks the other hosts)
+            eval_params = (
+                jax.device_get(state.params)
+                if jax.process_count() > 1 else state.params
+            )
+            score = evaluator_factory(eval_params).evaluate(
                 many_to_one=cfg.many_to_one,
                 evaluation_protocol=cfg.evaluation_protocol,
                 eval_resolution=cfg.eval_resolution or cfg.input_resolution // 2,
@@ -871,12 +940,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                         model, cfg.input_resolution
                     )
                 log_training_diagnostics(
-                    diag_scores_fn, state.params, eval_loader, writer,
+                    diag_scores_fn, eval_params, eval_loader, writer,
                     run_dir, epoch, cfg, spatial_res,
                 )
             if score > best_score:
                 best_score = score
-                export_best(state.params, run_dir, score, epoch)
+                ckpt_meta["best_score"] = best_score
+                export_best(eval_params, run_dir, score, epoch)
 
         t0 = time.time()
         skip = resume_skip if epoch == start_epoch else 0
@@ -954,4 +1024,8 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             "epoch %d done in %.1fs (loss %s)", epoch, time.time() - t0, last_loss
         )
 
+    # final save: the loop's epoch-top saves never persist the LAST epoch's
+    # training (a resume would silently retrain it); epoch=num_epochs marks
+    # every epoch trained, so a same-config resume is a no-op
+    save_checkpoint(state, run_dir, cfg.num_epochs, meta=ckpt_meta)
     return _finish()

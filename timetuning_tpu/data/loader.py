@@ -337,6 +337,7 @@ def make_loader(
     num_clips: int = 1,
     drop_last: bool = True,
     pack_path: str | None = None,
+    seed: int = 1,
     **kw,
 ) -> ClipLoader:
     """Reference-compatible factory (data_loader.py:1047-1110 flag surface,
@@ -360,6 +361,7 @@ def make_loader(
         num_frames=num_clip_frames,
         decode_size=decode_size,
         regular_step=regular_step,
+        seed=seed,
         **kw,
     )
     return ClipLoader(
@@ -370,4 +372,5 @@ def make_loader(
         world_size=world_size,
         rank=rank,
         drop_last=drop_last,
+        seed=seed,
     )

@@ -24,16 +24,14 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from timetuning_tpu.ops.util import pad_to_multiple
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend is unavailable on CPU-only builds
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
     pltpu = None
-
-
-def _pad_len(s: int, multiple: int = 128) -> int:
-    return ((s + multiple - 1) // multiple) * multiple
 
 
 def attention_xla(
@@ -79,7 +77,8 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
 
 
 @functools.partial(jax.jit, static_argnames=("block_g",))
-def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, block_g: int = 16):
+def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array,
+                     block_g: int | None = None):
     """Fused attention. q, k, v: [B, H, S, Dh] → [B, H, S, Dh].
 
     Forward-only fused kernel (the backbone's frozen/low-lr blocks dominate;
@@ -87,9 +86,17 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, block_g: int = 16
     """
     B, H, S, Dh = q.shape
     scale = 1.0 / math.sqrt(Dh)
-    Sp = _pad_len(S)
-    Dp = _pad_len(Dh)
+    Sp = pad_to_multiple(S)
+    Dp = pad_to_multiple(Dh)
     G = B * H
+    if block_g is None:
+        # Scale the batch-head block with the sequence so VMEM stays
+        # bounded: 4 operand/output blocks of block_g*Sp*Dp (double-
+        # buffered) plus the per-item [Sp, Sp] f32 score tile must fit the
+        # ~16 MB budget. A fixed block_g=16 overflowed for 512 < S <= 1024
+        # when this path is forced (attn_impl="pallas").
+        per_g = 4 * Sp * Dp * q.dtype.itemsize * 2
+        block_g = max(1, min(16, (8 * 1024 * 1024) // max(per_g, 1)))
 
     def prep(x):
         x = x.reshape(G, S, Dh)
@@ -97,7 +104,7 @@ def attention_pallas(q: jax.Array, k: jax.Array, v: jax.Array, block_g: int = 16
 
     qp, kp, vp = prep(q), prep(k), prep(v)
     # Pad the grid axis so it divides evenly.
-    Gp = ((G + block_g - 1) // block_g) * block_g
+    Gp = pad_to_multiple(G, block_g)
     if Gp != G:
         pad = ((0, Gp - G), (0, 0), (0, 0))
         qp, kp, vp = jnp.pad(qp, pad), jnp.pad(kp, pad), jnp.pad(vp, pad)

@@ -32,6 +32,8 @@ import math
 
 import jax
 import jax.numpy as jnp
+
+from timetuning_tpu.ops.util import pad_to_multiple
 from jax.experimental import pallas as pl
 
 try:  # pallas TPU backend is unavailable on CPU-only builds
@@ -40,10 +42,6 @@ except Exception:  # pragma: no cover
     pltpu = None
 
 _NEG = -1e30
-
-
-def _pad_to(s: int, m: int) -> int:
-    return ((s + m - 1) // m) * m
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int,
@@ -108,14 +106,14 @@ def flash_attention_fwd_pallas(
     valid = Sk if kv_len is None else kv_len
     scale = 1.0 / math.sqrt(Dh)
     G = B * H
-    Dp = _pad_to(Dh, 128)
+    Dp = pad_to_multiple(Dh, 128)
     if block_k is None:
-        skp = _pad_to(Sk, 128)
+        skp = pad_to_multiple(Sk, 128)
         block_k = skp if skp <= 4096 else 1024
-    block_q = min(block_q, _pad_to(Sq, 128))
-    block_k = min(block_k, _pad_to(Sk, 128))
-    Sqp = _pad_to(Sq, block_q)
-    Skp = _pad_to(Sk, block_k)
+    block_q = min(block_q, pad_to_multiple(Sq, 128))
+    block_k = min(block_k, pad_to_multiple(Sk, 128))
+    Sqp = pad_to_multiple(Sq, block_q)
+    Skp = pad_to_multiple(Sk, block_k)
 
     def prep(x, sp):
         s = x.shape[2]
@@ -164,7 +162,7 @@ def _chunked_bwd(q, k, v, g, kv_len: int | None = None, block_q: int = 256):
     B, H, S, Dh = q.shape
     Sk = k.shape[2]
     scale = 1.0 / math.sqrt(Dh)
-    Sqp = _pad_to(S, block_q)
+    Sqp = pad_to_multiple(S, block_q)
     nc = Sqp // block_q
 
     def prep(x):

@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from timetuning_tpu.ops.util import pad_to_multiple
+
 _EPS = 1e-12
 
 
@@ -54,7 +56,7 @@ def _assign_chunked(x, centroids, chunk: int):
 
     if N <= chunk:
         return one_chunk(x)
-    Np = ((N + chunk - 1) // chunk) * chunk
+    Np = pad_to_multiple(N, chunk)
     xp = jnp.pad(x, ((0, Np - N), (0, 0)))
     xs = xp.reshape(Np // chunk, chunk, -1)
     a, dmin = jax.lax.map(one_chunk, xs)

@@ -95,13 +95,16 @@ def remove_small_components(mask: jax.Array, min_size: int = 3) -> jax.Array:
     """
     H, W = mask.shape
     labels = connected_components(mask)
-    # Component sizes via a one-hot reduction: sizes[p] = #pixels whose label
-    # equals the label of pixel p. N is small (≤ 784 patches), so the [N, N]
-    # comparison is cheap and static.
+    # Component sizes via one scatter-add bincount over the label ids —
+    # O(N), vs the previous dense [N, N] same-label comparison whose
+    # footprint blew up 16x on the s8@448 geometry (N = 3136)
     flat = labels.reshape(-1)
-    same = (flat[:, None] == flat[None, :]) & (flat[None, :] >= 0)
-    sizes = jnp.sum(same, axis=1)
-    keep = (flat >= 0) & (sizes >= min_size)
+    fg = flat >= 0
+    idx = jnp.where(fg, flat, 0)
+    counts = jnp.zeros(flat.shape[0], jnp.int32).at[idx].add(
+        fg.astype(jnp.int32)
+    )
+    keep = fg & (counts[idx] >= min_size)
     return keep.reshape(H, W).astype(mask.dtype)
 
 

@@ -169,10 +169,10 @@ def propagate_labels(
         slot = 1 + jnp.mod(t - 1, n_slots)
         ctx_feats = jax.lax.dynamic_update_index_in_dim(ctx_feats, f_norm, slot, 0)
         ctx_segs = jax.lax.dynamic_update_index_in_dim(ctx_segs, seg, slot, 0)
-        ctx_valid = ctx_valid.at[slot].set(1.0)  # static-index fast path? slot is dynamic
+        # `at[slot].set` with a traced index lowers to dynamic_update_slice
+        ctx_valid = ctx_valid.at[slot].set(1.0)
         return (ctx_feats, ctx_segs, ctx_valid), seg
 
-    # `at[slot].set` with a traced index lowers to dynamic_update_slice — fine.
     ts = jnp.arange(1, T)
     (_, _, _), segs = jax.lax.scan(
         step, (ctx_feats0, ctx_segs0, ctx_valid0), (feats_n[1:], ts)

@@ -27,6 +27,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from timetuning_tpu.ops.util import pad_to_multiple
 from jax.experimental import pallas as pl
 
 try:  # pragma: no cover
@@ -114,10 +116,6 @@ def _kernel(f0_ref, seg0_ref, ft_ref, mask_ref, o_ref,
     valid[slot] = jnp.int32(1)
 
 
-def _pad_to(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("n_last", "radius", "topk", "temperature",
@@ -144,8 +142,8 @@ def propagate_labels_batch_pallas(
         h, w = spatial_size
     n_slots = max(min(n_last, T - 2), 1)
     C = n_slots + 1
-    Np = _pad_to(N, 128)
-    Kp = _pad_to(K, 8)
+    Np = pad_to_multiple(N, 128)
+    Kp = pad_to_multiple(K, 8)
 
     feats_n = features / (
         jnp.linalg.norm(features, axis=-1, keepdims=True) + _EPS
@@ -196,8 +194,8 @@ def propagation_pallas_available(
         return False
     n_slots = max(min(n_last, T - 2), 1)
     C = n_slots + 1
-    Np = _pad_to(N, 128)
-    Kp = _pad_to(K, 8)
+    Np = pad_to_multiple(N, 128)
+    Kp = pad_to_multiple(K, 8)
     ctx = C * Np * D * 4 + C * Kp * Np * 4
     aff = 2 * Np * C * Np * 4 + Np * C * Np * 4   # aff + temps + mask
     frame = Np * D * 4 * 2 + Kp * Np * 4 * 2

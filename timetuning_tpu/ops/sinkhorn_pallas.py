@@ -18,6 +18,8 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from timetuning_tpu.ops.util import pad_to_multiple
 from jax.experimental import pallas as pl
 
 try:  # pragma: no cover
@@ -68,8 +70,8 @@ def sinkhorn_pallas(
         n_cols_arr = jnp.sum(valid.astype(jnp.float32))
     else:
         n_cols_arr = None
-    Kp = ((K + 7) // 8) * 8
-    Bp = ((B + 127) // 128) * 128
+    Kp = pad_to_multiple(K, 8)
+    Bp = pad_to_multiple(B, 128)
     Qp = jnp.pad(Q, ((0, Kp - K), (0, Bp - B)))
 
     if n_cols_arr is None:
@@ -110,6 +112,6 @@ def sinkhorn_pallas_available(K: int, B: int) -> bool:
     """VMEM bound: the padded [Kp, Bp] f32 matrix (plus one temp) must fit."""
     if pltpu is None or jax.default_backend() != "tpu":
         return False
-    Kp = ((K + 7) // 8) * 8
-    Bp = ((B + 127) // 128) * 128
+    Kp = pad_to_multiple(K, 8)
+    Bp = pad_to_multiple(B, 128)
     return Kp * Bp * 4 * 2 <= 12 * 1024 * 1024

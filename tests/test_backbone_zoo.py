@@ -43,7 +43,7 @@ def test_motion_grouping_forward():
     # generic Backbone contract (reference models.py:1055-1061: encoder CNN
     # interpolated to a fixed 56² grid)
     feats, attn = bb.apply(jnp.zeros((1, 128, 128, 3)))
-    assert feats.shape == (1, 56 * 56, 64)
+    assert feats.shape == (1, 56 * 56, 256)
     assert attn is None
     assert bb.spatial_resolution(128) == 56
 
@@ -248,3 +248,125 @@ def test_stego_torch_import_roundtrip():
     out = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(out["tokens"]), want,
                                rtol=1e-3, atol=2e-4)
+
+
+def test_motion_grouping_checkpoint_import(tmp_path):
+    """get_backbone('motion_grouping', ckpt) loads the reference
+    checkpoint's encoder_cnn (models.py:876-884 + feature path :1055-1061):
+    features match a torch replica of the reference encoder (conv5x5 pairs
+    + affine InstanceNorm + ceil-mode maxpool, [64,'MP',128,'MP',256])
+    forward + bilinear interp to 56^2."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    layers = []
+    in_ch = 3
+    for v in (64, "MP", 128, "MP", 256):
+        if v == "MP":
+            layers += [tnn.MaxPool2d(2, stride=2, ceil_mode=True)]
+            continue
+        layers += [
+            tnn.Conv2d(in_ch, v, 5, padding=2), tnn.InstanceNorm2d(v, affine=True),
+            tnn.ReLU(),
+            tnn.Conv2d(v, v, 5, padding=2), tnn.InstanceNorm2d(v, affine=True),
+            tnn.ReLU(),
+        ]
+        in_ch = v
+    torch.manual_seed(3)
+    enc = tnn.Sequential(*layers).eval()
+    # affine InstanceNorm init is scale=1/bias=0 — randomize to make the
+    # parity check load-bearing
+    with torch.no_grad():
+        for m in enc.modules():
+            if isinstance(m, tnn.InstanceNorm2d):
+                m.weight.copy_(torch.rand_like(m.weight) + 0.5)
+                m.bias.copy_(torch.randn_like(m.bias) * 0.1)
+    sd = {f"encoder_cnn.{k}": v for k, v in enc.state_dict().items()}
+    path = str(tmp_path / "mg.pth")
+    torch.save({"model_state_dict": sd}, path)
+
+    bb = get_backbone("motion_grouping", path)
+    assert bb.feature_dim == 256
+    x = np.random.default_rng(0).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    feats, _ = bb.apply(jnp.asarray(x))
+    assert feats.shape == (1, 56 * 56, 256)
+
+    with torch.no_grad():
+        h = enc(torch.from_numpy(x).permute(0, 3, 1, 2))
+        h = tF.interpolate(h, size=(56, 56), mode="bilinear",
+                           align_corners=False)
+        want = h.flatten(2, 3).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=1e-4, atol=1e-4)
+
+
+def test_dul_checkpoint_import(tmp_path):
+    """get_backbone('dul', ckpt) loads the Framework checkpoint's
+    fast_net.backbone (reference models.py:885-894, torch.load(path)
+    ['model'] with module. prefixes): features match a torch replica of the
+    reference's stride-1-layer3/4 ResNet18 (dul_model.py:14-66) + bilinear
+    interp to 28^2."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    class TBlock(tnn.Module):
+        def __init__(self, cin, cout, stride, downsample):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = None
+            if downsample:
+                self.downsample = tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                )
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            out = torch.relu(self.bn1(self.conv1(x)))
+            return torch.relu(self.bn2(self.conv2(out)) + idn)
+
+    class TDulResNet18(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.maxpool = tnn.MaxPool2d(3, 2, 1)
+            plan = [(64, 64, 1, False), (64, 128, 2, True),
+                    (128, 256, 1, True), (256, 512, 1, True)]
+            for li, (cin, cout, s, ds) in enumerate(plan):
+                setattr(self, f"layer{li + 1}", tnn.Sequential(
+                    TBlock(cin, cout, s, ds), TBlock(cout, cout, 1, False),
+                ))
+
+        def forward(self, x):
+            x = self.maxpool(torch.relu(self.bn1(self.conv1(x))))
+            for li in range(4):
+                x = getattr(self, f"layer{li + 1}")(x)
+            return x
+
+    torch.manual_seed(7)
+    net = TDulResNet18().eval()
+    with torch.no_grad():  # randomize BN stats so eval-mode parity is real
+        for m in net.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.copy_(torch.randn_like(m.running_mean) * 0.05)
+                m.running_var.copy_(torch.rand_like(m.running_var) + 0.5)
+    sd = {f"module.fast_net.backbone.{k}": v for k, v in net.state_dict().items()}
+    path = str(tmp_path / "dul.pth")
+    torch.save({"model": sd}, path)
+
+    bb = get_backbone("dul", path)
+    x = np.random.default_rng(1).normal(size=(1, 64, 64, 3)).astype(np.float32)
+    feats, _ = bb.apply(jnp.asarray(x))
+    assert feats.shape == (1, 28 * 28, 512)
+
+    with torch.no_grad():
+        h = net(torch.from_numpy(x).permute(0, 3, 1, 2))
+        h = tF.interpolate(h, size=(28, 28), mode="bilinear",
+                           align_corners=False)
+        want = h.flatten(2, 3).permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(np.asarray(feats), want, rtol=1e-3, atol=1e-3)

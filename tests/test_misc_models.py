@@ -121,3 +121,27 @@ def test_debug_nans_toggle():
     assert j.config.jax_debug_nans
     enable_debug_nans(False)
     assert not j.config.jax_debug_nans
+
+
+def test_moco_predictor_train_mode_bn():
+    """train=True runs batch-statistics BN and updates the running stats
+    (previously hardcoded to inference mode — the contrastive trainer could
+    never exercise the reference's train-mode BN dynamics)."""
+    from timetuning_tpu.models.moco import MoCoPredictor
+
+    m = MoCoPredictor(hidden_dim=8, out_dim=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(16, 6)),
+                    jnp.float32)
+    var = m.init(jax.random.PRNGKey(0), x)
+    y_eval = m.apply(var, x)
+    y_train, mutated = m.apply(var, x, train=True, mutable=["batch_stats"])
+    # train-mode output is batch-standardized by the affine-free bn2
+    np.testing.assert_allclose(np.asarray(y_train.mean(0)), 0.0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y_train.std(0)), 1.0, atol=2e-2)
+    # running stats moved off their init
+    assert not np.allclose(
+        np.asarray(mutated["batch_stats"]["bn1"]["mean"]),
+        np.asarray(var["batch_stats"]["bn1"]["mean"]),
+    )
+    # eval mode differs (init running stats are identity-ish)
+    assert not np.allclose(np.asarray(y_eval), np.asarray(y_train))

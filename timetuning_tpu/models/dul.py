@@ -53,6 +53,32 @@ class DulResNet18(nn.Module):
         }
 
 
+def dul_params_from_torch(sd) -> dict:
+    """Map a DUL checkpoint onto :class:`DulBackbone` variables.
+
+    Reference loading (models.py:885-894): ``torch.load(path)["model"]``,
+    ``module.`` prefixes stripped, loaded into ``Framework`` with
+    strict=False; the zoo consumes only ``fast_net.backbone`` features
+    (models.py:1063-1068) — exactly the torchvision-layout ResNet18 subtree
+    this maps through ``resnet_params_from_torch``."""
+    from timetuning_tpu.models.resnet import resnet_params_from_torch
+
+    flat = {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in dict(sd).items()
+    }
+    prefix = "fast_net.backbone."
+    bb = {k[len(prefix):]: v for k, v in flat.items() if k.startswith(prefix)}
+    if not bb:
+        raise ValueError(
+            "no fast_net.backbone.* keys found — not a DUL Framework "
+            "checkpoint (expected torch.load(path)['model'] layout)"
+        )
+    v = resnet_params_from_torch(bb)
+    return {"params": {"net": v["params"]},
+            "batch_stats": {"net": v["batch_stats"]}}
+
+
 def _sample_grid_indices(rng, B: int, h: int, w: int, n: int) -> jax.Array:
     """Reference ``_sample_index`` (dul_model.py:276-304): an n×n uniform
     grid of pixel indices with one random (x, y) offset per batch element.
@@ -142,7 +168,6 @@ def dul_framework_loss(
     vals_pseudo = (flat(key2) @ anchors.T) * inv_t
 
     # block-diagonal eye: pixel of clip b ↔ anchors of clip b only
-    BN = B * n * n
     row_clip = jnp.repeat(jnp.arange(B), T * h * w)              # [BThw]
     col_clip = jnp.repeat(jnp.arange(B), n * n)                  # [Bn²]
     eye = (row_clip[:, None] == col_clip[None, :])

@@ -28,15 +28,17 @@ class FCNHead(nn.Module):
         for i in range(self.num_convs):
             x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                             name=f"bn{i}")(x)
+            # momentum 0.9 == torch/mmcv BN momentum 0.1 (flax's default
+            # 0.99 would update running stats 10x slower than the reference)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         if self.concat_input:
             x = jnp.concatenate([inp, x], axis=-1)
             x = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
                         dtype=self.dtype, name="conv_cat")(x)
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
-                             name="bn_cat")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name="bn_cat")(x)
             x = nn.relu(x)
         if self.dropout > 0 and train:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)

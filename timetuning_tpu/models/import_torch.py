@@ -50,8 +50,8 @@ def load_torch_state_dict(path: str) -> dict[str, np.ndarray]:
         # ({'encoder': sd, 'target_encoder': sd, ...} — the reference loads
         # torch.load(path)['target_encoder'], leopart.py); order matters:
         # prefer the EMA target like the reference
-        for key in ("state_dict", "model", "teacher", "target_encoder",
-                    "encoder", "student", "model_state"):
+        for key in ("state_dict", "model_state_dict", "model", "teacher",
+                    "target_encoder", "encoder", "student", "model_state"):
             if key in obj and isinstance(obj[key], dict):
                 obj = obj[key]
                 break

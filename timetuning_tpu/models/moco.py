@@ -29,14 +29,16 @@ class ConvStem(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         dims = [self.embed_dim // 8, self.embed_dim // 4, self.embed_dim // 2,
                 self.embed_dim]
         for i, d in enumerate(dims):
             x = nn.Conv(d, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                         use_bias=False, dtype=self.dtype, name=f"conv{i}")(x)
-            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
-                             name=f"bn{i}")(x)
+            # train=True: batch-stats BN with mutable batch_stats, like the
+            # reference's train mode (torch momentum 0.1 == flax 0.9)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             dtype=self.dtype, name=f"bn{i}")(x)
             x = nn.relu(x)
         x = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype, name="proj")(x)
         return x
@@ -64,12 +66,17 @@ class MoCoPredictor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        # train=True runs batch-statistics BN (mutable batch_stats), like
+        # the reference's train-mode predictor; the default is the
+        # checkpoint-import inference path (momentum 0.9 == torch 0.1)
         x = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="fc1")(x)
-        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Dense(self.out_dim, use_bias=False, dtype=self.dtype, name="fc2")(x)
-        x = nn.BatchNorm(use_running_average=True, use_bias=False, use_scale=False,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         use_bias=False, use_scale=False,
                          dtype=self.dtype, name="bn2")(x)
         return x
 

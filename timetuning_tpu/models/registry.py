@@ -94,10 +94,13 @@ def _vit_backbone(cfg, model_path, name):
     ViT has params only — a BN-bearing backbone must merge to keep its
     batch_stats collection (see the resnet path)."""
     module = VisionTransformer(cfg)
-    variables = _init_variables(module)
     if model_path:
+        # skip the (discarded) real init forward — the imported tree fully
+        # replaces it, and a ViT-B init costs seconds of startup
         sd = load_torch_state_dict(model_path)
         variables = {"params": vit_params_from_torch(sd)}
+    else:
+        variables = _init_variables(module)
     return Backbone(module, variables, cfg.patch_size, cfg.embed_dim, True, name)
 
 
@@ -116,9 +119,10 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
     name = name.lower()
     if name in ("resnet18", "resnet50", "swav"):
         module = resnet_mod.resnet18(dtype) if name == "resnet18" else resnet_mod.resnet50(dtype)
-        variables = _init_variables(module)
         if model_path:
             variables = resnet_params_from_torch(load_torch_state_dict(model_path))
+        else:
+            variables = _init_variables(module)
         dim = 512 if name == "resnet18" else 2048
         return Backbone(module, variables, None, dim, False, name)
 
@@ -160,25 +164,44 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
             # the encoder subset
             enc = {k: v for k, v in sd.items() if not k.startswith("decoder") and k != "mask_token"}
             params = vit_params_from_torch(enc)
-            params["cls_token"] = enc["cls_token"]
             merged = dict(variables["params"])
-            merged.update(params)
+            # adopt only leaves the module actually has: the ViT mapping
+            # also emits a pos_embed leaf, but MAE pos embeds are fixed
+            # sin-cos buffers, not params — a dead array in the tree would
+            # confuse checkpoint diffs/re-saves
+            merged.update({k: v for k, v in params.items() if k in merged})
             variables = {"params": merged}
         return Backbone(module, variables, 16, 768, True, name)
 
     if name == "motion_grouping":
-        from timetuning_tpu.models.slot_attention import MotionGroupingBackbone
+        from timetuning_tpu.models.slot_attention import (
+            MotionGroupingBackbone,
+            motion_grouping_encoder_from_torch,
+        )
 
         module = MotionGroupingBackbone(autoencoder=SlotAttentionAutoEncoder())
         variables = _init_variables(module, img=128)
-        return Backbone(module, variables, None, 64, False, name,
+        if model_path:
+            # reference models.py:876-884: checkpoint['model_state_dict']
+            # into the autoencoder; the feature path consumes encoder_cnn
+            sd = load_torch_state_dict(model_path)
+            variables = {
+                "params": dict(variables["params"])
+                | {"encoder": motion_grouping_encoder_from_torch(sd)}
+            }
+        return Backbone(module, variables, None, 256, False, name,
                         fixed_resolution=56)
 
     if name == "dul":
-        from timetuning_tpu.models.dul import DulBackbone
+        from timetuning_tpu.models.dul import DulBackbone, dul_params_from_torch
 
         module = DulBackbone(dtype)
-        variables = _init_variables(module)
+        if model_path:
+            # reference models.py:885-894: torch.load(path)['model'],
+            # module.-stripped, into Framework; features = fast_net.backbone
+            variables = dul_params_from_torch(load_torch_state_dict(model_path))
+        else:
+            variables = _init_variables(module)
         return Backbone(module, variables, None, 512, False, name,
                         fixed_resolution=28)
 
@@ -192,18 +215,16 @@ def get_backbone(name: str, model_path: str | None = None, dtype=jnp.float32) ->
         )
 
         dim = 70
+        params = None
         if model_path:
-            sd = load_torch_state_dict(model_path)
-            params = stego_params_from_torch(sd)
+            params = stego_params_from_torch(load_torch_state_dict(model_path))
             dim = params["cluster1"]["kernel"].shape[-1]
-            module = StegoFeaturizer(
-                backbone=VisionTransformer(vit_small(8, dtype=dtype)), dim=dim
-            )
+        module = StegoFeaturizer(
+            backbone=VisionTransformer(vit_small(8, dtype=dtype)), dim=dim
+        )
+        if model_path:
             variables = {"params": params}
         else:
-            module = StegoFeaturizer(
-                backbone=VisionTransformer(vit_small(8, dtype=dtype)), dim=dim
-            )
             variables = _init_variables(module)
         # patch 8 → spatial resolution 28 @224 (reference models.py:76);
         # tokens come out CLS-free already

@@ -80,19 +80,63 @@ class SoftPositionEmbed(nn.Module):
 
 
 class _EncoderCNN(nn.Module):
-    """The 4-conv encoder (reference motion_grouping_model.py:150-160) — a
-    standalone submodule so both the autoencoder and the backbone-zoo
-    adapter can own an instance (flax allows one @compact method per
-    module, so a param-creating ``encoder_cnn`` method can't be shared)."""
+    """The reference encoder CNN, checkpoint-faithful (reference
+    motion_grouping_model.py:160-218 ``make_encoder`` with
+    ``encoder_arch=[64, 'MP', 128, 'MP', 256]``): per stage a PAIR of 5×5
+    convs each followed by affine InstanceNorm + ReLU, with a ceil-mode 2×2
+    max-pool between stages — output stride 4, 256 channels
+    (``encoder_dims``). A standalone submodule so both the autoencoder and
+    the backbone-zoo adapter can own an instance (flax allows one @compact
+    method per module)."""
 
-    hidden_dim: int = 64
+    arch: tuple = (64, "MP", 128, "MP", 256)
 
     @nn.compact
     def __call__(self, x):
-        for i in range(4):
-            x = nn.Conv(self.hidden_dim, (5, 5), padding="SAME", name=f"enc{i}")(x)
-            x = nn.relu(x)
+        i = 0
+        for v in self.arch:
+            if v == "MP":
+                # SAME-padded max_pool == torch ceil_mode=True (the -inf
+                # pad never wins the max)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2), padding="SAME")
+                continue
+            for _ in range(2):
+                x = nn.Conv(v, (5, 5), padding="SAME", name=f"conv{i}")(x)
+                # InstanceNorm(affine) == GroupNorm with one group per
+                # channel (torch InstanceNorm2d eps)
+                x = nn.GroupNorm(num_groups=v, epsilon=1e-5,
+                                 name=f"in{i}")(x)
+                x = nn.relu(x)
+                i += 1
         return x
+
+    @property
+    def out_dim(self) -> int:
+        return int(self.arch[-1])
+
+
+def motion_grouping_encoder_from_torch(sd) -> dict:
+    """Map a motion-grouping checkpoint's ``encoder_cnn.*`` Sequential keys
+    (reference models.py:876-884 loads ``checkpoint['model_state_dict']``)
+    onto the :class:`_EncoderCNN` params tree. Conv/InstanceNorm entries sit
+    at fixed Sequential indices for ``[64, 'MP', 128, 'MP', 256]``."""
+    import numpy as np
+
+    conv_idx = (0, 3, 7, 10, 14, 17)
+    in_idx = (1, 4, 8, 11, 15, 18)
+    params: dict = {}
+    for j, (ci, ni) in enumerate(zip(conv_idx, in_idx)):
+        params[f"conv{j}"] = {
+            "kernel": np.transpose(
+                np.asarray(sd[f"encoder_cnn.{ci}.weight"]), (2, 3, 1, 0)
+            ),
+            "bias": np.asarray(sd[f"encoder_cnn.{ci}.bias"]),
+        }
+        params[f"in{j}"] = {
+            "scale": np.asarray(sd[f"encoder_cnn.{ni}.weight"]),
+            "bias": np.asarray(sd[f"encoder_cnn.{ni}.bias"]),
+        }
+    return params
 
 
 class SlotAttentionAutoEncoder(nn.Module):
@@ -106,10 +150,11 @@ class SlotAttentionAutoEncoder(nn.Module):
     @nn.compact
     def __call__(self, x, rng=None):
         B = x.shape[0]
-        h = _EncoderCNN(self.hidden_dim, name="encoder")(x)
-        h = SoftPositionEmbed(self.hidden_dim, name="enc_pos")(h)
+        enc = _EncoderCNN(name="encoder")
+        h = enc(x)
+        h = SoftPositionEmbed(enc.out_dim, name="enc_pos")(h)
         H, W = h.shape[1:3]
-        tokens = h.reshape(B, H * W, self.hidden_dim)
+        tokens = h.reshape(B, H * W, enc.out_dim)
         tokens = nn.LayerNorm(name="enc_norm")(tokens)
         tokens = nn.Dense(self.hidden_dim, name="enc_fc1")(tokens)
         tokens = nn.relu(tokens)
@@ -153,7 +198,7 @@ class MotionGroupingBackbone(nn.Module):
         del want_attention
         # same submodule type + name as inside the autoencoder, so a trained
         # autoencoder's {encoder: ...} subtree transfers verbatim
-        h = _EncoderCNN(self.autoencoder.hidden_dim, name="encoder")(x)
+        h = _EncoderCNN(name="encoder")(x)
         B, _, _, C = h.shape
         h = jax.image.resize(h, (B, self.grid, self.grid, C), method="bilinear")
         return {

@@ -444,3 +444,116 @@ def test_pack_build_honors_fast_decode(tmp_path):
                       num_frames=3, decode_size=256,
                       sampling_mode=SamplingMode.FULL)
     np.testing.assert_array_equal(packs[False][:3], ds[0]["frames"][0])
+
+
+def test_davis_val_imagesets_filter(tmp_path):
+    """davis_val on a STANDARD DAVIS root (train+val together) restricts to
+    ImageSets/2017/val.txt — otherwise train videos would contaminate the
+    val metric. Roots without ImageSets keep the reference's whole-tree
+    contract (pre-split val-only trees)."""
+    import cv2
+
+    from timetuning_tpu.data.loader import make_loader
+
+    root = tmp_path / "davis"
+    for v in ("train_a", "train_b", "val_a"):
+        for sub in ("JPEGImages/480p", "Annotations/480p"):
+            d = root / sub / v
+            d.mkdir(parents=True)
+            for f in range(3):
+                ext, img = (
+                    (".jpg", np.zeros((16, 16, 3), np.uint8))
+                    if "JPEG" in sub else (".png", np.zeros((16, 16), np.uint8))
+                )
+                cv2.imwrite(str(d / f"{f:05d}{ext}"), img)
+    (root / "ImageSets" / "2017").mkdir(parents=True)
+    (root / "ImageSets" / "2017" / "val.txt").write_text("val_a\n")
+
+    val = make_loader("davis_val", num_clip_frames=2, batch_size=1,
+                      root=str(root), decode_size=16, num_workers=1)
+    assert len(val.dataset) == 1
+    assert val.dataset.video_name(0) == "val_a"
+    train = make_loader("davis", num_clip_frames=2, batch_size=1,
+                        root=str(root), decode_size=16, num_workers=1)
+    assert len(train.dataset) == 3  # train name keeps whole-tree semantics
+
+
+def test_mismatched_annotation_names_raise(tmp_path):
+    """A stray frame-bearing dir must not silently shift every video onto
+    another video's annotations (pairing is positional)."""
+    import cv2
+
+    import pytest
+
+    from timetuning_tpu.data.datasets import VideoDataset
+
+    root = tmp_path
+    for v in ("v0", "v1"):
+        d = root / "JPEGImages" / v
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / "00000.jpg"), np.zeros((8, 8, 3), np.uint8))
+    for v in ("v0", "zz_other"):   # same COUNT, different names
+        d = root / "Annotations" / v
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / "00000.png"), np.zeros((8, 8), np.uint8))
+    with pytest.raises(ValueError, match="do not align"):
+        VideoDataset(frames_root=str(root / "JPEGImages"),
+                     annotations_root=str(root / "Annotations"),
+                     num_frames=1, decode_size=8)
+
+
+def test_empty_dataset_raises(tmp_path):
+    import pytest
+
+    from timetuning_tpu.data.loader import make_loader
+
+    (tmp_path / "JPEGImages").mkdir()
+    with pytest.raises(ValueError, match="no videos"):
+        make_loader("davis", num_clip_frames=2, batch_size=1,
+                    root=str(tmp_path), num_workers=1)
+
+
+def test_num_clips_merge_into_batch(tmp_path):
+    """num_clips > 1 merges into the batch axis ([B*C, F, ...]) instead of
+    crashing the downstream 4-D augment contract."""
+    import cv2
+
+    from timetuning_tpu.data.loader import make_loader
+
+    for v in range(2):
+        d = tmp_path / "JPEGImages" / f"v{v}"
+        d.mkdir(parents=True)
+        for f in range(6):
+            cv2.imwrite(str(d / f"{f:05d}.jpg"),
+                        np.full((16, 16, 3), v * 50, np.uint8))
+    ld = make_loader("davis", num_clip_frames=2, batch_size=2,
+                     root=str(tmp_path), decode_size=16, num_clips=3,
+                     num_workers=1, shuffle=False)
+    frames, annots, labels = next(iter(ld))
+    assert frames.shape == (6, 2, 16, 16, 3)   # 2 videos x 3 clips
+    assert annots.shape == (6, 2, 16, 16)
+    np.testing.assert_array_equal(labels, [0, 0, 0, 1, 1, 1])
+
+
+def test_grayscale_and_16bit_frames_decode(tmp_path):
+    """Grayscale and 16-bit sources decode into the uint8 RGB buffer
+    (previously a broadcast crash / modulo wrap)."""
+    import cv2
+
+    from timetuning_tpu.data.datasets import VideoDataset
+
+    d = tmp_path / "JPEGImages" / "v0"
+    d.mkdir(parents=True)
+    gray = np.full((16, 16), 77, np.uint8)
+    cv2.imwrite(str(d / "00000.jpg"), gray)            # grayscale jpg... wait cv2 writes 3ch
+    cv2.imwrite(str(d / "00001.png"), gray)            # grayscale png
+    cv2.imwrite(str(d / "00002.png"),
+                np.full((16, 16), 300 * 256, np.uint16))  # 16-bit png
+    from timetuning_tpu.data.datasets import SamplingMode
+
+    ds = VideoDataset(frames_root=str(tmp_path / "JPEGImages"),
+                      num_frames=3, decode_size=16,
+                      sampling_mode=SamplingMode.FULL)
+    frames = ds[0]["frames"]
+    assert frames.shape == (1, 3, 16, 16, 3)
+    assert frames.dtype == np.uint8

@@ -48,16 +48,25 @@ def convert_video_to_frames(video_path: str, out_dir: str) -> int:
     """Decode a video file into a directory of numbered jpgs
     (reference data_loader.py:523-532)."""
     assert cv2 is not None, "OpenCV required for video decode"
-    os.makedirs(out_dir, exist_ok=True)
+    # decode into a temp dir and rename on success: a killed/failed
+    # conversion must not leave a partial dir that later runs trust as
+    # complete (the existence check in build_dataset_tree)
+    tmp = out_dir + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
     cap = cv2.VideoCapture(video_path)
     n = 0
     while True:
         ok, frame = cap.read()
         if not ok:
             break
-        cv2.imwrite(os.path.join(out_dir, f"{n:05d}.jpg"), frame)
+        cv2.imwrite(os.path.join(tmp, f"{n:05d}.jpg"), frame)
         n += 1
     cap.release()
+    if n == 0:
+        raise ValueError(f"no frames decoded from {video_path}")
+    os.rename(tmp, out_dir)
     return n
 
 
@@ -145,7 +154,7 @@ _REDUCED_FLAGS = (
     (8, cv2.IMREAD_REDUCED_COLOR_8),
     (4, cv2.IMREAD_REDUCED_COLOR_4),
     (2, cv2.IMREAD_REDUCED_COLOR_2),
-)
+) if cv2 is not None else ()
 
 
 def _decode_frame(path: str, size: int, nearest: bool,
@@ -176,7 +185,11 @@ def _decode_frame(path: str, size: int, nearest: bool,
         # than the faithful path). Re-decode at full resolution.
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
-    if img.ndim == 3 and img.shape[2] >= 3:
+    if img.dtype == np.uint16:   # 16-bit sources: take the high byte, do
+        img = (img >> 8).astype(np.uint8)   # not modulo-wrap into uint8
+    if img.ndim == 2:            # grayscale → replicated RGB
+        img = np.repeat(img[..., None], 3, axis=-1)
+    elif img.shape[2] >= 3:
         img = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB)
     img = cv2.resize(img, (size, size), interpolation=interp)
     return img
@@ -232,20 +245,43 @@ class VideoDataset:
     # JPEG DCT-domain reduced decode when the source is ≥2× the decode
     # buffer (see _decode_frame) — opt-in; annotations are never reduced
     fast_decode: bool = False
+    # restrict to these video basenames (e.g. an ImageSets split list)
+    video_filter: frozenset | None = None
 
     def __post_init__(self):
         self.tree = build_dataset_tree(self.frames_root)
         self.keys = sorted(self.tree.keys())
+        if self.video_filter is not None:
+            self.keys = [
+                k for k in self.keys
+                if os.path.basename(k) in self.video_filter
+            ]
         self.use_annotations = bool(self.annotations_root) and os.path.exists(
             self.annotations_root
         )
         if self.use_annotations:
             ann_tree = build_dataset_tree(self.annotations_root, convert_videos=False)
-            self.ann_keys = sorted(ann_tree.keys())
+            ann_keys = sorted(ann_tree.keys())
+            if self.video_filter is not None:
+                ann_keys = [
+                    k for k in ann_keys
+                    if os.path.basename(k) in self.video_filter
+                ]
+            self.ann_keys = ann_keys
             self.ann_tree = ann_tree
-            assert len(self.ann_keys) == len(self.keys), (
-                f"{len(self.keys)} videos vs {len(self.ann_keys)} annotation dirs"
-            )
+            # pairing is positional over two independently sorted walks — a
+            # count check alone would let a stray frame-bearing dir silently
+            # shift every video onto ANOTHER video's annotations
+            names = [os.path.basename(k) for k in self.keys]
+            ann_names = [os.path.basename(k) for k in self.ann_keys]
+            if names != ann_names:
+                diff = sorted(set(names) ^ set(ann_names))[:5]
+                raise ValueError(
+                    f"frame/annotation video names do not align "
+                    f"({len(names)} vs {len(ann_names)}; first diffs "
+                    f"{diff}) — frames_root and annotations_root must hold "
+                    "the same per-video directory names"
+                )
         self._epoch = 0
 
     def __len__(self):
@@ -292,19 +328,25 @@ class VideoDataset:
                 frames[c, f] = _decode_frame(files[i], self.decode_size,
                                              nearest=False,
                                              reduce_for=reduce_for)
-        if self.use_annotations:
-            ann_files = self.ann_tree[self.ann_keys[index]]
-            for c, idx in enumerate(clip_idx):
-                for f, i in enumerate(idx):
-                    if i < len(ann_files):
-                        a = _decode_annotation(ann_files[i], self.decode_size)
-                        if self.map_annotations is not None:
-                            a = self.map_annotations(a, self.ann_keys[index])
-                        annots[c, f] = a
+        self._fill_annotations(annots, clip_idx, index)
         return {
             "frames": frames, "annotations": annots, "label": index,
             "orig_size": np.asarray(self.orig_size(index), np.int32),
         }
+
+    def _fill_annotations(self, annots, clip_idx, index: int) -> None:
+        """Decode + remap the clip's annotation frames into ``annots``
+        in place (shared by the JPEG and packed datasets)."""
+        if not self.use_annotations:
+            return
+        ann_files = self.ann_tree[self.ann_keys[index]]
+        for c, idx in enumerate(clip_idx):
+            for f, i in enumerate(idx):
+                if i < len(ann_files):
+                    a = _decode_annotation(ann_files[i], self.decode_size)
+                    if self.map_annotations is not None:
+                        a = self.map_annotations(a, self.ann_keys[index])
+                    annots[c, f] = a
 
 
 def make_categories_dict(meta_path: str) -> dict[str, dict[str, int]]:
@@ -380,8 +422,6 @@ class PackedVideoDataset(VideoDataset):
 
     def __init__(self, *args, pack_path: str, **kw):
         super().__init__(*args, **kw)
-        import json
-
         from timetuning_tpu.native import ClipPack
 
         self.pack = ClipPack(pack_path)
@@ -415,15 +455,7 @@ class PackedVideoDataset(VideoDataset):
         annots = np.zeros(
             (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
         )
-        if self.use_annotations:
-            ann_files = self.ann_tree[self.ann_keys[index]]
-            for c, idx in enumerate(clip_idx):
-                for f, i in enumerate(idx):
-                    if i < len(ann_files):
-                        a = _decode_annotation(ann_files[i], self.decode_size)
-                        if self.map_annotations is not None:
-                            a = self.map_annotations(a, self.ann_keys[index])
-                        annots[c, f] = a
+        self._fill_annotations(annots, clip_idx, index)
         return {
             "frames": frames, "annotations": annots, "label": index,
             "orig_size": np.asarray(self.orig_size(index), np.int32),

@@ -162,11 +162,20 @@ class ClipLoader:
                         if all("orig_size" in it for it in items)
                         else None
                     )
-                    # [B, clips, F, H, W, (3)] → merge clips into batch like
-                    # the reference's squeeze for num_clips == 1
+                    # [B, clips, F, H, W, (3)] → merge clips into batch
+                    # (the reference's squeeze for num_clips == 1; true
+                    # batch-merge for num_clips > 1, which downstream
+                    # augment/step code consumes as a [B*C] batch)
                     if frames.shape[1] == 1:
                         frames = frames[:, 0]
                         annots = annots[:, 0]
+                    else:
+                        C = frames.shape[1]
+                        frames = frames.reshape((-1,) + frames.shape[2:])
+                        annots = annots.reshape((-1,) + annots.shape[2:])
+                        labels = np.repeat(labels, C)
+                        if sizes is not None:
+                            sizes = np.repeat(sizes, C, axis=0)
                     _put((bi, Batch(frames, annots, labels, sizes)))
                 except BaseException as e:  # noqa: BLE001
                     # propagate instead of dying silently: a dead worker's
@@ -261,13 +270,30 @@ def register_dataset(name: str):
     return deco
 
 
-def _davis_layout(root, split_file=None):
+def _davis_layout(root):
     frames = os.path.join(root, "JPEGImages", "480p")
     annots = os.path.join(root, "Annotations", "480p")
     if not os.path.isdir(frames):
         frames = os.path.join(root, "JPEGImages")
         annots = os.path.join(root, "Annotations")
     return frames, annots
+
+
+def _split_filter(root, split: str) -> frozenset | None:
+    """Video names from a DAVIS-style ImageSets split list, when present.
+
+    The reference has no split filtering — its davis_val points at a
+    pre-split val-only tree (data_loader.py:1061-1063). On a STANDARD
+    DAVIS root (train+val together under JPEGImages), evaluating without
+    this filter would silently mix train videos into the val metric."""
+    for cand in (f"ImageSets/2017/{split}.txt", f"ImageSets/480p/{split}.txt"):
+        path = os.path.join(root, cand)
+        if os.path.exists(path):
+            with open(path) as f:
+                names = frozenset(x.strip() for x in f if x.strip())
+            if names:
+                return names
+    return None
 
 
 @register_dataset("davis")
@@ -278,6 +304,8 @@ def _davis_layout(root, split_file=None):
 @register_dataset("epic-kitchen")
 def _build_davis_like(name, root, pack_path=None, **kw):
     frames, annots = _davis_layout(root)
+    if name.endswith("_val") and kw.get("video_filter") is None:
+        kw["video_filter"] = _split_filter(root, "val")
     if pack_path:
         from timetuning_tpu.data.datasets import PackedVideoDataset
 
@@ -364,6 +392,12 @@ def make_loader(
         seed=seed,
         **kw,
     )
+    if len(ds) == 0:
+        raise ValueError(
+            f"dataset {dataset_name!r} at {root!r} contains no videos — "
+            "check --data_root (or TIMETUNING_DATA_ROOT); training on an "
+            "empty loader would silently run zero steps per epoch"
+        )
     return ClipLoader(
         ds,
         batch_size=batch_size,

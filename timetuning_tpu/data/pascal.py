@@ -43,7 +43,9 @@ class PascalVOCDataset:
         return len(self.images)
 
     def __getitem__(self, i: int):
-        img = cv2.cvtColor(cv2.imread(self.images[i]), cv2.COLOR_BGR2RGB)
+        raw = cv2.imread(self.images[i])
+        assert raw is not None, f"failed to decode {self.images[i]}"
+        img = cv2.cvtColor(raw, cv2.COLOR_BGR2RGB)
         # VOC SegmentationClass masks are palette-indexed PNGs whose pixel
         # values are CLASS IDS (255 = ignore border). cv2 would expand the
         # palette to colors (class 1 → luma ~38, ignore → ~220, never 255);

@@ -88,24 +88,28 @@ def main(argv=None) -> int:
     res = bb.spatial_resolution(args.input_resolution)
 
     if args.clustering_algorithm == "prototypes":
+        from timetuning_tpu.models.import_torch import head_dims_from_params
+
         protos = jnp.asarray(tree["prototypes"])
-        if protos.shape[-1] != bb.feature_dim:
-            head_params = tree.get("feature_extractor", {}).get("head")
-            if head_params is None:
-                raise SystemExit(
-                    f"prototype dim {protos.shape[-1]} != backbone feature "
-                    f"dim {bb.feature_dim} and the checkpoint has no "
-                    "projection head to bridge them"
-                )
-            head_dims = tuple(
-                head_params[k]["kernel"].shape[-1]
-                for k in sorted(head_params, key=lambda s: int(s[3:]))
-            )
+        # gate on head PRESENCE, not on a dim-inequality heuristic: a head
+        # whose output width equals the backbone width would otherwise be
+        # silently skipped, scoring raw features against head-space
+        # prototypes (TimeT prototypes always live in head space when a
+        # head was trained)
+        head_params = tree.get("feature_extractor", {}).get("head")
+        if head_params:
+            head_dims = head_dims_from_params(head_params)
             if head_dims[-1] != protos.shape[-1]:
                 raise SystemExit(
                     f"projection head output {head_dims[-1]} != prototype "
                     f"dim {protos.shape[-1]}"
                 )
+        elif protos.shape[-1] != bb.feature_dim:
+            raise SystemExit(
+                f"prototype dim {protos.shape[-1]} != backbone feature "
+                f"dim {bb.feature_dim} and the checkpoint has no "
+                "projection head to bridge them"
+            )
 
     from functools import partial
 

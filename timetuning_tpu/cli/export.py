@@ -93,6 +93,7 @@ def export_features(architecture: str, model_path: str | None,
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
+    from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: F401
 
     from timetuning_tpu.data.transforms import eval_preprocess_batch
     from timetuning_tpu.models.registry import get_backbone
@@ -140,8 +141,6 @@ def export_features(architecture: str, model_path: str | None,
                 f"mesh export needs {n_mesh} devices, found "
                 f"{len(jax.devices())}"
             )
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         if sequence_parallel > 1:
             if not hasattr(getattr(bb.module, "config", None), "depth"):
                 raise ValueError(
@@ -162,6 +161,13 @@ def export_features(architecture: str, model_path: str | None,
                 vit_param_specs,
             )
 
+            if tensor_parallel > 1 and not hasattr(bb.module, "config"):
+                # vit_param_specs would match nothing and silently export
+                # a fully-replicated (no-op TP) artifact
+                raise ValueError(
+                    "--tensor_parallel supports ViT backbones only (the "
+                    "Megatron sharding rules, parallel/tp.py)"
+                )
             if hasattr(bb.module, "config"):
                 validate_tp_geometry(bb.module.config, tensor_parallel)
             mesh = make_dp_tp_mesh(data_parallel, tensor_parallel)
@@ -182,8 +188,6 @@ def export_features(architecture: str, model_path: str | None,
         return tokens[:, 1:] if bb.drop_cls else tokens
 
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         batch_sh = NamedSharding(mesh, P("data"))
         forward = jax.jit(
             forward, in_shardings=batch_sh, out_shardings=batch_sh
@@ -198,8 +202,6 @@ def export_features(architecture: str, model_path: str | None,
             (b, input_resolution, input_resolution, 3), jnp.uint8
         )
     elif mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         spec = jax.ShapeDtypeStruct(
             shape, jnp.uint8, sharding=NamedSharding(mesh, P("data"))
         )

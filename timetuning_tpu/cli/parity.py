@@ -75,9 +75,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="reference J&F to gate against")
     p.add_argument("--expected_davis_miou", type=float, default=None)
     p.add_argument("--expected_pascal_miou", type=float, default=None)
-    p.add_argument("--tolerance", type=float, default=0.5,
-                   help="metric gate half-width, in metric points "
-                        "(BASELINE.md: 'within 0.5 of the reference')")
+    p.add_argument("--tolerance", type=float, default=0.005,
+                   help="metric gate half-width, in FRACTION units (the "
+                        "metrics here are [0, 1] fractions): 0.005 == the "
+                        "0.5 mIoU POINTS of BASELINE.md's 'within 0.5 of "
+                        "the reference' — a points-scale 0.5 here would "
+                        "make every gate vacuously pass")
     p.add_argument("--feature_atol", type=float, default=5e-3,
                    help="max |Δ| gate for dense features vs the torch oracle")
     p.add_argument("--embed_atol", type=float, default=1e-4,
@@ -164,9 +167,10 @@ def _import_stage(args, report: _Report):
             for k, v in strip_prefixes(sd).items()
         }
     imported = timet_params_from_torch(sd)
-    head_dims = tuple(
-        imported["feature_extractor"]["head"][k]["kernel"].shape[1]
-        for k in sorted(imported["feature_extractor"].get("head", {}))
+    from timetuning_tpu.models.import_torch import head_dims_from_params
+
+    head_dims = head_dims_from_params(
+        imported["feature_extractor"].get("head", {})
     )
     n_protos = imported.get("prototypes", np.zeros((200, 1))).shape[0]
 

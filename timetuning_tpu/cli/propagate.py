@@ -91,7 +91,13 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
         ann = np.asarray(
             resize_nearest(jnp.asarray(annots, jnp.float32), (S, S))
         ).astype(np.int64)
+        # round the channel count up to a multiple of 4: propagate_clip is
+        # jitted per distinct K, and per-clip object counts would otherwise
+        # trigger a multi-second recompile for every new count (padded
+        # channels are all-zero, never beating a valid label's argmax; ties
+        # at 0 resolve to the first index = background)
         K = max(int(ann.max()) + 1, 2)
+        K = -(-K // 4) * 4
         if args.use_optical_flow:
             import cv2
 

@@ -15,7 +15,14 @@ from timetuning_tpu.runtime import setup_compilation_cache
 
 
 def str2bool(v: str) -> bool:
-    return str(v).lower() in ("1", "true", "yes", "y", "t")
+    s = str(v).lower()
+    if s in ("1", "true", "yes", "y", "t"):
+        return True
+    if s in ("0", "false", "no", "n", "f"):
+        return False
+    # reject garbage: silently mapping a typo ('treu') to False would be
+    # the mirror image of the reference's type=bool bug (garbage → True)
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -147,6 +147,18 @@ def head_params_from_torch(
     return out
 
 
+def head_dims_from_params(head_params: Mapping) -> tuple[int, ...]:
+    """Projection-head layer widths in the canonical ``lin{i}`` numeric
+    order this importer creates — the ONE rule for rebuilding a
+    ProjectionHead from checkpoint params (a lexicographic sort would
+    order lin10 before lin2)."""
+    keys = sorted(
+        (k for k in head_params if k.startswith("lin")),
+        key=lambda s: int(s[3:]),
+    )
+    return tuple(int(head_params[k]["kernel"].shape[-1]) for k in keys)
+
+
 def timet_params_from_torch(sd: Mapping[str, np.ndarray]) -> dict:
     """Import a full TimeT checkpoint: backbone + head + prototypes.
 

@@ -29,6 +29,21 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_2d_mesh(n_outer: int, n_inner: int, axis_names: tuple[str, str],
+                 devices=None) -> Mesh:
+    """2-D mesh with the INNER axis over the fastest ICI links — the shared
+    factory behind the (data, model) and (data, seq) meshes."""
+    if devices is None:
+        devices = jax.devices()
+    if n_outer * n_inner > len(devices):
+        raise ValueError(
+            f"{axis_names[0]}*{axis_names[1]}={n_outer * n_inner} exceeds "
+            f"{len(devices)} devices"
+        )
+    grid = np.asarray(devices[: n_outer * n_inner]).reshape(n_outer, n_inner)
+    return Mesh(grid, axis_names)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over data — for input batches."""
     return NamedSharding(mesh, P(DATA_AXIS))

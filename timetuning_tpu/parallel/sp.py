@@ -59,12 +59,9 @@ SEQ_AXIS = "seq"
 def make_dp_sp_mesh(dp: int, sp: int, devices=None) -> Mesh:
     """2-D (data, seq) mesh; ``seq`` innermost so the per-block K/V
     all-gathers ride the fastest ICI links."""
-    if devices is None:
-        devices = jax.devices()
-    if dp * sp > len(devices):
-        raise ValueError(f"dp*sp={dp * sp} exceeds {len(devices)} devices")
-    grid = np.asarray(devices[: dp * sp]).reshape(dp, sp)
-    return Mesh(grid, (DATA_AXIS, SEQ_AXIS))
+    from timetuning_tpu.parallel.mesh import make_2d_mesh
+
+    return make_2d_mesh(dp, sp, (DATA_AXIS, SEQ_AXIS), devices=devices)
 
 
 def _kernels_on() -> bool:

@@ -34,14 +34,11 @@ MODEL_AXIS = "model"
 
 
 def make_dp_tp_mesh(dp: int, tp: int, devices=None) -> Mesh:
-    """2-D (data, model) mesh. ICI topology note: put ``model`` innermost so
-    the per-layer all-reduces ride the fastest links."""
-    if devices is None:
-        devices = jax.devices()
-    if dp * tp > len(devices):
-        raise ValueError(f"dp*tp={dp * tp} exceeds {len(devices)} devices")
-    grid = np.asarray(devices[: dp * tp]).reshape(dp, tp)
-    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    """2-D (data, model) mesh; ``model`` innermost so the per-layer
+    all-reduces ride the fastest ICI links."""
+    from timetuning_tpu.parallel.mesh import make_2d_mesh
+
+    return make_2d_mesh(dp, tp, (DATA_AXIS, MODEL_AXIS), devices=devices)
 
 
 # The ONE Megatron rule table (suffix → spec), consumed by both lookup

@@ -247,6 +247,146 @@ def test_two_process_full_train_step(tmp_path):
         assert "OK pid=" in out
 
 
+WORKER_TP_STEP = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    want_loss = float(sys.argv[3]); want_qkv = float(sys.argv[4])
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=pid,
+    )
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from test_tensor_parallel import _timet, _clip_rng
+    from timetuning_tpu.data.loader import host_batch_to_device
+    from timetuning_tpu.parallel.tp import (
+        gather_global_params,
+        make_dp_tp_mesh,
+        make_tp_train_step,
+        put_state_global,
+    )
+
+    # same seeds on both processes -> identical initial state
+    model, cfg, tx, state = _timet(tx_kind="sgd")
+    clip, rng = _clip_rng()
+
+    # dp=2 x tp=2 over 2 hosts x 2 devices: each host is one dp row
+    mesh = make_dp_tp_mesh(2, 2)
+    tp_step, shardings = make_tp_train_step(
+        model, cfg, tx, mesh, state_like=state
+    )
+    state_tp = put_state_global(jax.device_get(state), shardings)
+    # qkv kernel genuinely model-sharded across THIS host's two tp columns
+    qkv0 = state_tp.params["feature_extractor"]["backbone"]["blocks_0"][
+        "attn"]["qkv"]["kernel"]
+    assert {s.data.shape for s in qkv0.addressable_shards} == {(32, 48)}, \\
+        {s.data.shape for s in qkv0.addressable_shards}
+
+    # per-host batch: host p contributes clips [2p, 2p+2) of the global 4
+    local = np.asarray(clip)[pid * 2:(pid + 1) * 2]
+    garr = host_batch_to_device(local, NamedSharding(mesh, P("data")))
+    assert garr.shape == (4,) + clip.shape[1:], garr.shape
+
+    new_state, metrics = tp_step(state_tp, garr, rng)
+    loss = float(np.asarray(jax.device_get(metrics["loss"])))
+    assert abs(loss - want_loss) <= 2e-4 * max(1.0, abs(want_loss)), \\
+        (loss, want_loss)
+
+    # the process-0 eval/export path: gather the model-sharded params to
+    # host (collective on every process)
+    host_params = gather_global_params(new_state.params)
+    qkv = np.asarray(
+        host_params["feature_extractor"]["backbone"]["blocks_0"]["attn"][
+            "qkv"]["kernel"]
+    )
+    assert qkv.shape == (32, 96), qkv.shape
+    got_qkv = float(np.abs(qkv).sum())
+    assert abs(got_qkv - want_qkv) <= 1e-3 * max(1.0, abs(want_qkv)), \\
+        (got_qkv, want_qkv)
+
+    # cross-process checkpoint round trip of the model-sharded state:
+    # save_checkpoint allgathers non-addressable leaves to host (every
+    # process joins), orbax coordinates the write; the restored tree
+    # placed back under the shardings matches
+    run_dir = sys.argv[5]
+    from timetuning_tpu.core.checkpoint import load_checkpoint, save_checkpoint
+    save_checkpoint(new_state, run_dir, epoch=3)
+    # the trainer restores into the host-side template BEFORE sharding
+    restored, ep = load_checkpoint(run_dir, jax.device_get(state))
+    assert ep == 3, ep
+    r_qkv = np.asarray(
+        restored.params["feature_extractor"]["backbone"]["blocks_0"]["attn"][
+            "qkv"]["kernel"]
+    )
+    np.testing.assert_allclose(r_qkv, qkv, rtol=0, atol=0)
+    back = put_state_global(restored, shardings)
+    tp_step(back, garr, rng)  # restored state feeds the step again
+    print(f"OK pid={pid} tp loss={loss:.6f}", flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
+def test_two_process_tensor_parallel_step(tmp_path):
+    """The GSPMD dp×tp training step over a real 2-process mesh (each host
+    one dp row, tp columns local): per-host batch assembly, Megatron-sharded
+    state placed via put_state_global, loss equal to the single-process
+    step, and the eval-path params gather (process_allgather) returning the
+    full updated kernels on every host."""
+    import os
+
+    import jax
+
+    from test_tensor_parallel import _clip_rng, _timet
+
+    model, cfg, tx, state = _timet(tx_kind="sgd")
+    clip, rng = _clip_rng()
+
+    from timetuning_tpu.core.timet import make_train_step
+
+    ref_state, ref_metrics = jax.jit(make_train_step(model, cfg, tx))(
+        state, clip, rng
+    )
+    want_loss = float(ref_metrics["loss"])
+    want_qkv = float(
+        np.abs(np.asarray(
+            ref_state.params["feature_extractor"]["backbone"]["blocks_0"][
+                "attn"]["qkv"]["kernel"]
+        )).sum()
+    )
+
+    script = tmp_path / "worker_tp.py"
+    script.write_text(WORKER_TP_STEP)
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ,
+               PYTHONPATH=os.pathsep.join([repo_root, tests_dir]))
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port),
+             repr(want_loss), repr(want_qkv), str(run_dir)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+        assert "OK pid=" in out
+
+
 def test_two_process_host_batch_transfer(tmp_path):
     """host_batch_to_device assembles the true global batch from distinct
     per-host loader outputs (device_put would silently treat each host's

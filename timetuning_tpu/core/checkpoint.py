@@ -58,7 +58,9 @@ def _to_host(x):
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         from jax.experimental import multihost_utils
 
-        return np.asarray(multihost_utils.process_allgather(x))
+        # tiled=True is REQUIRED for global arrays (allgather raises
+        # without it) and returns the fully-replicated global value
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
     return jax.device_get(x)
 
 

@@ -141,6 +141,9 @@ class TrainingConfig:
     # (the reference's single-process queue semantics) instead of the dp
     # path's per-device FIFOs, the fused Pallas attention is rerouted to
     # XLA (a Pallas call cannot be partitioned), and zero1 is unsupported.
+    # Works on pods: batch_size stays per-host, state placement goes
+    # through make_array_from_callback, and the process-0 eval/export
+    # paths gather the model-sharded params with a process_allgather.
     tensor_parallel: int = 1
 
 
@@ -346,22 +349,19 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 f"tensor_parallel={tp} must divide the {n_dev} devices"
             )
         dp = n_dev // tp
-        if cfg.batch_size % dp != 0:
+        # batch_size is PER-HOST (like the dp path): the global batch
+        # assembled over the mesh is batch_size * processes
+        if (cfg.batch_size * jax.process_count()) % dp != 0:
             raise ValueError(
-                f"batch_size {cfg.batch_size} must divide over the "
-                f"data axis (dp={dp} at tensor_parallel={tp})"
+                f"global batch {cfg.batch_size} x {jax.process_count()} "
+                f"host(s) must divide over the data axis (dp={dp} at "
+                f"tensor_parallel={tp})"
             )
         if cfg.zero1:
             raise ValueError(
                 "zero1 and tensor_parallel are mutually exclusive (ZeRO-1 "
                 "shards the flat optimizer vector over the data axis; under "
                 "TP the moments already shard over the model axis)"
-            )
-        if jax.process_count() > 1:
-            raise ValueError(
-                "tensor_parallel is single-host for now: the model-sharded "
-                "state breaks the process-0-only eval/export paths, which "
-                "assume fully-addressable params (use the dp path on pods)"
             )
         from timetuning_tpu.parallel.tp import make_dp_tp_mesh
 
@@ -771,10 +771,16 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
 
     if tp > 1:
         # place the (fresh or restored) state under the Megatron shardings;
-        # the GSPMD step keeps them on its outputs
-        from timetuning_tpu.parallel.tp import timet_state_shardings
+        # the GSPMD step keeps them on its outputs. On pods the placement
+        # goes through make_array_from_callback (every process holds the
+        # identical full value — same init seeds or same restored host
+        # checkpoint).
+        from timetuning_tpu.parallel.tp import (
+            put_state_global,
+            timet_state_shardings,
+        )
 
-        state = jax.device_put(state, timet_state_shardings(state, mesh))
+        state = put_state_global(state, timet_state_shardings(state, mesh))
 
     aug_cfg = AugmentConfig(out_size=cfg.input_resolution)
     step_fn = make_full_step(model, tcfg, tx, aug_cfg, mesh, state_like=state,
@@ -909,20 +915,30 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     for epoch in range(start_epoch, cfg.num_epochs):
         save_checkpoint(state, run_dir, epoch, meta=ckpt_meta)
         loader.set_epoch(epoch)
-        if (
-            evaluator_factory is not None
-            and epoch % cfg.eval_every == 0
-            and jax.process_index() == 0
-        ):
+        do_eval = (
+            evaluator_factory is not None and epoch % cfg.eval_every == 0
+        )
+        eval_params = None
+        if do_eval:
             # On pods the post-step params are GLOBAL arrays (sharded over
-            # every host's devices); this eval is a process-0-only local
-            # computation, so pull the dp-replicated params to host first —
-            # feeding a multi-process array into a single-process jit
-            # raises (or deadlocks the other hosts)
-            eval_params = (
-                jax.device_get(state.params)
-                if jax.process_count() > 1 else state.params
-            )
+            # every host's devices); the eval itself is a process-0-only
+            # local computation, so pull them to host first — feeding a
+            # multi-process array into a single-process jit raises (or
+            # deadlocks the other hosts). dp-replicated params device_get
+            # locally; model-sharded params (tensor_parallel on pods) need
+            # the process_allgather COLLECTIVE, which every process joins.
+            if jax.process_count() > 1 and tp > 1:
+                from timetuning_tpu.parallel.tp import gather_global_params
+
+                eval_params = gather_global_params(state.params)
+            elif jax.process_count() > 1:
+                eval_params = (
+                    jax.device_get(state.params)
+                    if jax.process_index() == 0 else None
+                )
+            else:
+                eval_params = state.params
+        if do_eval and jax.process_index() == 0:
             score = evaluator_factory(eval_params).evaluate(
                 many_to_one=cfg.many_to_one,
                 evaluation_protocol=cfg.evaluation_protocol,

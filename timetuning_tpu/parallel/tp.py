@@ -173,6 +173,43 @@ def gspmd_step_jit(step, mesh: Mesh, state_like, n_batch_args: int = 1):
     ), shardings
 
 
+def put_state_global(state, shardings):
+    """Place a TrainState under the mesh shardings.
+
+    Single-process: plain ``device_put``. Multi-process: every process holds
+    the identical full value (same init seeds, or the same restored host
+    checkpoint), so each leaf is materialized shard-by-shard with
+    ``make_array_from_callback`` — ``device_put`` of a single-device array
+    onto a sharding whose devices span processes is not portable."""
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    def put(x, s):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, state, shardings)
+
+
+def gather_global_params(params):
+    """Full host (numpy) copy of possibly model-sharded GLOBAL params.
+
+    This is a COLLECTIVE (``multihost_utils.process_allgather`` of every
+    non-fully-addressable leaf, which replicates it over the global mesh):
+    on pods every process must call it, even when only process 0 consumes
+    the result (the process-0-only eval/export paths). Addressable leaves
+    device_get directly — routing them through a ``tiled=True`` allgather
+    would CONCATENATE per-process copies instead."""
+    from jax.experimental import multihost_utils
+
+    def gather(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return multihost_utils.process_allgather(x, tiled=True)
+        return jax.device_get(x)
+
+    return jax.tree.map(gather, params)
+
+
 def force_xla_attention(model):
     """Clone a TimeT model so its backbone runs the plain-XLA attention
     blocks: a Pallas call is opaque to the SPMD partitioner, so the fused

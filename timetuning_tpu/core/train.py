@@ -459,7 +459,16 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         fast_decode=cfg.fast_decode,
         seed=cfg.seed,
     )
-    steps_per_epoch = max(len(loader), 1)
+    if len(loader) == 0:
+        # max(len, 1) below would otherwise mask this: every epoch runs ZERO
+        # optimization steps ("loss None") while evals still fire — a config
+        # mistake (batch_size > videos) that should fail loudly, not no-op
+        raise ValueError(
+            f"dataset '{cfg.dataset}' at {cfg.data_root} yields no batches "
+            f"at batch_size={cfg.batch_size} — fewer videos than the batch; "
+            "lower --batch_size"
+        )
+    steps_per_epoch = len(loader)
     if cfg.max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, cfg.max_steps_per_epoch)
 
@@ -792,7 +801,14 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     if cfg.pascal_root:
         from timetuning_tpu.data.pascal import pascal_loader
 
-        eval_res = cfg.eval_resolution or cfg.input_resolution // 2
+        # reference time_tuning.py:603: input/2 ONLY for the dataset-wise
+        # protocol; frame-/sample-wise in-training eval runs at full input
+        # resolution
+        eval_res = cfg.eval_resolution or (
+            cfg.input_resolution // 2
+            if cfg.evaluation_protocol == "dataset-wise"
+            else cfg.input_resolution
+        )
         eval_loader = pascal_loader(
             60, cfg.pascal_root, "val", eval_res, cfg.input_resolution
         )
@@ -825,6 +841,10 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             spatial_resolution=spatial_res,
             num_classes=cfg.eval_num_clusters,
             involve_bg=True,
+            # the reference trainer hands uvos_flag to its Evaluator
+            # (time_tuning.py:602) — it only bites on the frame-/sample-wise
+            # protocols, which binarize annotations under it
+            uvos=cfg.uvos,
             ignore_index=255,
             logger=logger,
         )
@@ -942,7 +962,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             score = evaluator_factory(eval_params).evaluate(
                 many_to_one=cfg.many_to_one,
                 evaluation_protocol=cfg.evaluation_protocol,
-                eval_resolution=cfg.eval_resolution or cfg.input_resolution // 2,
+                eval_resolution=eval_res,
                 num_clusters=cfg.eval_num_clusters,
                 use_mask=cfg.use_mask,
                 precision_based=cfg.precision_based,

@@ -444,3 +444,26 @@ def test_tensor_parallel_rounds_queue_to_data_axis(davis_tree, tmp_path):
     assert result["state"].queue.shape[0] == 63
     assert {s.data.shape for s in result["state"].queue.addressable_shards} \
         == {(21, 8)}
+
+
+def test_default_eval_resolution_is_protocol_aware():
+    """Reference time_tuning.py:603: input/2 ONLY for dataset-wise;
+    frame-/sample-wise in-training eval runs at full input resolution."""
+    from timetuning_tpu.core.train import default_eval_resolution
+
+    mk = lambda **kw: TrainingConfig(input_resolution=224, **kw)  # noqa: E731
+    assert default_eval_resolution(mk()) == 112  # dataset-wise default
+    assert default_eval_resolution(
+        mk(evaluation_protocol="frame-wise")) == 224
+    assert default_eval_resolution(
+        mk(evaluation_protocol="sample-wise")) == 224
+    assert default_eval_resolution(
+        mk(evaluation_protocol="frame-wise", eval_resolution=100)) == 100
+
+
+def test_empty_training_loader_raises(davis_tree, tmp_path):
+    """batch_size > videos yields zero batches — the driver must fail loudly
+    instead of silently running zero optimization steps per epoch."""
+    with pytest.raises(ValueError, match="no batches"):
+        run_training(_cfg(davis_tree, tmp_path, batch_size=32,
+                          num_devices=1))

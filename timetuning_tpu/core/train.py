@@ -174,6 +174,17 @@ def frozen_trunk_split(unfreeze_layers, backbone_module) -> int | None:
     return lo
 
 
+def default_eval_resolution(cfg: TrainingConfig) -> int:
+    """Reference time_tuning.py:603: the in-training eval resolution is
+    input/2 ONLY for the dataset-wise protocol; frame-/sample-wise run at
+    full input resolution. ``--eval_resolution`` overrides either."""
+    return cfg.eval_resolution or (
+        cfg.input_resolution // 2
+        if cfg.evaluation_protocol == "dataset-wise"
+        else cfg.input_resolution
+    )
+
+
 def build_model(cfg: TrainingConfig):
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(cfg.architecture, cfg.model_path, dtype=dtype)
@@ -801,14 +812,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
     if cfg.pascal_root:
         from timetuning_tpu.data.pascal import pascal_loader
 
-        # reference time_tuning.py:603: input/2 ONLY for the dataset-wise
-        # protocol; frame-/sample-wise in-training eval runs at full input
-        # resolution
-        eval_res = cfg.eval_resolution or (
-            cfg.input_resolution // 2
-            if cfg.evaluation_protocol == "dataset-wise"
-            else cfg.input_resolution
-        )
+        eval_res = default_eval_resolution(cfg)
         eval_loader = pascal_loader(
             60, cfg.pascal_root, "val", eval_res, cfg.input_resolution
         )

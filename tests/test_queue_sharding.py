@@ -42,19 +42,20 @@ F = 3
 Q_LOCAL = 8
 
 
-def _build(world, queue_size):
+def _build(world, queue_size, img=IMG):
     vcfg = ViTConfig(patch_size=PATCH, embed_dim=32, depth=2, num_heads=2,
-                     img_size=IMG, attn_impl="xla")
+                     img_size=img, attn_impl="xla")
     fe = FeatureExtractor(backbone=VisionTransformer(vcfg), head_dims=(48, 24))
     model = TimeT(feature_extractor=fe, n_prototypes=8)
     cfg = TimeTConfig(
         n_prototypes=8, use_teacher=True, use_queue=True,
         queue_size=queue_size, num_epochs=2, steps_per_epoch=4,
-        spatial_resolution=RES, n_last_frames=2, size_mask_neighborhood=1,
+        spatial_resolution=img // PATCH, n_last_frames=2,
+        size_mask_neighborhood=1,
         axis_name="data" if world > 1 else None, world_size=world,
     )
     rng = jax.random.PRNGKey(0)
-    sample = jnp.zeros((1, IMG, IMG, 3))
+    sample = jnp.zeros((1, img, img, 3))
     params = model.init(rng, sample)["params"]
     tx, _ = swav_optimizer(params, lr=1e-3, num_epochs=2, steps_per_epoch=4,
                            unfreeze_layers=("blocks.1",))
@@ -64,23 +65,40 @@ def _build(world, queue_size):
 
 
 def test_dp_with_queue_matches_single_device():
+    """dp step with a READY queue == single-device step on the concatenated
+    batch + queue.
+
+    The step inserts the current batch's first-frame features into the FIFO
+    BEFORE the Sinkhorn (reference time_tuning.py:250-268), and insertion
+    SELECTION is random per program — so exact equivalence needs a geometry
+    where the inserted rows cover the WHOLE first-frame feature pool
+    deterministically: 16×16 images at patch 8 give N=4 patches per frame,
+    so pool/device = b_local·N = 8 = Q_LOCAL = n_store (and globally
+    64 = Q_LOCAL·n_dev = n_store_single). Both programs then hold the same
+    row SET (permuted), and the psum'd Sinkhorn statistics are row-order
+    invariant."""
     n_dev = jax.device_count()
     assert n_dev >= 2
+    img = 16                       # N = (16/8)² = 4 patches per frame
     b_local = 2
     b_global = b_local * n_dev
     clip = jnp.asarray(
-        np.random.default_rng(3).normal(size=(b_global, F, IMG, IMG, 3)),
+        np.random.default_rng(3).normal(size=(b_global, F, img, img, 3)),
         jnp.float32,
     )
     # Shared pre-filled queue content: the single-device queue is the
-    # concatenation of the per-device local queues.
+    # concatenation of the per-device local queues. (Entirely displaced by
+    # the in-step insertion in BOTH programs — pool == FIFO size.)
     queue0 = jnp.asarray(
         np.random.default_rng(4).normal(size=(Q_LOCAL * n_dev, 24)), jnp.float32
     )
     rng = jax.random.PRNGKey(9)
 
     # --- sharded run ------------------------------------------------------
-    model, cfg_m, tx, state_m, step_m = _build(world=n_dev, queue_size=Q_LOCAL)
+    model, cfg_m, tx, state_m, step_m = _build(
+        world=n_dev, queue_size=Q_LOCAL, img=img
+    )
+    assert min(b_local * 10, Q_LOCAL) == b_local * 4  # insertion == pool
     state_m = state_m.replace(
         queue=queue0, queue_fill=jnp.asarray(Q_LOCAL, jnp.int32)
     )
@@ -97,11 +115,24 @@ def test_dp_with_queue_matches_single_device():
     s_shard, m_shard = shard_step(state_m, clip, rng)
 
     # --- single-device run on the concatenated batch + queue ---------------
-    _, cfg_s, _, state_s, step_s = _build(world=1, queue_size=Q_LOCAL * n_dev)
+    _, cfg_s, _, state_s, step_s = _build(
+        world=1, queue_size=Q_LOCAL * n_dev, img=img
+    )
     state_s = state_s.replace(
         queue=queue0, queue_fill=jnp.asarray(Q_LOCAL * n_dev, jnp.int32)
     )
     s_single, m_single = jax.jit(step_s)(state_s, clip, rng)
+    # both queues hold the same row set: every global first-frame feature
+    feats, _ = model.apply(
+        {"params": state_s.teacher_params}, clip[:, 0], use_head=True
+    )
+    pool = np.sort(np.asarray(feats).reshape(-1, 24), axis=0)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_shard.queue), axis=0), pool, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(s_single.queue), axis=0), pool, rtol=1e-4, atol=1e-5
+    )
 
     np.testing.assert_allclose(
         float(m_shard["loss"]), float(m_single["loss"]), rtol=2e-4

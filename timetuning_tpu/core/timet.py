@@ -438,10 +438,6 @@ def make_train_step(
         first = clip[:, 0]
         last = clip[:, -1]
 
-        queue_ready = (
-            state.queue_fill >= cfg.queue_size if cfg.use_queue else jnp.array(False)
-        )
-
         # --- no-grad context ------------------------------------------------
         # Backbone (no-head) features over all frames → propagation substrate
         # (reference time_tuning.py:238-239).
@@ -480,7 +476,27 @@ def make_train_step(
         if cfg.mask_features:
             masked, _ = apply_attention_mask(src_feats[:, None], src_attn, res)
             src_feats = masked[:, 0]
-        q, _ = assign(code_params, src_feats, state.queue, queue_ready)
+
+        # --- queue FIFO -------------------------------------------------
+        # The reference inserts the current batch's first-frame features
+        # BEFORE computing the Sinkhorn scores (time_tuning.py:250-261
+        # precede get_scores at :263-268), so the step's assignment sees the
+        # just-stored rows and the full-queue readiness check
+        # (``queue[-1].count_nonzero()``, :207) triggers in the same step
+        # the FIFO fills.
+        queue, queue_fill = state.queue, state.queue_fill
+        if cfg.use_queue:
+            store_feats = src_feats.reshape(-1, src_feats.shape[-1])
+            n_store = min(B * 10, cfg.queue_size)
+            idx = jax.random.permutation(rng, store_feats.shape[0])[:n_store]
+            selected = jax.lax.stop_gradient(store_feats[idx])
+            queue = jnp.concatenate([selected, queue[:-n_store]], axis=0)
+            queue_fill = jnp.minimum(queue_fill + n_store, cfg.queue_size)
+        queue_ready = (
+            queue_fill >= cfg.queue_size if cfg.use_queue else jnp.array(False)
+        )
+
+        q, _ = assign(code_params, src_feats, queue, queue_ready)
         q = jax.lax.stop_gradient(q)                          # [B, N, K]
 
         # Propagate q through the clip over backbone features
@@ -635,16 +651,6 @@ def make_train_step(
             teacher_params = dict(teacher_params) | {
                 "prototypes": _l2norm(teacher_params["prototypes"])
             }
-
-        # --- queue FIFO -----------------------------------------------------
-        queue, queue_fill = state.queue, state.queue_fill
-        if cfg.use_queue:
-            store_feats = src_feats.reshape(-1, src_feats.shape[-1])
-            n_store = min(B * 10, cfg.queue_size)
-            idx = jax.random.permutation(rng, store_feats.shape[0])[:n_store]
-            selected = jax.lax.stop_gradient(store_feats[idx])
-            queue = jnp.concatenate([selected, queue[:-n_store]], axis=0)
-            queue_fill = jnp.minimum(queue_fill + n_store, cfg.queue_size)
 
         new_state = TrainState(
             params=params,

@@ -329,6 +329,24 @@ WORKER_TP_STEP = textwrap.dedent(
     np.testing.assert_allclose(r_qkv, qkv, rtol=0, atol=0)
     back = put_state_global(restored, shardings)
     tp_step(back, garr, rng)  # restored state feeds the step again
+
+    # process-0-only best-model export: orbax save barriers must be scoped
+    # to the calling process (an all-process-barriered save would park pid 0
+    # here forever while pid 1 proceeds — the pod deadlock this guards)
+    if pid == 0:
+        from timetuning_tpu.core.checkpoint import export_best
+        ep_path = export_best(host_params, run_dir, 0.5, 2)
+        import orbax.checkpoint as ocp
+        back_tree = ocp.Checkpointer(
+            ocp.PyTreeCheckpointHandler(use_ocdbt=True),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0},
+                barrier_sync_key_prefix="export_read",
+            ),
+        ).restore(ep_path)
+        r = np.asarray(back_tree["feature_extractor"]["backbone"][
+            "blocks_0"]["attn"]["qkv"]["kernel"])
+        np.testing.assert_allclose(r, qkv, rtol=0, atol=0)
     print(f"OK pid={pid} tp loss={loss:.6f}", flush=True)
     jax.distributed.shutdown()
     """

@@ -136,16 +136,45 @@ def load_checkpoint(run_dir: str, state_template: Any) -> tuple[Any, int]:
     return payload["state"], int(payload["epoch"])
 
 
+def _this_process_checkpointer():
+    """A checkpointer whose barriers are scoped to THIS process only.
+
+    ``Checkpointer.save`` runs ``sync_global_processes`` barriers that every
+    process must join — but ``export_best`` is called on process 0 alone
+    (inside the rank-0 eval guard, like the reference's rank-0
+    ``model.save``, time_tuning.py:637-641), which would deadlock a pod:
+    process 0 parks at the save_start barrier while the other hosts are in
+    the training loop. Scoping ``active_processes`` (and ``primary_host``)
+    to the calling process makes every barrier a self-sync no-op; the
+    on-disk format is the same PyTree layout ``_checkpointer`` reads."""
+    import orbax.checkpoint as ocp
+
+    if jax.process_count() == 1:
+        return _checkpointer()
+    me = jax.process_index()
+    return ocp.Checkpointer(
+        ocp.PyTreeCheckpointHandler(use_ocdbt=True),
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me,
+            active_processes={me},
+            barrier_sync_key_prefix=f"export_p{me}",
+        ),
+    )
+
+
 def export_best(params: Any, run_dir: str, score: float, epoch: int) -> str:
     """Model-only export named ``{score}_{epoch}`` (time_tuning.py:637-641).
 
     ViT-backed TimeT trees additionally export a reference-loadable
     ``{score}_{epoch}.pth`` (the published TimeT.pth key layout,
     README.md:66-76) so checkpoints trained here load straight into the
-    PyTorch reference; other backbones get the Orbax tree only."""
+    PyTorch reference; other backbones get the Orbax tree only. Safe to
+    call from a single process of a multi-process run (see
+    ``_this_process_checkpointer``); ``params`` must be host values or
+    process-local arrays there."""
     host = jax.device_get(params)
     path = os.path.join(os.path.abspath(run_dir), f"{score:.4f}_{epoch}")
-    _checkpointer().save(path, host, force=True)
+    _this_process_checkpointer().save(path, host, force=True)
     from timetuning_tpu.models.export_torch import exportable, save_timet_pth
 
     if exportable(host):

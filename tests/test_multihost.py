@@ -509,6 +509,93 @@ def test_two_process_zero1_step(tmp_path):
         assert "OK pid=" in out
 
 
+WORKER_DRIVER_PREEMPT = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    data_root = sys.argv[3]; log_dir = sys.argv[4]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=pid,
+    )
+    print(f"READY pid={pid}", flush=True)
+    from timetuning_tpu.core.train import TrainingConfig, run_training
+
+    cfg = TrainingConfig(
+        architecture="vit-tiny-test", dataset="davis", data_root=data_root,
+        log_dir=log_dir, batch_size=2, num_epochs=200, num_frames=3,
+        num_workers=2, num_clusters=8, input_resolution=32,
+        n_last_frames=2, size_mask_neighborhood=1, decode_size=48,
+        head_dims=(16, 8), unfreeze_layers=("blocks.1",),
+        compute_dtype="float32", use_tensorboard=False, num_devices=4,
+    )
+    out = run_training(cfg)
+    assert out["preempted"], "driver finished all 200 epochs before SIGTERM?"
+    assert out["global_step"] > 0
+    import os.path
+    assert os.path.exists(os.path.join(out["run_dir"], "checkpoint"))
+    print(f"OK pid={pid} preempted at step {out['global_step']}", flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
+def test_two_process_driver_preemption_agreement(tmp_path):
+    """run_training end-to-end over a real 2-process 4-device mesh, with
+    SIGTERM delivered to ONE host only: the preemption flag is agreed via a
+    cross-process collective at a fixed step cadence, so BOTH hosts save a
+    coordinated checkpoint and exit cleanly (an immediate local-flag save
+    would park the signaled host in the collective _to_host allgather while
+    the other keeps training)."""
+    import os
+    import signal
+    import time as _time
+
+    import cv2
+
+    root = tmp_path / "davis"
+    frames = root / "JPEGImages" / "480p"
+    rng = np.random.default_rng(0)
+    for v in range(8):
+        fdir = frames / f"video{v}"
+        fdir.mkdir(parents=True)
+        for f in range(6):
+            img = rng.integers(0, 255, size=(48, 64, 3), dtype=np.uint8)
+            cv2.imwrite(str(fdir / f"{f:05d}.jpg"), img)
+
+    script = tmp_path / "worker_preempt.py"
+    script.write_text(WORKER_DRIVER_PREEMPT)
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port), str(root),
+             str(tmp_path / "logs")],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    # let rendezvous + first steps happen, then preempt host 0 ONLY
+    _time.sleep(60)
+    procs[0].send_signal(signal.SIGTERM)
+    outs = []
+    for p in procs:
+        # generous: 93s alone on a 1-core VM, but a concurrently loaded
+        # host can more than triple that
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    assert "OK pid=0 preempted" in outs[0], outs[0][-2000:]
+    assert "OK pid=1 preempted" in outs[1], outs[1][-2000:]
+
+
 def test_two_process_host_batch_transfer(tmp_path):
     """host_batch_to_device assembles the true global batch from distinct
     per-host loader outputs (device_put would silently treat each host's

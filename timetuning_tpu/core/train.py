@@ -1041,7 +1041,27 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 and global_step % cfg.checkpoint_every_steps == 0
             ):
                 save_checkpoint(state, run_dir, epoch, meta=ckpt_meta)
-            if preempt["flag"]:
+            # Preemption: single-host acts on the local flag immediately.
+            # Multi-host must NOT — the mid-epoch save's _to_host allgather
+            # of non-addressable leaves is a COLLECTIVE, and SIGTERM may
+            # reach one host first (or only one), which would park that
+            # host in the allgather while the others keep training. All
+            # processes instead agree on max(flag) at a fixed step cadence
+            # (bi is aligned across processes: equal per-rank loader
+            # counts), so every host stops at the same step. ~ms every 20
+            # steps; SIGTERM grace windows are tens of seconds.
+            preempt_now = preempt["flag"]
+            if jax.process_count() > 1:
+                preempt_now = False
+                if (bi % 20) == 0:
+                    from jax.experimental import multihost_utils
+
+                    preempt_now = bool(
+                        np.max(multihost_utils.process_allgather(
+                            np.asarray(preempt["flag"], np.int32)
+                        ))
+                    )
+            if preempt_now:
                 pstep, pmetrics = pending
                 last_loss = float(pmetrics["loss"])
                 if jax.process_index() == 0:

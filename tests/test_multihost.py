@@ -528,14 +528,14 @@ WORKER_DRIVER_PREEMPT = textwrap.dedent(
 
     cfg = TrainingConfig(
         architecture="vit-tiny-test", dataset="davis", data_root=data_root,
-        log_dir=log_dir, batch_size=2, num_epochs=200, num_frames=3,
+        log_dir=log_dir, batch_size=2, num_epochs=2000, num_frames=3,
         num_workers=2, num_clusters=8, input_resolution=32,
         n_last_frames=2, size_mask_neighborhood=1, decode_size=48,
         head_dims=(16, 8), unfreeze_layers=("blocks.1",),
         compute_dtype="float32", use_tensorboard=False, num_devices=4,
     )
     out = run_training(cfg)
-    assert out["preempted"], "driver finished all 200 epochs before SIGTERM?"
+    assert out["preempted"], "driver finished all 2000 epochs before SIGTERM?"
     assert out["global_step"] > 0
     import os.path
     assert os.path.exists(os.path.join(out["run_dir"], "checkpoint"))

@@ -63,6 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "resolution) where one chip can't serve at target "
                         "latency; composes with --data_parallel, mutually "
                         "exclusive with --tensor_parallel")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="export a MULTI-CHIP artifact that splits the block "
+                        "STACK into this many pipeline stages (parallel/"
+                        "pp.py: stage params sharded P('pipe'), GPipe "
+                        "microbatch schedule) — for backbones whose depth "
+                        "outgrows one chip; composes with --data_parallel, "
+                        "mutually exclusive with --tensor_parallel/"
+                        "--sequence_parallel")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per data shard (0 = auto: the "
+                        "pipe degree when it divides the local batch, else "
+                        "1); more microbatches shrink the pipeline bubble")
     return p
 
 
@@ -71,7 +83,8 @@ def export_features(architecture: str, model_path: str | None,
                     compute_dtype: str = "bfloat16",
                     symbolic_batch: bool = False,
                     tensor_parallel: int = 1, data_parallel: int = 1,
-                    sequence_parallel: int = 1):
+                    sequence_parallel: int = 1, pipeline_parallel: int = 1,
+                    pp_microbatches: int = 0):
     """Build and AOT-export the uint8→features forward. Returns
     (serialized bytes, live_fn, example_input_shape, mesh_or_None).
 
@@ -87,7 +100,13 @@ def export_features(architecture: str, model_path: str | None,
     weights, per-block K/V all-gather) — the long-token serving geometry.
     Exported from a CPU/virtual mesh the traced per-token math is the XLA
     fallback path (portable artifact); exported on a TPU mesh the fused
-    Pallas row kernels serialize as tpu custom calls (TPU-only artifact)."""
+    Pallas row kernels serialize as tpu custom calls (TPU-only artifact).
+
+    ``pipeline_parallel`` > 1 splits the block STACK into stages over a
+    ``(data_parallel, pipeline_parallel)`` mesh (parallel/pp.py: stage
+    params sharded ``P('pipe')``, GPipe microbatch schedule) — the
+    deep-backbone serving geometry where per-stage weights, not tokens,
+    are what outgrow a chip."""
     import dataclasses
 
     import jax
@@ -100,16 +119,21 @@ def export_features(architecture: str, model_path: str | None,
 
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(architecture, model_path, dtype=dtype)
-    if min(tensor_parallel, data_parallel, sequence_parallel) < 1:
+    if min(tensor_parallel, data_parallel, sequence_parallel,
+           pipeline_parallel) < 1:
         raise ValueError(
-            "tensor_parallel/data_parallel/sequence_parallel must be >= 1"
+            "tensor_parallel/data_parallel/sequence_parallel/"
+            "pipeline_parallel must be >= 1"
         )
-    if tensor_parallel > 1 and sequence_parallel > 1:
+    if sum(d > 1 for d in
+           (tensor_parallel, sequence_parallel, pipeline_parallel)) > 1:
         raise ValueError(
-            "--tensor_parallel and --sequence_parallel are mutually "
-            "exclusive (weight-sharded vs token-sharded artifacts)"
+            "--tensor_parallel, --sequence_parallel and --pipeline_parallel "
+            "are mutually exclusive (weight- vs token- vs stage-sharded "
+            "artifacts)"
         )
-    n_mesh = tensor_parallel * data_parallel * sequence_parallel
+    n_mesh = (tensor_parallel * data_parallel * sequence_parallel
+              * pipeline_parallel)
     if (symbolic_batch or n_mesh > 1) and hasattr(
         getattr(bb.module, "config", None), "attn_impl"
     ):
@@ -124,7 +148,7 @@ def export_features(architecture: str, model_path: str | None,
         )
     variables = bb.variables
     mesh = None
-    sp_fwd = None
+    alt_fwd = None   # sp or pp forward replacing the plain apply
     if n_mesh > 1:
         if symbolic_batch:
             raise ValueError(
@@ -153,7 +177,28 @@ def export_features(architecture: str, model_path: str | None,
             )
 
             mesh = make_dp_sp_mesh(data_parallel, sequence_parallel)
-            sp_fwd = sp_forward_fn(bb.module, mesh)
+            alt_fwd = sp_forward_fn(bb.module, mesh)
+        elif pipeline_parallel > 1:
+            cfg = getattr(bb.module, "config", None)
+            if not hasattr(cfg, "depth"):
+                raise ValueError(
+                    "--pipeline_parallel supports ViT backbones only "
+                    "(the stage-sharded block stack, parallel/pp.py)"
+                )
+            from timetuning_tpu.parallel.pp import (
+                make_dp_pp_mesh,
+                pp_forward_fn,
+                validate_pp_geometry,
+            )
+
+            local_b = batch_size // data_parallel
+            n_micro = pp_microbatches or (
+                pipeline_parallel if local_b % pipeline_parallel == 0 else 1
+            )
+            validate_pp_geometry(cfg, pipeline_parallel, batch_size,
+                                 data_parallel, n_micro)
+            mesh = make_dp_pp_mesh(data_parallel, pipeline_parallel)
+            alt_fwd = pp_forward_fn(bb.module, mesh, n_micro)
         else:
             from timetuning_tpu.parallel.tp import (
                 make_dp_tp_mesh,
@@ -181,8 +226,8 @@ def export_features(architecture: str, model_path: str | None,
 
     def forward(frames_u8):
         x = eval_preprocess_batch(frames_u8, out_size=input_resolution)
-        if sp_fwd is not None:
-            tokens = sp_fwd(variables["params"], x)
+        if alt_fwd is not None:
+            tokens = alt_fwd(variables["params"], x)
         else:
             tokens = bb.module.apply(variables, x)["tokens"]
         return tokens[:, 1:] if bb.drop_cls else tokens
@@ -232,6 +277,8 @@ def main(argv=None) -> int:
         tensor_parallel=args.tensor_parallel,
         data_parallel=args.data_parallel,
         sequence_parallel=args.sequence_parallel,
+        pipeline_parallel=args.pipeline_parallel,
+        pp_microbatches=args.pp_microbatches,
     )
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -239,6 +286,10 @@ def main(argv=None) -> int:
         mesh_note = ""
     elif args.sequence_parallel > 1:
         mesh_note = f", {args.data_parallel}x{args.sequence_parallel} seq mesh"
+    elif args.pipeline_parallel > 1:
+        mesh_note = (
+            f", {args.data_parallel}x{args.pipeline_parallel} pipe mesh"
+        )
     else:
         mesh_note = f", {args.data_parallel}x{args.tensor_parallel} mesh"
     print(f"exported {args.architecture} forward "

@@ -619,3 +619,94 @@ def test_two_process_host_batch_transfer(tmp_path):
         out, _ = p.communicate(timeout=240)
         assert p.returncode == 0, out[-2000:]
         assert "transfer" in out
+
+
+WORKER_PP = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+        process_id=pid,
+    )
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+    from timetuning_tpu.parallel.pp import (
+        DATA_AXIS, PIPE_AXIS, make_pp_feature_fn,
+    )
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=4, num_heads=2,
+                    img_size=32, attn_impl="xla")
+    model = VisionTransformer(cfg)
+    x_full = np.asarray(
+        np.random.default_rng(0).normal(size=(4, 32, 32, 3)), np.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_full[:1]))[
+        "params"]
+    params = jax.tree.map(np.asarray, params)   # identical on both hosts
+    want = np.asarray(
+        model.apply({"params": params}, jnp.asarray(x_full))["tokens"]
+    )
+
+    # PIPE as the OUTER axis = one pipeline stage per HOST, so every
+    # stage-boundary ppermute crosses the process boundary (the axis-name
+    # specs don't care about mesh axis order).
+    grid = np.array(jax.devices()).reshape(2, 2)
+    mesh = Mesh(grid, (PIPE_AXIS, DATA_AXIS))
+    fwd = make_pp_feature_fn(model, mesh)       # pp=2 stages, n_micro=2
+
+    repl = NamedSharding(mesh, P())
+    gparams = jax.tree.map(
+        lambda a: jax.make_array_from_callback(
+            a.shape, repl, lambda idx: a[idx]
+        ),
+        params,
+    )
+    bsh = NamedSharding(mesh, P(DATA_AXIS))
+    gx = jax.make_array_from_callback(
+        x_full.shape, bsh, lambda idx: x_full[idx]
+    )
+
+    out = fwd(gparams, gx)
+    for s in out.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(s.data), want[s.index[0]], rtol=2e-4, atol=2e-5
+        )
+    print(f"OK pid={pid} pp cross-host shards verified", flush=True)
+    jax.distributed.shutdown()
+    """
+)
+
+
+def test_two_process_pipeline_forward(tmp_path):
+    """The GPipe pipeline with one stage per HOST: every activation
+    hand-off (ppermute) crosses the process boundary, and each host's
+    output shards must match the single-device forward."""
+    import os
+
+    script = tmp_path / "worker_pp.py"
+    script.write_text(WORKER_PP)
+    port = _free_port()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo_root)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        assert p.returncode == 0, out[-3000:]
+        assert "pp cross-host shards verified" in out

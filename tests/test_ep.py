@@ -107,6 +107,26 @@ def test_ep_geometry_validation():
         validate_ep_geometry(6, 4)
 
 
+def test_ep_moe_fn_validates_geometry():
+    """make_ep_moe_fn itself rejects n_experts % ep != 0 instead of letting
+    GSPMD silently pad to an uneven expert sharding."""
+    module, params, x = _build(E=6)
+    mesh = make_dp_ep_mesh(2, 4)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_ep_moe_fn(module, mesh)
+
+
+def test_ep_param_specs_shape_guard():
+    """A non-MoE leaf that reuses the w1/b1/w2/b2 names stays replicated
+    when its leading axis is not the expert count."""
+    module, params, x = _build(E=4)
+    tree = dict(params)
+    tree["other"] = {"w1": jnp.zeros((7, 3))}    # 7 != n_experts
+    specs = ep_param_specs(tree, n_experts=4)
+    assert specs["w1"] == P(EXPERT_AXIS)
+    assert specs["other"]["w1"] == P()
+
+
 def test_ep_gradients_flow():
     """Router (through the gate) and expert weights all receive gradient
     under the EP sharding."""

@@ -77,6 +77,31 @@ def test_pp_geometry_validation():
         validate_pp_geometry(model.config, pp=2, batch=4, dp=2, n_micro=4)
 
 
+def test_pp_feature_fn_validates_at_trace_time():
+    """Geometry violations surface as the validator's clear ValueError from
+    make_pp_feature_fn itself, not an opaque reshape error inside shard_map."""
+    model, params, x = _build(depth=3, batch=4)
+    mesh = make_dp_pp_mesh(1, 2)
+    with pytest.raises(ValueError, match="depth=3 not divisible"):
+        make_pp_feature_fn(model, mesh)(params, x)
+    model4, params4, x4 = _build(depth=4, batch=4)
+    with pytest.raises(ValueError, match="n_micro"):
+        make_pp_feature_fn(model4, mesh, n_micro=3)(params4, x4)
+
+
+def test_pp_auto_n_micro_odd_geometry():
+    """dp=1, pp=3, local batch 2: the auto rule picks n_micro=2 (largest
+    divisor of the local batch ≤ pp) and the forward still matches the
+    single-device reference — the dryrun's odd-device branch."""
+    model, params, x = _build(depth=3, batch=2)
+    want = _reference(model, params, x)
+    mesh = make_dp_pp_mesh(1, 3)
+    got = make_pp_feature_fn(model, mesh)(params, x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_pp_stage_params_sharded_over_pipe():
     """Each pipe row holds only its own stage's blocks (the memory win):
     the stacked tree's leading axis shards P('pipe')."""

@@ -107,21 +107,26 @@ class MoEMlp(nn.Module):
         return yt.reshape(B, S, D).astype(x.dtype)
 
 
-def ep_param_specs(params) -> object:
+def ep_param_specs(params, n_experts: int | None = None) -> object:
     """PartitionSpec tree for a param tree containing MoEMlp layers: the
     expert-stacked FFN leaves (w1/b1/w2/b2 under an MoE module) shard
     ``P('expert')`` on the expert axis; routers and everything else
-    replicate."""
+    replicate.
+
+    When ``n_experts`` is given, a w1/b1/w2/b2-named leaf is only treated as
+    expert-stacked if its leading axis equals ``n_experts`` — a non-MoE
+    parameter that happens to reuse those names stays replicated instead of
+    being mis-sharded."""
     import flax.traverse_util as tu
 
     flat = tu.flatten_dict(params)
     out = {}
     for k, v in flat.items():
         name = k[-1]
-        if name in ("w1", "b1", "w2", "b2") and getattr(v, "ndim", 0) >= 1:
-            out[k] = P(EXPERT_AXIS)
-        else:
-            out[k] = P()
+        stacked = name in ("w1", "b1", "w2", "b2") and getattr(v, "ndim", 0) >= 1
+        if stacked and n_experts is not None:
+            stacked = v.shape[0] == n_experts
+        out[k] = P(EXPERT_AXIS) if stacked else P()
     return tu.unflatten_dict(out)
 
 
@@ -131,12 +136,13 @@ def make_ep_moe_fn(module: MoEMlp, mesh: Mesh):
     ``P('data')`` — GSPMD partitions the dispatch/expert/combine einsums
     and inserts the token all-to-alls. Numerically identical to
     ``module.apply`` (same program, different sharding)."""
+    validate_ep_geometry(module.n_experts, mesh.shape[EXPERT_AXIS])
 
     def fwd(params, x):
         return module.apply({"params": params}, x)
 
     def make(params):
-        specs = ep_param_specs(params)
+        specs = ep_param_specs(params, n_experts=module.n_experts)
         return jax.jit(
             fwd,
             in_shardings=(

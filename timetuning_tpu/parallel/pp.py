@@ -150,10 +150,21 @@ def _pipeline_stage(stacked, h, *, block, n_pipe: int, n_micro: int):
     return out.reshape(B_local, S, D)
 
 
-def pp_forward_fn(model, mesh: Mesh, n_micro: int):
+def _auto_n_micro(b_local: int, n_pipe: int) -> int:
+    """Largest divisor of the local batch ≤ the pipe degree — the export
+    CLI's auto rule, so odd geometries (e.g. B_local=2, pp=3) pick a legal
+    microbatch count instead of failing depth/batch divisibility."""
+    for nm in range(min(b_local, n_pipe), 0, -1):
+        if b_local % nm == 0:
+            return nm
+    return 1
+
+
+def pp_forward_fn(model, mesh: Mesh, n_micro: int | None):
     """The raw (unjitted) pipeline-parallel forward — exposed separately so
     AOT export can fold preprocessing around it before tracing. See
-    :func:`make_pp_feature_fn` for semantics."""
+    :func:`make_pp_feature_fn` for semantics. ``n_micro=None`` picks the
+    largest divisor of the local batch ≤ the pipe degree at trace time."""
     from flax import linen as nn
 
     from timetuning_tpu.models.vit import Block
@@ -166,6 +177,13 @@ def pp_forward_fn(model, mesh: Mesh, n_micro: int):
                       cfg.attn_impl)
 
     def fwd(params, images):
+        # geometry checks at trace time (shapes are static): a clear
+        # ValueError here instead of an opaque reshape failure inside the
+        # shard_map body
+        dp = mesh.shape[DATA_AXIS]
+        B = images.shape[0]
+        nm = n_micro if n_micro else _auto_n_micro(B // max(dp, 1), n_pipe)
+        validate_pp_geometry(cfg, n_pipe, B, dp, nm)
         hid = model.apply({"params": params}, images, stop_block=0)
         h = hid["hidden"]                                    # [B, 1+N, D]
         stacked, _ = stack_stage_params(params, n_pipe)
@@ -174,7 +192,7 @@ def pp_forward_fn(model, mesh: Mesh, n_micro: int):
         )
         out = jax.shard_map(
             functools.partial(
-                _pipeline_stage, block=block, n_pipe=n_pipe, n_micro=n_micro
+                _pipeline_stage, block=block, n_pipe=n_pipe, n_micro=nm
             ),
             mesh=mesh,
             in_specs=(P(PIPE_AXIS), P(DATA_AXIS)),
@@ -192,7 +210,8 @@ def make_pp_feature_fn(model, mesh: Mesh, n_micro: int | None = None):
 
     ``model``: the backbone (``models.vit.VisionTransformer``); ``mesh``: a
     ``(data, pipe)`` mesh from :func:`make_dp_pp_mesh`; ``n_micro``:
-    microbatches per local batch (default: the pipe degree — a 50%
+    microbatches per local batch (default: picked at trace time as the
+    largest divisor of the local batch ≤ the pipe degree — a 50%
     utilization floor; raise it to shrink the bubble). Returns a jitted
     ``fwd(params, images) -> tokens [B, 1+N, D]`` numerically equivalent to
     ``model.apply(...)["tokens"]``: patch embed + pos-embed interpolation
@@ -205,9 +224,6 @@ def make_pp_feature_fn(model, mesh: Mesh, n_micro: int | None = None):
     inside the program — one [params]-sized reshard per call, negligible
     against the forward at eval batch sizes and zero API friction.
     """
-    n_pipe = mesh.shape[PIPE_AXIS]
-    if n_micro is None:
-        n_micro = max(n_pipe, 1)
     return jax.jit(
         pp_forward_fn(model, mesh, n_micro),
         in_shardings=(

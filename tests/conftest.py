@@ -24,3 +24,27 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 # Compiles on this host are slow; persist them across test runs.
 setup_compilation_cache()
+
+import pytest  # noqa: E402
+
+# The quick tier: core-semantics modules that prove the framework's math
+# (Sinkhorn, propagation, metrics, the train step, transform oracles,
+# schedules) without the compile-heavy parallelism / multi-process / CLI
+# integration tests. `pytest -m quick` runs in minutes; the full suite is
+# the pre-merge gate.
+_QUICK_MODULES = frozenset({
+    "test_sinkhorn",
+    "test_propagation",
+    "test_metrics",
+    "test_train_step",
+    "test_transforms",
+    "test_schedules",
+    "test_kmeans",
+    "test_vos",
+})
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)

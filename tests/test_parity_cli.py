@@ -118,6 +118,50 @@ def test_parity_full_pipeline(timet_pth, davis_tree, voc_tree, capsys):
     assert j_val > 0.3
 
 
+def test_parity_report_json_schema(timet_pth, tmp_path, capsys):
+    """--report_json writes the machine-readable artifact: per-stage rows
+    {metric, value, expected, tolerance, pass} + a summary block; gated rows
+    carry booleans, report-only rows null."""
+    import json
+
+    out_path = str(tmp_path / "parity_report.json")
+    rc = cli_parity.main([
+        "--timet_pth", timet_pth,
+        "--architecture", "vit-tiny-test",
+        "--input_resolution", "32",
+        "--report_json", out_path,
+    ])
+    assert rc == 0
+    with open(out_path) as f:
+        payload = json.load(f)
+    assert set(payload) == {"rows", "summary"}
+    assert payload["summary"]["ok"] is True
+    assert payload["summary"]["failed"] == 0
+    assert len(payload["rows"]) >= 3
+    for row in payload["rows"]:
+        assert set(row) == {"metric", "value", "expected", "tolerance", "pass"}
+        assert isinstance(row["value"], float)
+        assert row["pass"] in (True, False, None)
+    # the import-fidelity rows are gated (atol defaults), so pass is boolean
+    embed = [r for r in payload["rows"] if r["metric"].startswith("patch_embed")]
+    assert embed and embed[0]["pass"] is True
+
+    # a failing gate flips both the exit code and the JSON verdict
+    rc = cli_parity.main([
+        "--timet_pth", timet_pth,
+        "--architecture", "vit-tiny-test",
+        "--input_resolution", "32",
+        "--feature_atol", "0",
+        "--report_json", out_path,
+    ])
+    capsys.readouterr()
+    assert rc == 1
+    with open(out_path) as f:
+        payload = json.load(f)
+    assert payload["summary"]["ok"] is False
+    assert any(r["pass"] is False for r in payload["rows"])
+
+
 def test_parity_gate_fails_on_wrong_expectation(timet_pth, capsys):
     """A deliberately-wrong expected metric must flip the exit code."""
     rc = cli_parity.main([

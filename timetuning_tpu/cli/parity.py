@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cbfe_batch_size", type=int, default=32)
     p.add_argument("--expected_cbfe_miou", type=float, default=None)
     p.add_argument("--expected_cbfe_jaccard", type=float, default=None)
+    p.add_argument("--report_json", type=str, default=None,
+                   help="write the per-stage report as JSON: a list of "
+                        "{metric, value, expected, tolerance, pass} rows "
+                        "plus a summary — the machine-readable artifact of "
+                        "the parity run")
     return p
 
 
@@ -128,12 +133,35 @@ class _Report:
         print(f"{name:<38} ours={ours:<12.6g} ref={exp:<10} "
               f"tol={tol:<8.3g} {status}")
 
-    def summary(self):
+    def summary(self, report_json: str | None = None):
         n_pass = sum(r[-1] == "PASS" for r in self.rows)
         n_fail = sum(r[-1] == "FAIL" for r in self.rows)
         n_rep = sum(r[-1] == "REPORT" for r in self.rows)
         print(f"\nparity: {n_pass} passed, {n_fail} failed, "
               f"{n_rep} report-only")
+        if report_json:
+            import json
+
+            payload = {
+                "rows": [
+                    {
+                        "metric": name,
+                        "value": float(ours),
+                        "expected": None if expected is None else float(expected),
+                        "tolerance": float(tol),
+                        # gated rows carry true/false; report-only rows null
+                        "pass": None if status == "REPORT" else status == "PASS",
+                    }
+                    for name, ours, expected, tol, status in self.rows
+                ],
+                "summary": {
+                    "passed": n_pass, "failed": n_fail,
+                    "report_only": n_rep, "ok": not self.failed,
+                },
+            }
+            with open(report_json, "w") as f:
+                json.dump(payload, f, indent=1)
+            print(f"report written: {report_json}")
         return 1 if self.failed else 0
 
 
@@ -444,7 +472,7 @@ def main(argv=None) -> int:
         report.add("CBFE masked mIoU (many-to-one)", cb["masked_miou"],
                    args.expected_cbfe_miou, args.tolerance)
 
-    return report.summary()
+    return report.summary(report_json=args.report_json)
 
 
 if __name__ == "__main__":

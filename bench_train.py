@@ -209,10 +209,14 @@ def main() -> None:
 
         def _to_dev(batch):
             sizes = getattr(batch, "orig_sizes", None)
+            gmeans = getattr(batch, "gray_means", None)
+            if gmeans is None:
+                gmeans = _np.full(batch[0].shape[:2], _np.nan, _np.float32)
             return (
                 jax.device_put(_np.ascontiguousarray(batch[0]), _dev0),
                 None if sizes is None
                 else jax.device_put(_np.ascontiguousarray(sizes), _dev0),
+                jax.device_put(_np.ascontiguousarray(gmeans), _dev0),
             )
 
         # loader-only epoch (host-side ceiling), after one warming epoch
@@ -251,9 +255,12 @@ def main() -> None:
             loader.set_epoch(ep)
             t0 = time.perf_counter()
             n = 0
-            for frames_dev, sizes_dev in device_prefetch(loader, _to_dev):
+            for frames_dev, sizes_dev, gmeans_dev in device_prefetch(
+                loader, _to_dev
+            ):
                 state, m = full_step(
-                    state, frames_dev, sizes_dev, jax.random.PRNGKey(rng_i),
+                    state, frames_dev, sizes_dev, gmeans_dev,
+                    jax.random.PRNGKey(rng_i),
                 )
                 losses.append(m["loss"])
                 rng_i += 1

@@ -38,6 +38,59 @@ def davis_tree(tmp_path_factory):
     return str(root)
 
 
+def test_gray_means_thread_through(davis_tree, tmp_path):
+    """Per-frame native PIL grayscale means flow dataset → Batch → pack:
+    VideoDataset computes them at decode time on the pre-resize frame;
+    ClipLoader batches them; the pack index records them so PackedVideoDataset
+    reproduces the JPEG dataset's values exactly."""
+    from PIL import Image, ImageStat
+
+    from timetuning_tpu.data.datasets import PackedVideoDataset
+    from timetuning_tpu.native import build_clip_pack
+
+    froot = os.path.join(davis_tree, "JPEGImages", "480p")
+    aroot = os.path.join(davis_tree, "Annotations", "480p")
+    ds = VideoDataset(frames_root=froot, annotations_root=aroot,
+                      sampling_mode=SamplingMode.DENSE, num_frames=3,
+                      decode_size=32)
+    item = ds[0]
+    assert item["gray_means"].shape == (1, 3)
+    # oracle: PIL's mean of convert("L") on the native (undecimated) file
+    files = ds.tree[ds.keys[0]]
+    rng = np.random.default_rng  # noqa: F841 (clarity)
+    with Image.open(files[0]) as im:
+        want0 = ImageStat.Stat(im.convert("RGB").convert("L")).mean[0]
+    # DENSE mode from a fixed seed — recover which frames were sampled by
+    # matching the first decoded frame against each file
+    idx0 = None
+    for i, fp in enumerate(files):
+        img = cv2.cvtColor(cv2.imread(fp), cv2.COLOR_BGR2RGB)
+        img = cv2.resize(img, (32, 32), interpolation=cv2.INTER_LINEAR)
+        if np.array_equal(img, item["frames"][0, 0]):
+            idx0 = i
+            break
+    assert idx0 is not None
+    with Image.open(files[idx0]) as im:
+        want = ImageStat.Stat(im.convert("RGB").convert("L")).mean[0]
+    np.testing.assert_allclose(item["gray_means"][0, 0], want, atol=5e-2)
+    del want0
+
+    loader = ClipLoader(ds, batch_size=2, shuffle=False, num_workers=1)
+    batch = next(iter(loader))
+    assert batch.gray_means is not None
+    assert batch.gray_means.shape == (2, 3)
+
+    pack = str(tmp_path / "t.clippack")
+    build_clip_pack(ds, pack)
+    pds = PackedVideoDataset(frames_root=froot, annotations_root=aroot,
+                             sampling_mode=SamplingMode.DENSE, num_frames=3,
+                             decode_size=32, pack_path=pack)
+    pitem = pds[0]
+    np.testing.assert_allclose(
+        pitem["gray_means"], item["gray_means"], atol=1e-3
+    )
+
+
 def test_build_tree(davis_tree):
     tree = build_dataset_tree(os.path.join(davis_tree, "JPEGImages"))
     assert len(tree) == 3
@@ -430,7 +483,8 @@ def test_pack_build_honors_fast_decode(tmp_path):
                           num_frames=2, decode_size=256, fast_decode=fast)
         p = str(tmp_path / f"pack_{fast}.clippack")
         index = build_clip_pack(ds, p)
-        assert index["v0"][1:] == (3, 512, 640)  # n_frames + native dims
+        assert index["v0"][1:4] == (3, 512, 640)  # n_frames + native dims
+        assert len(index["v0"][4]) == 3           # per-frame native means
         packs[fast] = ClipPack(p).gather(np.arange(3))
     # reduced-DCT decode differs from full decode + bilinear, but only
     # slightly — proving the flag reached the build

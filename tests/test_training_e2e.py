@@ -288,8 +288,10 @@ def test_training_with_pack_path(davis_tree, tmp_path):
     assert os.path.exists(pack) and os.path.exists(pack + ".index.json")
     idx = json.load(open(pack + ".index.json"))
     ent = next(iter(idx.values()))
-    assert len(ent) == 4  # (start, n_frames, native_h, native_w)
-    assert tuple(ent[2:]) == (48, 64)
+    # (start, n_frames, native_h, native_w, [per-frame gray means])
+    assert len(ent) == 5
+    assert tuple(ent[2:4]) == (48, 64)
+    assert len(ent[4]) == ent[1]
     # second run opens the existing pack (no rebuild): mtime unchanged
     mtime = os.path.getmtime(pack)
     cfg2 = _cfg(davis_tree, tmp_path, num_epochs=1, pack_path=pack,

@@ -348,5 +348,71 @@ def test_photometric_ops_match_pil():
 
         got = np.asarray(_adj_contrast(x, f))[0] * 255.0
         want = np.asarray(ImageEnhance.Contrast(pil).enhance(f), np.float32)
-        # PIL rounds the grayscale mean to an integer first — small bias
-        assert np.abs(got - want).max() <= 3.0, f"contrast {f}"
+        # _pil_gray_mean reproduces PIL's integer L + rounded mean exactly;
+        # only the per-pixel blend rounding (±0.5) remains
+        assert np.abs(got - want).max() <= 1.0, f"contrast {f}"
+
+
+def test_contrast_mean_matches_pil_exactly():
+    """_pil_gray_mean == PIL's ImageStat mean of convert('L'), bit-exact on
+    random uint8 images."""
+    from PIL import Image, ImageStat
+
+    from timetuning_tpu.data.transforms import _pil_gray_mean
+
+    rng = np.random.default_rng(3)
+    for shape in ((24, 17), (48, 96), (5, 255)):
+        img_u8 = rng.integers(0, 256, size=shape + (3,), dtype=np.uint8)
+        want = ImageStat.Stat(Image.fromarray(img_u8).convert("L")).mean[0]
+        x = jnp.asarray(img_u8.astype(np.float32) / 255.0)[None]
+        got = float(np.asarray(_pil_gray_mean(x))[0])
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
+
+
+def test_contrast_jitter_native_mean_geometry():
+    """The reference applies adjust_contrast to the NATIVE aspect-correct
+    frame before its short-side Resize (data_loader.py:657-661); here the
+    jitter runs on the square decode buffer but blends toward the native
+    frame's PIL mean threaded from decode time — the two commute (blend is
+    affine, resize is linear), so our buffer output equals the decode-resize
+    of PIL's native output at uint8-rounding tolerance on non-square
+    inputs."""
+    import cv2
+    from PIL import Image, ImageEnhance
+
+    from timetuning_tpu.data.datasets import _native_gray_mean
+    from timetuning_tpu.data.transforms import _adj_contrast
+
+    rng = np.random.default_rng(7)
+    S = 32
+    for hw in ((48, 96), (90, 40)):
+        # smooth non-square native frame (blur kills resampling aliasing in
+        # the comparison path; the mean is threaded so it plays no role)
+        native = rng.integers(0, 256, size=hw + (3,), dtype=np.uint8)
+        native = cv2.GaussianBlur(native, (7, 7), 2.0)
+        mean = _native_gray_mean(native)
+        buffer = cv2.resize(native, (S, S), interpolation=cv2.INTER_LINEAR)
+        x = jnp.asarray(buffer.astype(np.float32) / 255.0)[None]
+        for f in (0.4, 0.9):  # <1: no saturation, the exact-commute regime
+            got = np.asarray(
+                _adj_contrast(x, f, jnp.asarray([mean], jnp.float32))
+            )[0] * 255.0
+            want_native = np.asarray(
+                ImageEnhance.Contrast(Image.fromarray(native)).enhance(f)
+            )
+            want = cv2.resize(
+                want_native, (S, S), interpolation=cv2.INTER_LINEAR
+            ).astype(np.float32)
+            # quantization stack-up: PIL rounds native pixels pre-resize
+            # (±0.5, preserved through the convex resize), cv2 rounds its
+            # uint8 output (±0.5) with 2^-11 fixed-point weights — the two
+            # paths round at different points, so ≤2 levels max and well
+            # under half a level on average
+            err = np.abs(got - want)
+            assert err.max() <= 2.0, (hw, f)
+            assert err.mean() <= 0.6, (hw, f)
+            # the threaded mean rounds to PIL's exact degenerate gray value
+            degenerate = ImageEnhance.Contrast(
+                Image.fromarray(native)
+            ).degenerate.getpixel((0, 0))[0]
+            assert int(np.floor(mean + 0.5)) == degenerate

@@ -222,7 +222,7 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
                                 opt_over_trainable=opt_over_trainable,
                                 zero1_plan=zero1_plan)
 
-    def full(state, frames_u8, src_sizes, key, sharded=False):
+    def full(state, frames_u8, src_sizes, gray_means, key, sharded=False):
         k_aug, k_step = jax.random.split(key)
         if sharded:
             # decorrelate per-device augmentation AND queue-FIFO sampling
@@ -233,7 +233,8 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
             k_aug = jax.random.fold_in(k_aug, idx)
             k_step = jax.random.fold_in(k_step, idx)
         clips, _ = augment_batch(k_aug, frames_u8, None, aug_cfg,
-                                 with_annotations=False, src_sizes=src_sizes)
+                                 with_annotations=False, src_sizes=src_sizes,
+                                 gray_means=gray_means)
         return base_step(state, clips, k_step)
 
     if mesh is None or mesh.size == 1:
@@ -245,7 +246,7 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     if gspmd:
         from timetuning_tpu.parallel.tp import gspmd_step_jit
 
-        step_fn, _ = gspmd_step_jit(full, mesh, state_like, n_batch_args=2)
+        step_fn, _ = gspmd_step_jit(full, mesh, state_like, n_batch_args=3)
         return step_fn
 
     from timetuning_tpu.core.timet import state_partition_specs
@@ -256,9 +257,9 @@ def make_full_step(model, tcfg: TimeTConfig, tx, aug_cfg: AugmentConfig,
     )
     return jax.jit(
         jax.shard_map(
-            lambda st, f, sz, k: full(st, f, sz, k, sharded=True),
+            lambda st, f, sz, gm, k: full(st, f, sz, gm, k, sharded=True),
             mesh=mesh,
-            in_specs=(specs, P("data"), P("data"), P()),
+            in_specs=(specs, P("data"), P("data"), P("data"), P()),
             out_specs=(specs, P()),
         ),
         donate_argnums=(0,),
@@ -906,7 +907,15 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             sizes = host_batch_to_device(
                 np.ascontiguousarray(sizes), batch_sharding
             )
-        return frames, sizes
+        gmeans = getattr(batch, "gray_means", None)
+        if gmeans is None:
+            # NaN = "no native mean recorded" (legacy pack): the kernel
+            # falls back to the buffer mean inside the same traced program
+            gmeans = np.full(batch[0].shape[:2], np.nan, np.float32)
+        gmeans = host_batch_to_device(
+            np.ascontiguousarray(gmeans), batch_sharding
+        )
+        return frames, sizes, gmeans
 
     global_step = int(state.step)
     best_score = -1.0
@@ -998,13 +1007,15 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             )
         pending = None  # (step, metrics) — logged one step late so the
         # host never blocks on the in-flight device step (async dispatch)
-        for bi, (frames_dev, sizes_dev) in enumerate(
+        for bi, (frames_dev, sizes_dev, gmeans_dev) in enumerate(
             device_prefetch(loader, to_device)
         ):
             if cfg.max_steps_per_epoch and bi + skip >= cfg.max_steps_per_epoch:
                 break
             rng, key = jax.random.split(rng)
-            state, metrics = step_fn(state, frames_dev, sizes_dev, key)
+            state, metrics = step_fn(
+                state, frames_dev, sizes_dev, gmeans_dev, key
+            )
             global_step += 1
             if not mem_reported and jax.process_index() == 0:
                 # One-time device-memory report after this run's first step

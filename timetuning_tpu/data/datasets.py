@@ -157,9 +157,27 @@ _REDUCED_FLAGS = (
 ) if cv2 is not None else ()
 
 
+def _native_gray_mean(rgb: np.ndarray) -> float:
+    """PIL-exact grayscale mean of an RGB uint8 frame, in [0, 255].
+
+    Reproduces ``ImageStat.Stat(img.convert("L")).mean[0]`` — the quantity
+    PIL's ImageEnhance.Contrast (the backend of torchvision
+    ``adjust_contrast``, which the reference's ColorJitter applies to the
+    NATIVE frame, video_transformations.py:745) blends toward. Computed at
+    decode time because the native aspect-correct frame exists only here;
+    threaded to the fused augmentation kernel as ``gray_means``."""
+    v = (19595 * rgb[..., 0].astype(np.int32)
+         + 38470 * rgb[..., 1].astype(np.int32)
+         + 7471 * rgb[..., 2].astype(np.int32) + 32768) >> 16
+    return float(v.mean())
+
+
 def _decode_frame(path: str, size: int, nearest: bool,
-                  reduce_for: tuple[int, int] | None = None) -> np.ndarray:
-    """Decode one frame and resize to the square decode buffer.
+                  reduce_for: tuple[int, int] | None = None,
+                  ) -> tuple[np.ndarray, float]:
+    """Decode one frame and resize to the square decode buffer. Returns
+    ``(buffer, native_gray_mean)`` — the PIL-exact grayscale mean of the
+    pre-resize frame (see :func:`_native_gray_mean`).
 
     ``reduce_for``: the frame's native (H, W) — when given and the file is
     a JPEG whose short side is ≥ 2× the buffer, ask libjpeg for the
@@ -191,8 +209,9 @@ def _decode_frame(path: str, size: int, nearest: bool,
         img = np.repeat(img[..., None], 3, axis=-1)
     elif img.shape[2] >= 3:
         img = cv2.cvtColor(img[..., :3], cv2.COLOR_BGR2RGB)
+    gray_mean = _native_gray_mean(img)
     img = cv2.resize(img, (size, size), interpolation=interp)
-    return img
+    return img, gray_mean
 
 
 def _decode_annotation(path: str, size: int) -> np.ndarray:
@@ -322,16 +341,19 @@ class VideoDataset:
         annots = np.zeros(
             (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
         )
+        gray_means = np.zeros((self.num_clips, F), np.float32)
         reduce_for = self.orig_size(index) if self.fast_decode else None
         for c, idx in enumerate(clip_idx):
             for f, i in enumerate(idx):
-                frames[c, f] = _decode_frame(files[i], self.decode_size,
-                                             nearest=False,
-                                             reduce_for=reduce_for)
+                frames[c, f], gray_means[c, f] = _decode_frame(
+                    files[i], self.decode_size, nearest=False,
+                    reduce_for=reduce_for,
+                )
         self._fill_annotations(annots, clip_idx, index)
         return {
             "frames": frames, "annotations": annots, "label": index,
             "orig_size": np.asarray(self.orig_size(index), np.int32),
+            "gray_means": gray_means,
         }
 
     def _fill_annotations(self, annots, clip_idx, index: int) -> None:
@@ -456,10 +478,17 @@ class PackedVideoDataset(VideoDataset):
             (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
         )
         self._fill_annotations(annots, clip_idx, index)
-        return {
+        item = {
             "frames": frames, "annotations": annots, "label": index,
             "orig_size": np.asarray(self.orig_size(index), np.int32),
         }
+        entry = self.pack_index[name]
+        if len(entry) >= 5:  # native per-frame grayscale means (pack build)
+            all_means = np.asarray(entry[4], np.float32)
+            item["gray_means"] = np.stack(
+                [all_means[np.asarray(c)] for c in clip_idx]
+            )
+        return item
 
 
 class PackedYTVOSDataset(_InstanceRemapMixin, PackedVideoDataset):

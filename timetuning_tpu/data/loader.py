@@ -36,14 +36,19 @@ class Batch(tuple):
     """(frames, annotations, labels) — unpacks like the historical 3-tuple —
     plus ``orig_sizes`` [B, 2] int32: each clip's native (H, W) before the
     square decode resize, feeding the aspect-preserving train-resize
-    geometry (data/transforms.py ``src_sizes``). None when the dataset does
-    not report sizes."""
+    geometry (data/transforms.py ``src_sizes``), and ``gray_means`` [B, F]
+    float32: per-frame PIL-exact native grayscale means, feeding the
+    reference-exact contrast jitter. Either is None when the dataset does
+    not report it."""
 
     orig_sizes: "np.ndarray | None"
+    gray_means: "np.ndarray | None"
 
-    def __new__(cls, frames, annotations, labels, orig_sizes=None):
+    def __new__(cls, frames, annotations, labels, orig_sizes=None,
+                gray_means=None):
         b = super().__new__(cls, (frames, annotations, labels))
         b.orig_sizes = orig_sizes
+        b.gray_means = gray_means
         return b
 
 
@@ -162,6 +167,11 @@ class ClipLoader:
                         if all("orig_size" in it for it in items)
                         else None
                     )
+                    gmeans = (
+                        np.stack([it["gray_means"] for it in items])
+                        if all("gray_means" in it for it in items)
+                        else None
+                    )  # [B, clips, F]
                     # [B, clips, F, H, W, (3)] → merge clips into batch
                     # (the reference's squeeze for num_clips == 1; true
                     # batch-merge for num_clips > 1, which downstream
@@ -169,6 +179,8 @@ class ClipLoader:
                     if frames.shape[1] == 1:
                         frames = frames[:, 0]
                         annots = annots[:, 0]
+                        if gmeans is not None:
+                            gmeans = gmeans[:, 0]
                     else:
                         C = frames.shape[1]
                         frames = frames.reshape((-1,) + frames.shape[2:])
@@ -176,7 +188,9 @@ class ClipLoader:
                         labels = np.repeat(labels, C)
                         if sizes is not None:
                             sizes = np.repeat(sizes, C, axis=0)
-                    _put((bi, Batch(frames, annots, labels, sizes)))
+                        if gmeans is not None:
+                            gmeans = gmeans.reshape((-1,) + gmeans.shape[2:])
+                    _put((bi, Batch(frames, annots, labels, sizes, gmeans)))
                 except BaseException as e:  # noqa: BLE001
                     # propagate instead of dying silently: a dead worker's
                     # claimed batch would never reach out_q and the consumer

@@ -28,10 +28,15 @@ interpolation.
 radius per frame (video_transformations.py:640); here the per-frame sigma
 is scaled per-axis by buffer/native so the blur footprint in image units
 matches (blur⇄resize commute up to the Gaussian/bilinear approximation).
-Without ``src_sizes`` the old square-geometry behavior is preserved.
-Remaining minor divergence: contrast jitter blends toward the frame's
-GLOBAL grayscale mean, which the aspect-distorting decode reweights
-slightly (pointwise photometric ops commute with the resize).
+(3) contrast mean — the reference's ColorJitter runs on the NATIVE frame,
+so its contrast blend target is PIL's rounded grayscale mean of the
+aspect-correct image; the loader computes that mean at decode time (the
+only place the native frame exists) and threads it in as ``gray_means``,
+and the kernel reproduces PIL's integer semantics exactly
+(:func:`_pil_gray_mean`). Without ``src_sizes``/``gray_means`` the old
+square-geometry behavior is preserved (the mean then comes from the
+decode buffer — same PIL integer formula, resampling-level difference
+only).
 
 Geometric ops use ``scale_and_translate`` (bilinear, frames) and nearest
 gather (annotations); photometric ops follow torchvision formulas, applied in
@@ -90,9 +95,42 @@ def _adj_brightness(x, f):
     return jnp.clip(x * f, 0.0, 1.0)
 
 
-def _adj_contrast(x, f):
-    mean = jnp.mean(_grayscale(x), axis=(-3, -2, -1), keepdims=True)[..., 0][..., None]
-    return _blend(x, jnp.broadcast_to(mean, x.shape), f)
+def _pil_gray_mean(x):
+    """Per-frame grayscale mean in PIL's exact integer semantics, [0, 255].
+
+    PIL ``convert("L")`` computes ``(19595 R + 38470 G + 7471 B + 0x8000)
+    >> 16`` per pixel (ITU-R 601-2 in 16.16 fixed point, rounded);
+    ``ImageEnhance.Contrast`` then averages those integers. All the
+    intermediate integers stay below 2^24, so float32 reproduces them
+    exactly. x: [..., H, W, 3] floats that are exactly uint8/255."""
+    u = jnp.round(x * 255.0)
+    l = jnp.floor(
+        (19595.0 * u[..., 0] + 38470.0 * u[..., 1] + 7471.0 * u[..., 2]
+         + 32768.0) / 65536.0
+    )
+    return jnp.mean(l, axis=(-2, -1))
+
+
+def _adj_contrast(x, f, mean255=None):
+    """PIL/torchvision ``adjust_contrast``: blend toward a solid gray of
+    the frame's ROUNDED grayscale mean (``int(mean + 0.5)``,
+    PIL.ImageEnhance.Contrast). ``mean255``: optional per-frame means in
+    [0, 255] computed on the NATIVE aspect-correct frame at decode time —
+    the reference applies ColorJitter before its short-side Resize
+    (data_loader.py:657-661), so the mean it sees is the native frame's;
+    without it the mean comes from the decode buffer (same PIL integer
+    semantics; differs only by the decode resize's resampling)."""
+    if mean255 is None:
+        mean255 = _pil_gray_mean(x)
+    else:
+        # NaN marks "native mean unavailable" (e.g. a legacy pack): fall
+        # back to the buffer mean without changing the traced program
+        mean255 = jnp.where(
+            jnp.isnan(mean255), _pil_gray_mean(x), jnp.asarray(mean255)
+        )
+    target = jnp.floor(mean255 + 0.5) / 255.0
+    target = jnp.broadcast_to(target[..., None, None, None], x.shape)
+    return _blend(x, target, f)
 
 
 def _adj_saturation(x, f):
@@ -137,7 +175,7 @@ def _adj_hue(x, shift):
     return _hsv_to_rgb(jnp.mod(h + shift, 1.0), s, v)
 
 
-def _color_jitter(key, x, cfg: AugmentConfig):
+def _color_jitter(key, x, cfg: AugmentConfig, gray_means=None):
     """One sampled parameter set per clip, ONE op applied.
 
     Reference quirk (video_transformations.py:768-780): the shuffled
@@ -160,7 +198,7 @@ def _color_jitter(key, x, cfg: AugmentConfig):
         op_idx,
         [
             lambda y: _adj_brightness(y, fb),
-            lambda y: _adj_contrast(y, fc),
+            lambda y: _adj_contrast(y, fc, gray_means),
             lambda y: _adj_saturation(y, fs),
             lambda y: _adj_hue(y, fh),
         ],
@@ -292,9 +330,12 @@ def reference_resize_geometry(h0, w0, size: int):
     return rh, rw
 
 
-def augment_clip(key, frames, annotations, cfg: AugmentConfig, src_size=None):
+def augment_clip(key, frames, annotations, cfg: AugmentConfig, src_size=None,
+                 gray_means=None):
     """frames: [F, H, W, 3] uint8; annotations: [F, H, W] uint8 or None;
-    src_size: optional [2] (native H0, W0 before the square decode resize).
+    src_size: optional [2] (native H0, W0 before the square decode resize);
+    gray_means: optional [F] native-frame PIL grayscale means (contrast
+    jitter blends toward these — see :func:`_adj_contrast`).
     Returns (normalized float32 [F, out, out, 3], annotations [F, out, out]).
 
     With ``src_size`` the geometric pipeline reproduces the reference's
@@ -320,7 +361,7 @@ def augment_clip(key, frames, annotations, cfg: AugmentConfig, src_size=None):
         box_x = W / geo_w
 
     # photometric (frame_transform chain, clip-consistent)
-    x = _color_jitter(kphoto1, x, cfg)
+    x = _color_jitter(kphoto1, x, cfg, gray_means)
     do_gray = jax.random.uniform(kphoto2) < cfg.grayscale_p
     x = jnp.where(do_gray, jnp.broadcast_to(_grayscale(x), x.shape), x)
     x = _gaussian_blur(kphoto3, x, cfg, blur_scale_y, blur_scale_x)
@@ -346,26 +387,22 @@ def augment_clip(key, frames, annotations, cfg: AugmentConfig, src_size=None):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_annotations"))
 def augment_batch(key, frames, annotations, cfg: AugmentConfig,
-                  with_annotations: bool = True, src_sizes=None):
+                  with_annotations: bool = True, src_sizes=None,
+                  gray_means=None):
     """Batched fused augmentation. frames: [B, F, H, W, 3] uint8;
-    src_sizes: optional [B, 2] native (H0, W0) per clip."""
+    src_sizes: optional [B, 2] native (H0, W0) per clip; gray_means:
+    optional [B, F] native-frame PIL grayscale means."""
     B = frames.shape[0]
     keys = jax.random.split(key, B)
-    if with_annotations and annotations is not None:
-        if src_sizes is not None:
-            return jax.vmap(
-                lambda k, f, a, s: augment_clip(k, f, a, cfg, s)
-            )(keys, frames, annotations, src_sizes)
-        return jax.vmap(lambda k, f, a: augment_clip(k, f, a, cfg))(
-            keys, frames, annotations
-        )
-    if src_sizes is not None:
-        out, _ = jax.vmap(
-            lambda k, f, s: augment_clip(k, f, None, cfg, s)
-        )(keys, frames, src_sizes)
-    else:
-        out, _ = jax.vmap(lambda k, f: augment_clip(k, f, None, cfg))(keys, frames)
-    return out, None
+    ann = annotations if (with_annotations and annotations is not None) else None
+    out, ann_out = jax.vmap(
+        lambda k, f, a, s, g: augment_clip(k, f, a, cfg, s, g),
+        in_axes=(0, 0,
+                 0 if ann is not None else None,
+                 0 if src_sizes is not None else None,
+                 0 if gray_means is not None else None),
+    )(keys, frames, ann, src_sizes, gray_means)
+    return out, ann_out
 
 
 # ------------------------------------------------------------------ #

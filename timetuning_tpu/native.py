@@ -135,9 +135,11 @@ def build_clip_pack(
     """Decode every frame of a VideoDataset tree once into a pack.
 
     Returns the index: {video name: (start_frame, n_frames, native_h,
-    native_w)} and writes it as JSON next to the pack. The native dims feed
-    the aspect-preserving train-resize geometry (data/transforms.py);
-    legacy (start, n) indices are still readable (square fallback).
+    native_w, [per-frame native grayscale means])} and writes it as JSON
+    next to the pack. The native dims feed the aspect-preserving
+    train-resize geometry and the means feed the reference-exact contrast
+    jitter (data/transforms.py); legacy (start, n) and (start, n, h, w)
+    indices are still readable (square / buffer-mean fallbacks).
     """
     import json
 
@@ -171,13 +173,16 @@ def build_clip_pack(
                 # (reduced DCT-domain JPEG decode) applies to the one-time
                 # pack build, the only place a pack run still decodes
                 reduce_for = (native_h, native_w) if fast else None
+                means = []
                 for fp in files:
-                    img = _decode_frame(fp, s, nearest=False,
-                                        reduce_for=reduce_for)
+                    img, gm = _decode_frame(fp, s, nearest=False,
+                                            reduce_for=reduce_for)
                     if img.ndim == 2:
                         img = np.repeat(img[..., None], 3, axis=-1)
                     f.write(np.ascontiguousarray(img, np.uint8).tobytes())
-                index[name] = (start, len(files), int(native_h), int(native_w))
+                    means.append(round(gm, 4))
+                index[name] = (start, len(files), int(native_h),
+                               int(native_w), means)
                 start += len(files)
     except BaseException:
         if os.path.exists(tmp):

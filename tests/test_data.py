@@ -337,8 +337,9 @@ def test_clip_loader_more_ranks_than_items(davis_tree):
 
 
 def test_clip_loader_early_exit_releases_workers(davis_tree):
-    """Breaking out of iteration must not strand worker threads blocked on
-    the bounded output queue."""
+    """The pool is PERSISTENT by design (one spawn per loader lifetime, not
+    per epoch): early exits must not grow it, repeated iterations must not
+    spawn more threads, and close() must terminate it."""
     import threading
     import time as _time
 
@@ -349,17 +350,72 @@ def test_clip_loader_early_exit_releases_workers(davis_tree):
         decode_size=32,
     )
     before = threading.active_count()
-    for _ in range(5):
-        loader = ClipLoader(ds, batch_size=1, shuffle=False,
-                            drop_last=False, num_workers=2, prefetch=1)
+    loader = ClipLoader(ds, batch_size=1, shuffle=False,
+                        drop_last=False, num_workers=2, prefetch=1)
+    for ep in range(5):
+        loader.set_epoch(ep)
         for batch in loader:
             break  # early exit with batches still queued
+    assert threading.active_count() <= before + 2, "pool grew beyond size"
+    # a completed pass after early exits must still yield every batch
+    loader.set_epoch(9)
+    assert sum(1 for _ in loader) == len(loader)
+    loader.close()
     deadline = _time.time() + 5.0
     while threading.active_count() > before and _time.time() < deadline:
         _time.sleep(0.05)
-    assert threading.active_count() <= before + 1, (
-        f"{threading.active_count() - before} leaked worker threads"
+    assert threading.active_count() <= before, (
+        f"{threading.active_count() - before} threads survive close()"
     )
+
+
+def test_persistent_pool_speculation_matches_fresh_loader(davis_tree):
+    """Cross-epoch speculation must be invisible: a long-lived loader's
+    yields over epochs 0..3 equal a fresh loader's at each epoch, including
+    after an early break and a skip_next_batches fast-forward."""
+    ds = VideoDataset(
+        frames_root=os.path.join(davis_tree, "JPEGImages"),
+        annotations_root=os.path.join(davis_tree, "Annotations"),
+        num_frames=2, decode_size=32,
+    )
+    live = ClipLoader(ds, batch_size=1, shuffle=True, drop_last=False,
+                      num_workers=2, prefetch=2)
+    for epoch in range(4):
+        live.set_epoch(epoch)
+        fresh = ClipLoader(ds, batch_size=1, shuffle=True, drop_last=False,
+                           num_workers=1, prefetch=2)
+        fresh.set_epoch(epoch)
+        if epoch == 1:     # early break mid-epoch; speculation must purge
+            for b in live:
+                break
+            live.set_epoch(epoch)
+        if epoch == 2:     # resume-style fast-forward
+            live.skip_next_batches(1)
+            fresh.skip_next_batches(1)
+        got = [b for b in live]
+        want = [b for b in fresh]
+        fresh.close()
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g[0], w[0])
+            np.testing.assert_array_equal(g[2], w[2])
+    live.close()
+
+
+def test_load_annotations_false_skips_decode(davis_tree):
+    """load_annotations=False: items carry a [C, F, 1, 1] placeholder (no
+    PNG decode) while frames/sizes/means are unchanged."""
+    kw = dict(
+        frames_root=os.path.join(davis_tree, "JPEGImages"),
+        annotations_root=os.path.join(davis_tree, "Annotations"),
+        num_frames=2, decode_size=32,
+    )
+    full = VideoDataset(**kw)[0]
+    slim = VideoDataset(load_annotations=False, **kw)[0]
+    assert slim["annotations"].shape == (1, 2, 1, 1)
+    assert full["annotations"].shape == (1, 2, 32, 32)
+    np.testing.assert_array_equal(slim["frames"], full["frames"])
+    np.testing.assert_array_equal(slim["gray_means"], full["gray_means"])
 
 
 def test_orig_sizes_flow_through_loader(tmp_path):

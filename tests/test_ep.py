@@ -127,6 +127,230 @@ def test_ep_param_specs_shape_guard():
     assert specs["other"]["w1"] == P()
 
 
+def _moe_vit(B=4, img=32, E=4, depth=2):
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=depth, num_heads=2,
+                    img_size=img, attn_impl="xla",
+                    moe_every_k=2, n_experts=E, moe_capacity_factor=2.0)
+    model = VisionTransformer(cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(B, img, img, 3)), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x[:1])["params"]
+    return model, params, x
+
+
+def test_moe_vit_block_placement_and_tree():
+    """moe_every_k=2 on a depth-2 ViT: block 0 dense (mlp), block 1 MoE
+    (moe with expert-stacked leaves)."""
+    model, params, x = _moe_vit(E=4)
+    assert "mlp" in params["blocks_0"] and "moe" not in params["blocks_0"]
+    assert "moe" in params["blocks_1"] and "mlp" not in params["blocks_1"]
+    assert params["blocks_1"]["moe"]["w1"].shape[0] == 4
+
+
+@pytest.mark.parametrize("dp,ep", [(2, 2), (1, 4)])
+def test_moe_vit_forward_matches_single_device(dp, ep):
+    from timetuning_tpu.parallel.ep import make_ep_feature_fn
+
+    model, params, x = _moe_vit(B=4, E=4)
+    want = model.apply({"params": params}, x)["tokens"]
+    mesh = make_dp_ep_mesh(dp, ep)
+    got = make_ep_feature_fn(model, mesh)(params)(params, x)
+    assert got.sharding == NamedSharding(mesh, P(DATA_AXIS))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+    # the expert-stacked leaves really shard over the expert axis
+    specs = ep_param_specs(params, n_experts=4)
+    assert specs["blocks_1"]["moe"]["w1"] == P(EXPERT_AXIS)
+    assert specs["blocks_1"]["moe"]["router"]["kernel"] == P()
+    assert specs["blocks_0"]["mlp"]["fc1"]["kernel"] == P()
+
+
+def test_moe_vit_feature_fn_rejects_dense_backbone():
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+    from timetuning_tpu.parallel.ep import make_ep_feature_fn
+
+    dense = VisionTransformer(ViTConfig(patch_size=8, embed_dim=32, depth=2,
+                                        num_heads=2, img_size=32))
+    with pytest.raises(ValueError, match="MoE"):
+        make_ep_feature_fn(dense, make_dp_ep_mesh(2, 2))
+
+
+def test_moe_vit_grads_match_single_device():
+    """Expert parallelism is trainable: the jitted-with-ep-shardings
+    gradient equals the unsharded gradient on every leaf (router, experts,
+    dense blocks)."""
+    from timetuning_tpu.parallel.ep import make_dp_ep_mesh
+
+    model, params, x = _moe_vit(B=4, E=4)
+    mesh = make_dp_ep_mesh(2, 2)
+
+    def loss(p):
+        return jnp.sum(model.apply({"params": p}, x)["tokens"] ** 2)
+
+    g_ref = jax.grad(loss)(params)
+    specs = jax.tree.map(
+        lambda sp: NamedSharding(mesh, sp), ep_param_specs(params, 4)
+    )
+    g_ep = jax.jit(jax.grad(loss), in_shardings=(specs,))(params)
+    flat_ref = {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_leaves_with_path(g_ref)}
+    for k, v in jax.tree_util.tree_leaves_with_path(g_ep):
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_ref[jax.tree_util.keystr(k)]),
+            rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(k),
+        )
+    assert float(jnp.abs(g_ep["blocks_1"]["moe"]["w1"]).sum()) > 0
+
+
+def test_moe_timet_train_step_matches_single_device():
+    """One dp×ep GSPMD TimeT step on a MoE-ViT == the single-device step:
+    loss, updated expert weights, updated queue fill."""
+    from timetuning_tpu.core.optimizer import swav_optimizer
+    from timetuning_tpu.core.timet import (
+        TimeT, TimeTConfig, init_state, make_train_step,
+    )
+    from timetuning_tpu.models.extractor import FeatureExtractor
+    from timetuning_tpu.parallel.ep import (
+        ep_state_shardings, make_ep_train_step,
+    )
+
+    model_v, _, _ = _moe_vit(E=4)
+    fe = FeatureExtractor(backbone=model_v, head_dims=(48, 24))
+    model = TimeT(feature_extractor=fe, n_prototypes=8)
+    img = 32
+    cfg = TimeTConfig(
+        n_prototypes=8, use_teacher=True, use_queue=True, queue_size=32,
+        num_epochs=1, steps_per_epoch=2, spatial_resolution=img // 8,
+        n_last_frames=2, size_mask_neighborhood=1,
+        axis_name=None, world_size=1,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, img, img, 3))
+    params = model.init(rng, sample)["params"]
+    tx, _ = swav_optimizer(params, lr=1e-3, num_epochs=1, steps_per_epoch=2)
+    state0 = init_state(model, cfg, tx, rng, sample)
+    clip = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 3, img, img, 3)), jnp.float32
+    )
+
+    ref_step = jax.jit(make_train_step(model, cfg, tx))
+    st_ref, m_ref = ref_step(jax.tree.map(jnp.copy, state0), clip,
+                             jax.random.PRNGKey(7))
+
+    mesh = make_dp_ep_mesh(2, 2)
+    step_ep, shardings = make_ep_train_step(model, cfg, tx, mesh,
+                                            state_like=state0)
+    state_ep = jax.device_put(state0, shardings)
+    w1 = state_ep.params["feature_extractor"]["backbone"]["blocks_1"][
+        "moe"]["w1"]
+    assert {s.data.shape[0] for s in w1.addressable_shards} == {2}  # 4/2
+    st_ep, m_ep = step_ep(state_ep, clip, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m_ep["loss"]), float(m_ref["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(st_ep.params["feature_extractor"]["backbone"]["blocks_1"][
+            "moe"]["w1"]),
+        np.asarray(st_ref.params["feature_extractor"]["backbone"]["blocks_1"][
+            "moe"]["w1"]),
+        rtol=2e-4, atol=1e-5,
+    )
+    assert int(st_ep.queue_fill) == int(st_ref.queue_fill)
+    # shardings helper marks exactly the expert leaves
+    sh = ep_state_shardings(state0, mesh, 4)
+    assert sh.params["feature_extractor"]["backbone"]["blocks_1"]["moe"][
+        "w1"].spec == P(EXPERT_AXIS)
+    assert sh.params["feature_extractor"]["backbone"]["blocks_0"]["mlp"][
+        "fc1"]["kernel"].spec == P()
+
+
+def test_pp_rejects_moe_vit():
+    from timetuning_tpu.parallel.pp import make_dp_pp_mesh, pp_forward_fn
+
+    model, params, x = _moe_vit(E=4)
+    with pytest.raises(ValueError, match="expert"):
+        pp_forward_fn(model, make_dp_pp_mesh(1, 2), n_micro=2)
+
+
+def test_export_cli_expert_parallel(tmp_path, capsys):
+    """--expert_parallel: expert-sharded MoE artifact over a (2, 2) dp×ep
+    mesh, sparse-upcycled from the dense checkpoint — round-trip checked
+    against the live forward by the CLI itself."""
+    from timetuning_tpu.cli import export as cli_export
+
+    out = str(tmp_path / "feat_ep.stablehlo")
+    rc = cli_export.main([
+        "--architecture", "vit-tiny-test",
+        "--batch_size", "4",
+        "--input_resolution", "32",
+        "--compute_dtype", "float32",
+        "--expert_parallel", "2",
+        "--data_parallel", "2",
+        "--moe_every_k", "2",
+        "--moe_experts", "4",
+        "--out", out,
+        "--check", "true",
+    ])
+    stdout = capsys.readouterr().out
+    assert rc == 0, stdout
+    assert "2x2 expert mesh" in stdout
+    assert "round-trip check" in stdout
+
+
+def test_export_ep_requires_moe_flags(tmp_path):
+    from timetuning_tpu.cli import export as cli_export
+
+    with pytest.raises(ValueError, match="moe_every_k"):
+        cli_export.export_features(
+            "vit-tiny-test", None, 4, 32, "float32", expert_parallel=2,
+        )
+    with pytest.raises(ValueError, match="mutually"):
+        cli_export.export_features(
+            "vit-tiny-test", None, 4, 32, "float32", expert_parallel=2,
+            tensor_parallel=2, moe_every_k=2, moe_experts=4,
+        )
+
+
+def test_upcycle_copies_dense_weights():
+    """Sparse upcycling: shared leaves copied, every expert == the block's
+    dense MLP, router left at init."""
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+    from timetuning_tpu.parallel.ep import upcycle_dense_to_moe
+
+    import dataclasses
+
+    cfg_d = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                      img_size=32, attn_impl="xla")
+    cfg_m = dataclasses.replace(cfg_d, moe_every_k=2, n_experts=4)
+    x = jnp.zeros((1, 32, 32, 3))
+    dense = VisionTransformer(cfg_d).init(jax.random.PRNGKey(0), x)["params"]
+    moe = VisionTransformer(cfg_m).init(jax.random.PRNGKey(1), x)["params"]
+    up = upcycle_dense_to_moe(dense, moe, cfg_m)
+    np.testing.assert_array_equal(
+        up["patch_embed"]["kernel"], dense["patch_embed"]["kernel"]
+    )
+    np.testing.assert_array_equal(
+        up["blocks_0"]["mlp"]["fc1"]["kernel"],
+        dense["blocks_0"]["mlp"]["fc1"]["kernel"],
+    )
+    for e in range(4):
+        np.testing.assert_array_equal(
+            up["blocks_1"]["moe"]["w1"][e],
+            dense["blocks_1"]["mlp"]["fc1"]["kernel"],
+        )
+        np.testing.assert_array_equal(
+            up["blocks_1"]["moe"]["b2"][e],
+            dense["blocks_1"]["mlp"]["fc2"]["bias"],
+        )
+    np.testing.assert_array_equal(
+        up["blocks_1"]["moe"]["router"]["kernel"],
+        moe["blocks_1"]["moe"]["router"]["kernel"],
+    )
+
+
 def test_ep_gradients_flow():
     """Router (through the gate) and expert weights all receive gradient
     under the EP sharding."""

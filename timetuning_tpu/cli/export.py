@@ -75,6 +75,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GPipe microbatches per data shard (0 = auto: the "
                         "pipe degree when it divides the local batch, else "
                         "1); more microbatches shrink the pipeline bubble")
+    p.add_argument("--expert_parallel", type=int, default=1,
+                   help="export a MULTI-CHIP artifact with the MoE expert "
+                        "weights sharded over this many expert-axis devices "
+                        "(parallel/ep.py; GSPMD inserts the token "
+                        "all-to-alls) — requires a MoE ViT via "
+                        "--moe_every_k/--moe_experts; composes with "
+                        "--data_parallel, mutually exclusive with the other "
+                        "multi-chip modes")
+    p.add_argument("--moe_every_k", type=int, default=0,
+                   help="make every k-th block's MLP a Switch top-1 MoE "
+                        "(sparse-upcycled from the dense checkpoint: every "
+                        "expert starts as a copy of that block's dense MLP)")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="experts per MoE block (with --moe_every_k)")
     return p
 
 
@@ -84,7 +98,8 @@ def export_features(architecture: str, model_path: str | None,
                     symbolic_batch: bool = False,
                     tensor_parallel: int = 1, data_parallel: int = 1,
                     sequence_parallel: int = 1, pipeline_parallel: int = 1,
-                    pp_microbatches: int = 0):
+                    pp_microbatches: int = 0, expert_parallel: int = 1,
+                    moe_every_k: int = 0, moe_experts: int = 0):
     """Build and AOT-export the uint8→features forward. Returns
     (serialized bytes, live_fn, example_input_shape, mesh_or_None).
 
@@ -120,20 +135,54 @@ def export_features(architecture: str, model_path: str | None,
     dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(architecture, model_path, dtype=dtype)
     if min(tensor_parallel, data_parallel, sequence_parallel,
-           pipeline_parallel) < 1:
+           pipeline_parallel, expert_parallel) < 1:
         raise ValueError(
             "tensor_parallel/data_parallel/sequence_parallel/"
-            "pipeline_parallel must be >= 1"
+            "pipeline_parallel/expert_parallel must be >= 1"
         )
-    if sum(d > 1 for d in
-           (tensor_parallel, sequence_parallel, pipeline_parallel)) > 1:
+    if sum(d > 1 for d in (tensor_parallel, sequence_parallel,
+                           pipeline_parallel, expert_parallel)) > 1:
         raise ValueError(
-            "--tensor_parallel, --sequence_parallel and --pipeline_parallel "
-            "are mutually exclusive (weight- vs token- vs stage-sharded "
-            "artifacts)"
+            "--tensor_parallel, --sequence_parallel, --pipeline_parallel "
+            "and --expert_parallel are mutually exclusive (weight- vs "
+            "token- vs stage- vs expert-sharded artifacts)"
         )
     n_mesh = (tensor_parallel * data_parallel * sequence_parallel
-              * pipeline_parallel)
+              * pipeline_parallel * expert_parallel)
+    if expert_parallel > 1 and not (moe_every_k and moe_experts):
+        raise ValueError(
+            "--expert_parallel needs a MoE architecture: set "
+            "--moe_every_k and --moe_experts"
+        )
+    if moe_every_k or moe_experts:
+        # rebuild the backbone as a MoE ViT, sparse-upcycled from the dense
+        # weights (each expert starts as a copy of its block's dense MLP)
+        cfg0 = getattr(bb.module, "config", None)
+        if not hasattr(cfg0, "depth"):
+            raise ValueError("--moe_every_k supports ViT backbones only")
+        if not (moe_every_k and moe_experts):
+            raise ValueError("set BOTH --moe_every_k and --moe_experts")
+        from timetuning_tpu.parallel.ep import (
+            upcycle_dense_to_moe,
+            validate_ep_geometry,
+        )
+
+        validate_ep_geometry(moe_experts, expert_parallel)
+        moe_cfg = dataclasses.replace(
+            cfg0, moe_every_k=moe_every_k, n_experts=moe_experts,
+        )
+        moe_module = bb.module.clone(config=moe_cfg)
+        moe_params = moe_module.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, input_resolution, input_resolution, 3)),
+        )["params"]
+        bb = dataclasses.replace(
+            bb,
+            module=moe_module,
+            variables={"params": upcycle_dense_to_moe(
+                bb.variables["params"], moe_params, moe_cfg
+            )},
+        )
     if (symbolic_batch or n_mesh > 1) and hasattr(
         getattr(bb.module, "config", None), "attn_impl"
     ):
@@ -199,6 +248,22 @@ def export_features(architecture: str, model_path: str | None,
                                  data_parallel, n_micro)
             mesh = make_dp_pp_mesh(data_parallel, pipeline_parallel)
             alt_fwd = pp_forward_fn(bb.module, mesh, n_micro)
+        elif expert_parallel > 1:
+            from timetuning_tpu.parallel.ep import (
+                ep_param_specs,
+                make_dp_ep_mesh,
+            )
+
+            mesh = make_dp_ep_mesh(data_parallel, expert_parallel)
+            specs = ep_param_specs(
+                variables["params"], n_experts=moe_experts
+            )
+            variables = {
+                "params": jax.device_put(
+                    variables["params"],
+                    jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs),
+                )
+            }
         else:
             from timetuning_tpu.parallel.tp import (
                 make_dp_tp_mesh,
@@ -279,6 +344,9 @@ def main(argv=None) -> int:
         sequence_parallel=args.sequence_parallel,
         pipeline_parallel=args.pipeline_parallel,
         pp_microbatches=args.pp_microbatches,
+        expert_parallel=args.expert_parallel,
+        moe_every_k=args.moe_every_k,
+        moe_experts=args.moe_experts,
     )
     with open(args.out, "wb") as f:
         f.write(blob)
@@ -289,6 +357,12 @@ def main(argv=None) -> int:
     elif args.pipeline_parallel > 1:
         mesh_note = (
             f", {args.data_parallel}x{args.pipeline_parallel} pipe mesh"
+        )
+    elif args.expert_parallel > 1:
+        mesh_note = (
+            f", {args.data_parallel}x{args.expert_parallel} expert mesh "
+            f"({args.moe_experts} experts upcycled every "
+            f"{args.moe_every_k} blocks)"
         )
     else:
         mesh_note = f", {args.data_parallel}x{args.tensor_parallel} mesh"

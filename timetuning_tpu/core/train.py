@@ -470,6 +470,9 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         pack_path=cfg.pack_path,
         fast_decode=cfg.fast_decode,
         seed=cfg.seed,
+        # the SSL loss never reads annotations; decoding their palette PNGs
+        # costs ~25x the packed frame gather (data/datasets.py note)
+        load_annotations=False,
     )
     if len(loader) == 0:
         # max(len, 1) below would otherwise mask this: every epoch runs ZERO

@@ -266,6 +266,12 @@ class VideoDataset:
     fast_decode: bool = False
     # restrict to these video basenames (e.g. an ImageSets split list)
     video_filter: frozenset | None = None
+    # False: skip annotation decode entirely (items carry a [C, F, 1, 1]
+    # zero placeholder). The TRAINING loader sets this: the SSL loss never
+    # reads annotations, yet decoding their palette PNGs costs ~25× the
+    # packed frame gather (measured 7.6 vs 0.3 ms/item on a 480p tree) —
+    # the dominant host cost of the real-data train pipeline.
+    load_annotations: bool = True
 
     def __post_init__(self):
         self.tree = build_dataset_tree(self.frames_root)
@@ -309,8 +315,10 @@ class VideoDataset:
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
-    def _rng(self, index: int) -> random.Random:
-        return random.Random((self.seed * 1_000_003 + self._epoch) * 97 + index)
+    def _rng(self, index: int, epoch: int | None = None) -> random.Random:
+        if epoch is None:
+            epoch = self._epoch
+        return random.Random((self.seed * 1_000_003 + epoch) * 97 + index)
 
     def video_name(self, index: int) -> str:
         return os.path.basename(self.keys[index])
@@ -327,9 +335,16 @@ class VideoDataset:
         return cache[index]
 
     def __getitem__(self, index: int) -> dict:
+        return self.get_item(index)
+
+    def get_item(self, index: int, epoch: int | None = None) -> dict:
+        """Like ``__getitem__`` but with the sampling epoch passed
+        explicitly — the persistent loader pool decodes the NEXT epoch's
+        batches ahead of ``set_epoch``, so it cannot rely on the shared
+        ``_epoch`` attribute (thread-safety)."""
         key = self.keys[index]
         files = self.tree[key]
-        rng = self._rng(index)
+        rng = self._rng(index, epoch)
         clip_idx = generate_clip_indices(
             rng, len(files), self.num_frames, self.num_clips,
             self.sampling_mode, self.regular_step,
@@ -338,9 +353,7 @@ class VideoDataset:
         frames = np.zeros(
             (self.num_clips, F, self.decode_size, self.decode_size, 3), np.uint8
         )
-        annots = np.zeros(
-            (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
-        )
+        annots = self._annotation_buffer(F)
         gray_means = np.zeros((self.num_clips, F), np.float32)
         reduce_for = self.orig_size(index) if self.fast_decode else None
         for c, idx in enumerate(clip_idx):
@@ -349,12 +362,20 @@ class VideoDataset:
                     files[i], self.decode_size, nearest=False,
                     reduce_for=reduce_for,
                 )
-        self._fill_annotations(annots, clip_idx, index)
+        if self.load_annotations:
+            self._fill_annotations(annots, clip_idx, index)
         return {
             "frames": frames, "annotations": annots, "label": index,
             "orig_size": np.asarray(self.orig_size(index), np.int32),
             "gray_means": gray_means,
         }
+
+    def _annotation_buffer(self, F: int) -> np.ndarray:
+        if not self.load_annotations:
+            return np.zeros((self.num_clips, F, 1, 1), np.uint8)
+        return np.zeros(
+            (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
+        )
 
     def _fill_annotations(self, annots, clip_idx, index: int) -> None:
         """Decode + remap the clip's annotation frames into ``annots``
@@ -400,8 +421,8 @@ class _InstanceRemapMixin:
         super().__init__(*args, **kw)
         self._init_instance_map(meta_file)
 
-    def __getitem__(self, index: int) -> dict:
-        return self._remap_instances(super().__getitem__(index), index)
+    def get_item(self, index: int, epoch: int | None = None) -> dict:
+        return self._remap_instances(super().get_item(index, epoch), index)
 
     def _init_instance_map(self, meta_file: str | None) -> None:
         self.instance_map = make_categories_dict(meta_file) if meta_file else None
@@ -460,11 +481,11 @@ class PackedVideoDataset(VideoDataset):
             return int(entry[2]), int(entry[3])
         return super().orig_size(index)  # legacy (start, n) index
 
-    def __getitem__(self, index: int) -> dict:
+    def get_item(self, index: int, epoch: int | None = None) -> dict:
         key = self.keys[index]
         name = os.path.basename(key)
         start, n = self.pack_index[name][:2]
-        rng = self._rng(index)
+        rng = self._rng(index, epoch)
         clip_idx = generate_clip_indices(
             rng, n, self.num_frames, self.num_clips,
             self.sampling_mode, self.regular_step,
@@ -474,10 +495,9 @@ class PackedVideoDataset(VideoDataset):
         frames = self.pack.gather(flat).reshape(
             self.num_clips, F, self.decode_size, self.decode_size, 3
         )
-        annots = np.zeros(
-            (self.num_clips, F, self.decode_size, self.decode_size), np.uint8
-        )
-        self._fill_annotations(annots, clip_idx, index)
+        annots = self._annotation_buffer(F)
+        if self.load_annotations:
+            self._fill_annotations(annots, clip_idx, index)
         item = {
             "frames": frames, "annotations": annots, "label": index,
             "orig_size": np.asarray(self.orig_size(index), np.int32),

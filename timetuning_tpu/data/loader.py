@@ -53,7 +53,20 @@ class Batch(tuple):
 
 
 class ClipLoader:
-    """Iterable over batched host clips with background decode threads."""
+    """Iterable over batched host clips with a PERSISTENT background decode
+    pool.
+
+    The worker threads outlive iterations and epochs (the round-3 loader
+    spun a fresh pool per ``__iter__``, so every epoch paid thread start +
+    a cold prefetch refill — at realistic B=128 epochs of a few steps that
+    overhead dominated the measured pipeline). Batches are keyed
+    ``(epoch, batch_index)``; after the current epoch's work is enqueued,
+    the pool speculatively decodes the FIRST ``lookahead`` batches of the
+    NEXT epoch (sampling is deterministic in ``(seed, epoch)``, and
+    ``dataset.get_item(i, epoch)`` takes the epoch explicitly), so the
+    epoch boundary costs nothing: batch (e+1, 0) is already decoded when
+    ``set_epoch(e+1)`` arrives. Decoded-batch memory is bounded by a
+    semaphore of ``prefetch + num_workers`` permits."""
 
     def __init__(
         self,
@@ -66,6 +79,7 @@ class ClipLoader:
         rank: int = 0,
         seed: int = 1,
         prefetch: int = 4,
+        lookahead: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -76,8 +90,19 @@ class ClipLoader:
         self.rank = rank
         self.seed = seed
         self.prefetch = prefetch
+        # next-epoch speculation depth; must stay below prefetch+workers so
+        # speculated results can never starve the current epoch of permits
+        self.lookahead = max(0, min(lookahead, prefetch + self.num_workers - 1))
         self._epoch = 0
         self._skip_next = 0
+        # persistent pool state (created lazily on first iteration)
+        self._pool: list[threading.Thread] = []
+        self._tasks: queue.Queue = queue.Queue()
+        self._cv = threading.Condition()
+        self._results: dict = {}      # (epoch, bi) -> Batch | BaseException
+        self._want: set = set()       # keys worth decoding / keeping
+        self._enqueued: set = set()   # keys with a task in flight or queued
+        self._closed = False
 
     def skip_next_batches(self, n: int) -> None:
         """Drop the first ``n`` batches of the NEXT iteration (before any
@@ -91,11 +116,13 @@ class ClipLoader:
         if hasattr(self.dataset, "set_epoch"):
             self.dataset.set_epoch(epoch)
 
-    def _indices(self) -> list[int]:
+    def _indices(self, epoch: int | None = None) -> list[int]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
+            if epoch is None:
+                epoch = self._epoch
+            rng = np.random.default_rng(self.seed + epoch)
             rng.shuffle(order)
         # Equal per-rank counts are load-bearing: when n % world_size != 0,
         # plain striding gives some ranks one extra index → one extra batch
@@ -123,104 +150,174 @@ class ClipLoader:
             return per_host // self.batch_size
         return (per_host + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
-        order = self._indices()
-        batches = [
+    # ---------------------------------------------------------------- #
+    # persistent decode pool
+
+    def _decode_batch(self, b: list[int], epoch: int) -> "Batch":
+        get = getattr(self.dataset, "get_item", None)
+        items = (
+            [get(i, epoch) for i in b] if get is not None
+            else [self.dataset[i] for i in b]
+        )
+        frames = np.stack([it["frames"] for it in items])
+        annots = np.stack([it["annotations"] for it in items])
+        labels = np.asarray([it["label"] for it in items])
+        sizes = (
+            np.stack([it["orig_size"] for it in items])
+            if all("orig_size" in it for it in items)
+            else None
+        )
+        gmeans = (
+            np.stack([it["gray_means"] for it in items])
+            if all("gray_means" in it for it in items)
+            else None
+        )  # [B, clips, F]
+        # [B, clips, F, H, W, (3)] -> merge clips into batch
+        # (the reference's squeeze for num_clips == 1; true batch-merge for
+        # num_clips > 1, which downstream augment/step code consumes as a
+        # [B*C] batch)
+        if frames.shape[1] == 1:
+            frames = frames[:, 0]
+            annots = annots[:, 0]
+            if gmeans is not None:
+                gmeans = gmeans[:, 0]
+        else:
+            C = frames.shape[1]
+            frames = frames.reshape((-1,) + frames.shape[2:])
+            annots = annots.reshape((-1,) + annots.shape[2:])
+            labels = np.repeat(labels, C)
+            if sizes is not None:
+                sizes = np.repeat(sizes, C, axis=0)
+            if gmeans is not None:
+                gmeans = gmeans.reshape((-1,) + gmeans.shape[2:])
+        return Batch(frames, annots, labels, sizes, gmeans)
+
+    def _worker(self) -> None:
+        while True:
+            task = self._tasks.get()
+            if task is None:          # close() poison pill
+                return
+            key, b = task
+            with self._cv:
+                if key not in self._want:     # stale speculation: skip
+                    self._enqueued.discard(key)
+                    continue
+            try:
+                payload: object = self._decode_batch(b, key[0])
+            except BaseException as e:  # noqa: BLE001
+                # propagate instead of dying silently: a lost batch would
+                # block the consumer forever on its index
+                payload = e
+            with self._cv:
+                self._enqueued.discard(key)
+                if key in self._want:
+                    self._results[key] = payload
+                    self._cv.notify_all()
+
+    def _ensure_pool(self) -> None:
+        if self._closed:
+            raise RuntimeError("ClipLoader is closed")
+        while len(self._pool) < self.num_workers:
+            t = threading.Thread(target=self._worker, daemon=True)
+            t.start()
+            self._pool.append(t)
+
+    def _epoch_batches(self, epoch: int) -> list[list[int]]:
+        order = self._indices(epoch)
+        return [
             order[i : i + self.batch_size]
             for i in range(0, len(order), self.batch_size)
         ]
+
+    def _purge_except(self, keep: set) -> None:
+        """Drop results/wants outside ``keep``."""
+        with self._cv:
+            self._want = set(keep)
+            for key in [k for k in self._results if k not in keep]:
+                del self._results[key]
+
+    def close(self) -> None:
+        """Stop the pool (optional: workers are daemon threads)."""
+        self._purge_except(set())
+        for _ in self._pool:
+            self._tasks.put(None)
+        self._closed = True
+        self._pool = []
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        epoch = self._epoch
+        batches = self._epoch_batches(epoch)
         skip, self._skip_next = self._skip_next, 0
-        batches = batches[skip:]
-        if not batches:
+        expected = [((epoch, bi), b) for bi, b in enumerate(batches)][skip:]
+        if not expected:
             return
-        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        idx_q: queue.Queue = queue.Queue()
-        for bi, b in enumerate(batches):
-            idx_q.put((bi, b))
-        stop = threading.Event()
+        self._ensure_pool()
 
-        def _put(item) -> None:
-            # bounded put that aborts on shutdown: without it, an early
-            # consumer exit (max_steps break, exception) would strand
-            # workers blocked forever on the full queue, leaking a thread +
-            # a fully-decoded ~25 MB batch per worker per epoch
-            while not stop.is_set():
-                try:
-                    out_q.put(item, timeout=0.1)
-                    return
-                except queue.Full:
-                    continue
+        # speculation for the NEXT epoch: sampling is (seed, epoch)-keyed,
+        # so (epoch+1, bi) batches are known now; decode the first few so
+        # the next epoch's pipeline starts warm instead of refilling cold
+        spec = [
+            ((epoch + 1, bi), b)
+            for bi, b in enumerate(self._epoch_batches(epoch + 1))
+        ][: self.lookahead]
 
-        def worker():
-            while not stop.is_set():
-                try:
-                    bi, b = idx_q.get_nowait()
-                except queue.Empty:
-                    return
-                try:
-                    items = [self.dataset[i] for i in b]
-                    frames = np.stack([it["frames"] for it in items])
-                    annots = np.stack([it["annotations"] for it in items])
-                    labels = np.asarray([it["label"] for it in items])
-                    sizes = (
-                        np.stack([it["orig_size"] for it in items])
-                        if all("orig_size" in it for it in items)
-                        else None
-                    )
-                    gmeans = (
-                        np.stack([it["gray_means"] for it in items])
-                        if all("gray_means" in it for it in items)
-                        else None
-                    )  # [B, clips, F]
-                    # [B, clips, F, H, W, (3)] → merge clips into batch
-                    # (the reference's squeeze for num_clips == 1; true
-                    # batch-merge for num_clips > 1, which downstream
-                    # augment/step code consumes as a [B*C] batch)
-                    if frames.shape[1] == 1:
-                        frames = frames[:, 0]
-                        annots = annots[:, 0]
-                        if gmeans is not None:
-                            gmeans = gmeans[:, 0]
-                    else:
-                        C = frames.shape[1]
-                        frames = frames.reshape((-1,) + frames.shape[2:])
-                        annots = annots.reshape((-1,) + annots.shape[2:])
-                        labels = np.repeat(labels, C)
-                        if sizes is not None:
-                            sizes = np.repeat(sizes, C, axis=0)
-                        if gmeans is not None:
-                            gmeans = gmeans.reshape((-1,) + gmeans.shape[2:])
-                    _put((bi, Batch(frames, annots, labels, sizes, gmeans)))
-                except BaseException as e:  # noqa: BLE001
-                    # propagate instead of dying silently: a dead worker's
-                    # claimed batch would never reach out_q and the consumer
-                    # would block forever on its index
-                    _put((bi, e))
-                    return
+        keep = {k for k, _ in expected} | {k for k, _ in spec}
+        self._purge_except(keep)
 
-        threads = [
-            threading.Thread(target=worker, daemon=True)
-            for _ in range(self.num_workers)
-        ]
-        for t in threads:
-            t.start()
+        # consumer-side feeding bounds decoded-batch memory WITHOUT a
+        # blocking acquire in the workers (a semaphore there can deadlock:
+        # later-key results can hold every permit while the head key's
+        # worker waits). In-flight (queued + decoding + undelivered results)
+        # never exceeds prefetch + num_workers; each delivered batch feeds
+        # one more task, and tasks are claimed FIFO so the head key is
+        # always being worked on.
+        cap = self.prefetch + self.num_workers
+        with self._cv:
+            feed = [
+                (k, b) for k, b in expected + spec
+                if k not in self._enqueued and k not in self._results
+            ]
+            inflight = sum(
+                1 for k in keep
+                if k in self._enqueued or k in self._results
+            )
+        fed = 0
 
+        def _feed(n: int) -> None:
+            nonlocal fed
+            while fed < len(feed) and n > 0:
+                k, b = feed[fed]
+                with self._cv:
+                    self._enqueued.add(k)
+                self._tasks.put((k, b))
+                fed += 1
+                n -= 1
+
+        _feed(cap - inflight)
         try:
-            next_bi = 0
-            pending: dict[int, tuple] = {}
-            for _ in range(len(batches)):
-                while next_bi not in pending:
-                    bi, payload = out_q.get()
-                    pending[bi] = payload
-                payload = pending.pop(next_bi)
+            for key, _ in expected:
+                with self._cv:
+                    while key not in self._results:
+                        self._cv.wait()
+                    payload = self._results.pop(key)
+                    self._want.discard(key)
+                _feed(1)
                 if isinstance(payload, BaseException):
                     raise payload
                 yield payload
-                next_bi += 1
         finally:
-            # GeneratorExit (early break), exception, or normal completion:
-            # release any worker blocked on the bounded queue
-            stop.set()
+            # early break / exception / completion: keep only next-epoch
+            # speculation alive, and make sure it is actually fed
+            self._purge_except({k for k, _ in spec})
+            with self._cv:
+                spec_todo = [
+                    (k, b) for k, b in spec
+                    if k not in self._enqueued and k not in self._results
+                ]
+                for k, _ in spec_todo:
+                    self._enqueued.add(k)
+            for task in spec_todo:
+                self._tasks.put(task)
 
 
 def device_prefetch(iterable, transform, depth: int = 2):

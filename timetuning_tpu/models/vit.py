@@ -41,6 +41,21 @@ class ViTConfig:
     dtype: Any = jnp.float32  # compute dtype; params are always f32
     attn_impl: str = "auto"   # auto | xla | pallas
     remat: bool = False       # rematerialize blocks (memory ↔ FLOPs trade)
+    # Mixture-of-Experts (beyond reference; parallel/ep.py): every k-th
+    # block's MLP becomes a Switch top-1 MoE with n_experts expert FFNs
+    # (blocks k-1, 2k-1, ... — the standard "every k-th layer" placement).
+    # 0/0 = dense everywhere (the reference architecture).
+    moe_every_k: int = 0
+    n_experts: int = 0
+    moe_capacity_factor: float = 1.25
+
+
+def is_moe_block(cfg: "ViTConfig", i: int) -> bool:
+    return (
+        cfg.moe_every_k > 0
+        and cfg.n_experts > 1
+        and i % cfg.moe_every_k == cfg.moe_every_k - 1
+    )
 
 
 def interpolate_pos_embed(
@@ -175,6 +190,32 @@ class Block(nn.Module):
     attn_impl: str = "auto"
     # static module field (not a call arg) so the block stays remat-friendly
     want_probs: bool = False
+    # Switch MoE MLP instead of the dense MLP (ViTConfig.moe_every_k):
+    # the attention branch is unchanged (fused kernels still apply); the
+    # MLP branch becomes parallel/ep.MoEMlp, whose expert-stacked weights
+    # shard P('expert') under expert parallelism. GSPMD partitions the
+    # dispatch/combine einsums, so the MoE branch runs the XLA path.
+    moe: bool = False
+    n_experts: int = 0
+    moe_capacity: float = 1.25
+
+    def _mlp_branch(self, x):
+        """LN2 + (dense | MoE) MLP + residual — the XLA-path MLP branch."""
+        D = x.shape[-1]
+        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        if self.moe:
+            from timetuning_tpu.parallel.ep import MoEMlp
+
+            y = MoEMlp(
+                n_experts=self.n_experts,
+                hidden_dim=int(D * self.mlp_ratio),
+                capacity_factor=self.moe_capacity,
+                dtype=self.dtype,
+                name="moe",
+            )(y)
+        else:
+            y = Mlp(int(D * self.mlp_ratio), D, self.dtype, name="mlp")(y)
+        return x + y
 
     @nn.compact
     def __call__(self, x, return_probs: bool | None = None):
@@ -209,6 +250,8 @@ class Block(nn.Module):
                     x.astype(self.dtype), s1, bl1, wq.astype(self.dtype), bq,
                     wp.astype(self.dtype), bp, self.num_heads,
                 )
+                if self.moe:
+                    return self._mlp_branch(x), None
                 s2, bl2 = _LNParams(D, name="norm2")()
                 w1, b1, w2, b2 = _MlpParams(
                     D, int(D * self.mlp_ratio), name="mlp"
@@ -224,9 +267,7 @@ class Block(nn.Module):
             self.num_heads, self.qkv_bias, self.dtype, self.attn_impl, name="attn"
         )(y, return_probs=rp)
         x = x + y
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
-        y = Mlp(int(D * self.mlp_ratio), D, self.dtype, name="mlp")(y)
-        return x + y, probs
+        return self._mlp_branch(x), probs
 
 
 class VisionTransformer(nn.Module):
@@ -307,6 +348,9 @@ class VisionTransformer(nn.Module):
                 cfg.dtype,
                 cfg.attn_impl,
                 want_probs=want_attention and is_last,
+                moe=is_moe_block(cfg, i),
+                n_experts=cfg.n_experts,
+                moe_capacity=cfg.moe_capacity_factor,
                 name=f"blocks_{i}",
             )(x)
             if p_i is not None:

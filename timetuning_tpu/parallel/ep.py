@@ -158,3 +158,122 @@ def make_ep_moe_fn(module: MoEMlp, mesh: Mesh):
 def validate_ep_geometry(n_experts: int, ep: int) -> None:
     if n_experts % ep:
         raise ValueError(f"n_experts={n_experts} not divisible by ep={ep}")
+
+
+# --- MoE-ViT product path (dense-feature forward + training step) ---------
+
+
+def upcycle_dense_to_moe(dense_params, moe_params, cfg):
+    """Sparse upcycling: initialize a MoE ViT from a DENSE checkpoint.
+
+    Every shared leaf (patch embed, positions, attention, norms, dense-block
+    MLPs) is copied; each MoE block's experts all start as copies of the
+    dense checkpoint's corresponding MLP (the Sparse Upcycling recipe —
+    the router stays at its random init, so the initial MoE output is the
+    dense block's output scaled by the top-1 gate). Returns the grafted
+    MoE param tree."""
+    import flax.traverse_util as tu
+
+    from timetuning_tpu.models.vit import is_moe_block
+
+    dense = tu.flatten_dict(dense_params)
+    out = dict(tu.flatten_dict(moe_params))
+    for k in list(out):
+        if k in dense:
+            out[k] = dense[k]
+    for i in range(cfg.depth):
+        if not is_moe_block(cfg, i):
+            continue
+        blk = f"blocks_{i}"
+        w1 = dense[(blk, "mlp", "fc1", "kernel")]
+        b1 = dense[(blk, "mlp", "fc1", "bias")]
+        w2 = dense[(blk, "mlp", "fc2", "kernel")]
+        b2 = dense[(blk, "mlp", "fc2", "bias")]
+        E = cfg.n_experts
+        out[(blk, "moe", "w1")] = jnp.tile(w1[None], (E, 1, 1))
+        out[(blk, "moe", "b1")] = jnp.tile(b1[None], (E, 1))
+        out[(blk, "moe", "w2")] = jnp.tile(w2[None], (E, 1, 1))
+        out[(blk, "moe", "b2")] = jnp.tile(b2[None], (E, 1))
+    return tu.unflatten_dict(out)
+
+
+def make_ep_feature_fn(model, mesh: Mesh):
+    """Expert-parallel dense-feature forward for a MoE
+    ``VisionTransformer`` (``ViTConfig.moe_every_k``/``n_experts``): the
+    expert-stacked FFN leaves shard ``P('expert')``, everything else
+    replicates, the batch shards ``P('data')``. Same program as the
+    single-device forward — GSPMD inserts the token all-to-alls."""
+    cfg = model.config
+    if not getattr(cfg, "moe_every_k", 0):
+        raise ValueError(
+            "make_ep_feature_fn needs a MoE ViT (set ViTConfig.moe_every_k "
+            "and n_experts); a dense backbone has no expert axis to shard"
+        )
+    validate_ep_geometry(cfg.n_experts, mesh.shape[EXPERT_AXIS])
+
+    def fwd(params, x):
+        return model.apply({"params": params}, x)["tokens"]
+
+    def make(params):
+        specs = ep_param_specs(params, n_experts=cfg.n_experts)
+        return jax.jit(
+            fwd,
+            in_shardings=(
+                jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs),
+                NamedSharding(mesh, P(DATA_AXIS)),
+            ),
+            out_shardings=NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    return make
+
+
+def ep_state_shardings(state, mesh: Mesh, n_experts: int):
+    """NamedSharding tree for a TimeT ``TrainState`` on a (data, expert)
+    mesh: expert-stacked leaves (student params, EMA teacher, and the Adam
+    moments, which mirror the param tree) shard ``P('expert')``; the
+    feature queue shards ``P('data')`` (its rows are batch-derived, as in
+    parallel/tp.timet_state_shardings); everything else replicates."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(state)
+    from timetuning_tpu.parallel.tp import _key_name
+
+    out = []
+    for path, leaf in flat:
+        names = [_key_name(e) for e in path]
+        ndim = getattr(leaf, "ndim", 0)
+        if names and names[0] == "queue" and ndim == 2:
+            spec = P(DATA_AXIS)
+        elif (
+            names
+            and names[-1] in ("w1", "b1", "w2", "b2")
+            and ndim >= 1
+            and leaf.shape[0] == n_experts
+            and "moe" in names
+        ):
+            spec = P(EXPERT_AXIS)
+        else:
+            spec = P()
+        out.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def make_ep_train_step(model, cfg, tx, mesh: Mesh, state_like):
+    """Full TimeT training step under dp×ep as ONE global GSPMD program
+    (``cfg.axis_name`` must be None — the partitioner inserts the data-axis
+    Sinkhorn/grad reductions and the expert all-to-alls itself). Returns
+    ``(jitted_step, shardings)`` like parallel/tp.make_tp_train_step."""
+    from timetuning_tpu.core.timet import make_train_step
+    from timetuning_tpu.parallel.tp import gspmd_step_jit
+
+    vcfg = model.feature_extractor.backbone.config
+    if not getattr(vcfg, "moe_every_k", 0):
+        raise ValueError("make_ep_train_step needs a MoE ViT backbone")
+    validate_ep_geometry(vcfg.n_experts, mesh.shape[EXPERT_AXIS])
+    if cfg.axis_name is not None:
+        raise ValueError(
+            "dp×ep runs as a single global program: set axis_name=None "
+            "(the GSPMD partitioner owns the collectives)"
+        )
+    step = make_train_step(model, cfg, tx)
+    shardings = ep_state_shardings(state_like, mesh, vcfg.n_experts)
+    return gspmd_step_jit(step, mesh, state_like, shardings=shardings)

@@ -171,6 +171,12 @@ def pp_forward_fn(model, mesh: Mesh, n_micro: int | None):
     from timetuning_tpu.ops.fused_block import _ln
 
     cfg = model.config
+    if getattr(cfg, "moe_every_k", 0):
+        raise ValueError(
+            "pipeline parallelism does not support MoE ViTs (MoE and dense "
+            "blocks have different param trees, so stages cannot be stacked "
+            "uniformly) — shard the experts instead (parallel/ep.py)"
+        )
     n_pipe = mesh.shape[PIPE_AXIS]
     block_cls = nn.remat(Block) if cfg.remat else Block
     block = block_cls(cfg.num_heads, cfg.mlp_ratio, cfg.qkv_bias, cfg.dtype,

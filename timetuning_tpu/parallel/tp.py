@@ -156,13 +156,16 @@ def timet_state_shardings(state, mesh: Mesh):
     return jax.tree_util.tree_unflatten(treedef, out)
 
 
-def gspmd_step_jit(step, mesh: Mesh, state_like, n_batch_args: int = 1):
+def gspmd_step_jit(step, mesh: Mesh, state_like, n_batch_args: int = 1,
+                   shardings=None):
     """Shared GSPMD jit harness for a TimeT step function
     ``step(state, *batch_args, key) -> (state, {'loss', 'momentum'})``:
-    state under the Megatron shardings, the ``n_batch_args`` batch arguments
+    state under the Megatron shardings (or an explicit ``shardings`` tree —
+    expert parallelism passes its own), the ``n_batch_args`` batch arguments
     ``P('data')``-sharded, key and metrics replicated, state donated.
     Returns ``(jitted_step, shardings)``."""
-    shardings = timet_state_shardings(state_like, mesh)
+    if shardings is None:
+        shardings = timet_state_shardings(state_like, mesh)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P(DATA_AXIS))
     return jax.jit(

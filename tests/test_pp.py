@@ -124,16 +124,20 @@ def test_pp_output_sharded_over_data():
     assert got.sharding == NamedSharding(mesh, P(DATA_AXIS))
 
 
-def test_pp_schedule_differentiable():
+@pytest.mark.parametrize("dp,pp,batch,n_micro", [
+    (1, 2, 2, 2),    # pipe-only
+    (2, 2, 4, 2),    # dp x pp: grads also cross the data axis
+])
+def test_pp_schedule_differentiable(dp, pp, batch, n_micro):
     """The GPipe scan + ppermute + masked psum carry transposes: the
     pipeline forward's param gradient equals the single-device gradient
     (bubble-tick garbage must contribute exactly zero)."""
-    model, params, x = _build(depth=2, batch=2)
-    mesh = make_dp_pp_mesh(1, 2)
+    model, params, x = _build(depth=2, batch=batch)
+    mesh = make_dp_pp_mesh(dp, pp)
 
     from timetuning_tpu.parallel.pp import pp_forward_fn
 
-    fwd = pp_forward_fn(model, mesh, n_micro=2)
+    fwd = pp_forward_fn(model, mesh, n_micro=n_micro)
 
     def loss_pp(p):
         return jnp.sum(fwd(p, x) ** 2)
@@ -149,7 +153,7 @@ def test_pp_schedule_differentiable():
     for k, v in flat_pp:
         np.testing.assert_allclose(
             np.asarray(v), np.asarray(flat_ref[jax.tree_util.keystr(k)]),
-            rtol=5e-4, atol=5e-5, err_msg=jax.tree_util.keystr(k),
+            rtol=1e-3, atol=2e-4, err_msg=jax.tree_util.keystr(k),
         )
 
 

@@ -202,8 +202,10 @@ def _chunked_bwd(q, k, v, g, kv_len: int | None = None, block_q: int = 256):
 
     # dk/dv accumulate in the scan carry so peak memory stays O(Tq·S) +
     # the dq output (same size as q) — stacking per-chunk dk/dv first would
-    # be O(nc·S·Dh), quadratic in S
-    zeros = jnp.zeros((B, H, Sk, Dh), jnp.float32)
+    # be O(nc·S·Dh), quadratic in S. The init derives from kf (not a fresh
+    # constant) so that under shard_map it carries the body's
+    # device-varying axes and the scan carry types match.
+    zeros = kf * 0.0
     (dk, dv), dq_chunks = jax.lax.scan(scan_body, (zeros, zeros), (qc, gc))
     dq = jnp.moveaxis(dq_chunks, 0, 2).reshape(B, H, Sqp, Dh)[:, :, :S]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)

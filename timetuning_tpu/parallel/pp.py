@@ -33,11 +33,16 @@ bf16, XLA otherwise), so equivalence tests prove only the schedule.
 Composes with data parallelism over a 2-D ``(data, pipe)`` mesh: batch
 sharded ``P('data')``, stages over ``pipe``.
 
-Scope: the dense-feature forward (eval / serving), like parallel/sp.py —
-training at reference configs is 12 ViT-S blocks where PP is pure overhead.
-The schedule is differentiable end-to-end (scan + ppermute + masked psum
-all carry transposes; see test_pp.py's gradient check), but only the
-forward is a supported product path.
+Scope: the PRODUCT path is the dense-feature forward (eval / serving via
+cli/export), like parallel/sp.py — training at reference configs is 12
+ViT-S blocks where PP is pure overhead. The backward is nonetheless
+implemented and VERIFIED, not merely claimed: parameter gradients through
+the GPipe schedule match the single-device gradients at both pipe-only
+and dp×pp geometries (test_pp.py::test_pp_schedule_differentiable), so
+the module composes into a training step as a library building block.
+Note the default ``n_micro = pp`` forward bubble is ~50%; raise
+``n_micro`` (docs/scaling.md discusses the GPipe-vs-1F1B trade — 1F1B
+only helps activation memory of a *training* pipeline, not this bubble).
 """
 
 from __future__ import annotations

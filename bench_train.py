@@ -280,6 +280,13 @@ def main() -> None:
                     jax.random.PRNGKey(rng_i),
                 )
                 losses.append(m["loss"])
+                # backpressure: sync the loss from a few steps back. Without
+                # it the host races ahead of the (tunnel-slow) uploads and
+                # every in-flight batch stays alive — measured 45 GB RSS at
+                # step ~450 of a 550-step curve run. A small lag keeps
+                # dispatch async while bounding in-flight work.
+                if len(losses) > 4:
+                    float(losses[-5])
                 rng_i += 1
                 n += 1
                 if args.steps and rng_i >= args.steps:

@@ -232,19 +232,6 @@ def main() -> None:
                 nb += 1
         loader_cps = nb * B / (time.perf_counter() - t0)
 
-        # host→device upload bandwidth (the tunnel/PCIe leg): decides
-        # whether the pipeline number below is wire-bound on this host
-        x_up = _np.zeros((B, F, 256, 256, 3), _np.uint8)
-        up = jax.device_put(x_up, _dev0)
-        _np.asarray(up[0, 0, 0, 0])           # sync
-        t0 = time.perf_counter()
-        up = jax.device_put(x_up, _dev0)
-        _np.asarray(up[0, 0, 0, 0])           # force real completion
-        upload_s = time.perf_counter() - t0
-        upload_mbps = x_up.nbytes / 1e6 / upload_s
-        upload_cps = B / upload_s
-        del up
-
         if args.loader_only:
             print(json.dumps({
                 "metric": "clip_loader_clips_per_sec",
@@ -256,6 +243,21 @@ def main() -> None:
                 "vs_baseline": None,
             }))
             return
+
+        # host→device upload bandwidth (the tunnel/PCIe leg): decides
+        # whether the pipeline number below is wire-bound on this host.
+        # Measured after the --loader_only early return — that mode
+        # isolates the host side and must not push 200 MB over the link.
+        x_up = _np.zeros((B, F, 256, 256, 3), _np.uint8)
+        up = jax.device_put(x_up, _dev0)
+        _np.asarray(up[0, 0, 0, 0])           # sync
+        t0 = time.perf_counter()
+        up = jax.device_put(x_up, _dev0)
+        _np.asarray(up[0, 0, 0, 0])           # force real completion
+        upload_s = time.perf_counter() - t0
+        upload_mbps = x_up.nbytes / 1e6 / upload_s
+        upload_cps = B / upload_s
+        del up
 
         rng_i = 0
         sustained = None

@@ -1,6 +1,7 @@
 """Data layer tests over a synthetic DAVIS-layout tree (SURVEY.md §4)."""
 
 import os
+import time
 
 import numpy as np
 import pytest
@@ -57,9 +58,6 @@ def test_gray_means_thread_through(davis_tree, tmp_path):
     assert item["gray_means"].shape == (1, 3)
     # oracle: PIL's mean of convert("L") on the native (undecimated) file
     files = ds.tree[ds.keys[0]]
-    rng = np.random.default_rng  # noqa: F841 (clarity)
-    with Image.open(files[0]) as im:
-        want0 = ImageStat.Stat(im.convert("RGB").convert("L")).mean[0]
     # DENSE mode from a fixed seed — recover which frames were sampled by
     # matching the first decoded frame against each file
     idx0 = None
@@ -73,7 +71,6 @@ def test_gray_means_thread_through(davis_tree, tmp_path):
     with Image.open(files[idx0]) as im:
         want = ImageStat.Stat(im.convert("RGB").convert("L")).mean[0]
     np.testing.assert_allclose(item["gray_means"][0, 0], want, atol=5e-2)
-    del want0
 
     loader = ClipLoader(ds, batch_size=2, shuffle=False, num_workers=1)
     batch = next(iter(loader))
@@ -400,6 +397,104 @@ def test_persistent_pool_speculation_matches_fresh_loader(davis_tree):
             np.testing.assert_array_equal(g[0], w[0])
             np.testing.assert_array_equal(g[2], w[2])
     live.close()
+
+
+class _EpochItemDataset:
+    """Duck-typed dataset whose item content encodes (epoch, index);
+    decode takes ``delay`` seconds. ``with_get_item=False`` models an
+    external dataset with set_epoch-dependent sampling but no epoch-
+    explicit accessor."""
+
+    def __init__(self, n, delay=0.0, with_get_item=True):
+        self.n, self.delay = n, delay
+        self._epoch = 0
+        if not with_get_item:
+            self.get_item = None  # getattr(..., "get_item", None) -> None
+
+    def __len__(self):
+        return self.n
+
+    def set_epoch(self, epoch):
+        self._epoch = epoch
+
+    def _make(self, i, epoch):
+        if self.delay:
+            time.sleep(self.delay)
+        return {
+            "frames": np.full((1, 2, 4, 4, 3), epoch * 100 + i, np.uint8),
+            "annotations": np.zeros((1, 2, 4, 4), np.uint8),
+            "label": i,
+        }
+
+    def __getitem__(self, i):
+        return self._make(i, self._epoch)
+
+    def get_item(self, i, epoch=None):
+        return self._make(i, self._epoch if epoch is None else epoch)
+
+
+def test_reiterate_after_early_break_no_deadlock():
+    """Early break leaves later-key tasks enqueued; re-iterating the SAME
+    epoch must feed the head key anyway (a one-shot capacity budget counted
+    those stale tasks and fed nothing — permanent hang)."""
+    import threading
+
+    ds = _EpochItemDataset(12, delay=0.15)
+    loader = ClipLoader(ds, batch_size=1, shuffle=False, drop_last=False,
+                        num_workers=2, prefetch=2)
+    loader.set_epoch(1)
+    for _ in loader:
+        break                     # abort with the pipeline full
+    loader.set_epoch(1)
+
+    got = []
+
+    def consume():
+        got.extend(int(b[0][0, 0, 0, 0, 0]) for b in loader)
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    t.join(timeout=30)
+    assert not t.is_alive(), "re-iteration deadlocked"
+    assert got == [100 + i for i in range(12)]
+    loader.close()
+
+
+def test_speculation_disabled_without_epoch_explicit_accessor():
+    """A dataset with set_epoch-dependent __getitem__ but no get_item must
+    NOT be speculated: epoch e+1 batches would be silently decoded under
+    epoch e's sampling state."""
+    ds = _EpochItemDataset(4, with_get_item=False)
+    loader = ClipLoader(ds, batch_size=2, shuffle=False, drop_last=False,
+                        num_workers=2, prefetch=2, lookahead=2)
+    assert not loader._speculation_safe()
+    for epoch in range(3):
+        loader.set_epoch(epoch)
+        vals = [b[0][:, 0, 0, 0, 0] // 100 for b in loader]
+        time.sleep(0.2)           # let any (buggy) speculation land
+        for v in vals:
+            assert (v == epoch).all(), f"epoch {epoch} got {v}"
+    loader.close()
+
+
+def test_concurrent_iterators_both_complete(davis_tree):
+    """Two live iterators over one loader (zip(loader, loader)) must both
+    yield the full epoch — the second falls back to synchronous decode
+    instead of stealing the pooled pass's batches."""
+    ds = VideoDataset(
+        frames_root=os.path.join(davis_tree, "JPEGImages"),
+        annotations_root=os.path.join(davis_tree, "Annotations"),
+        num_frames=2, decode_size=32,
+    )
+    loader = ClipLoader(ds, batch_size=1, shuffle=True, drop_last=False,
+                        num_workers=2, prefetch=2)
+    pairs = list(zip(loader, loader))
+    assert len(pairs) == len(loader)
+    for a, b in pairs:
+        np.testing.assert_array_equal(a[0], b[0])
+    # and the pool still serves a normal pass afterwards
+    assert sum(1 for _ in loader) == len(loader)
+    loader.close()
 
 
 def test_load_annotations_false_skips_decode(davis_tree):

@@ -235,14 +235,15 @@ def export_features(architecture: str, model_path: str | None,
                     "(the stage-sharded block stack, parallel/pp.py)"
                 )
             from timetuning_tpu.parallel.pp import (
+                _auto_n_micro,
                 make_dp_pp_mesh,
                 pp_forward_fn,
                 validate_pp_geometry,
             )
 
             local_b = batch_size // data_parallel
-            n_micro = pp_microbatches or (
-                pipeline_parallel if local_b % pipeline_parallel == 0 else 1
+            n_micro = pp_microbatches or _auto_n_micro(
+                local_b, pipeline_parallel
             )
             validate_pp_geometry(cfg, pipeline_parallel, batch_size,
                                  data_parallel, n_micro)

@@ -186,7 +186,11 @@ def _decode_frame(path: str, size: int, nearest: bool,
     ~1.7× faster on realistic 720p content). Opt-in (``fast_decode``):
     the scaled IDCT is a different — better-antialiased — downsampling
     than the reference's full decode + bilinear, so pixels differ
-    slightly from the faithful path."""
+    slightly from the faithful path — and the gray mean is then computed
+    on the reduced decode rather than the native frame (the 1/k scale is
+    a block average, so the mean deviates only by block-rounding, but it
+    is not bit-PIL-exact; part of the same documented opt-in divergence).
+    The faithful default path computes it on the full native decode."""
     flags = cv2.IMREAD_UNCHANGED
     if reduce_for is not None and path.lower().endswith((".jpg", ".jpeg")):
         short = min(reduce_for)

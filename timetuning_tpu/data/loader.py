@@ -65,8 +65,9 @@ class ClipLoader:
     NEXT epoch (sampling is deterministic in ``(seed, epoch)``, and
     ``dataset.get_item(i, epoch)`` takes the epoch explicitly), so the
     epoch boundary costs nothing: batch (e+1, 0) is already decoded when
-    ``set_epoch(e+1)`` arrives. Decoded-batch memory is bounded by a
-    semaphore of ``prefetch + num_workers`` permits."""
+    ``set_epoch(e+1)`` arrives. Decoded-batch memory is bounded by
+    consumer-side feeding to ``prefetch + num_workers`` in-flight batches
+    (+1 transiently when recovering from an aborted pass)."""
 
     def __init__(
         self,
@@ -102,6 +103,7 @@ class ClipLoader:
         self._results: dict = {}      # (epoch, bi) -> Batch | BaseException
         self._want: set = set()       # keys worth decoding / keeping
         self._enqueued: set = set()   # keys with a task in flight or queued
+        self._iter_active = False     # a pooled __iter__ pass is live
         self._closed = False
 
     def skip_next_batches(self, n: int) -> None:
@@ -244,6 +246,26 @@ class ClipLoader:
         self._closed = True
         self._pool = []
 
+    def _inflight(self) -> int:
+        """Queued + decoding + undelivered results among wanted keys.
+        Callers must hold ``self._cv``."""
+        return sum(
+            1 for k in self._want
+            if k in self._enqueued or k in self._results
+        )
+
+    def _speculation_safe(self) -> bool:
+        # Next-epoch speculation decodes (epoch+1)-keyed batches while the
+        # dataset's shared epoch is still e. That is only sound when decode
+        # is epoch-explicit (``get_item(i, epoch)``) or epoch-independent
+        # (no ``set_epoch`` at all) — a duck-typed dataset with
+        # set_epoch-dependent ``__getitem__`` would silently serve epoch-e
+        # content as epoch e+1.
+        return (
+            getattr(self.dataset, "get_item", None) is not None
+            or not hasattr(self.dataset, "set_epoch")
+        )
+
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, np.ndarray]]:
         epoch = self._epoch
         batches = self._epoch_batches(epoch)
@@ -251,15 +273,25 @@ class ClipLoader:
         expected = [((epoch, bi), b) for bi, b in enumerate(batches)][skip:]
         if not expected:
             return
+        if self._iter_active:
+            # a second live iterator over the same loader (zip(loader,
+            # loader), a diagnostics thread, ...): decode synchronously
+            # rather than fight the first pass over the shared pool state
+            for _, b in expected:
+                yield self._decode_batch(b, epoch)
+            return
         self._ensure_pool()
+        self._iter_active = True
 
         # speculation for the NEXT epoch: sampling is (seed, epoch)-keyed,
         # so (epoch+1, bi) batches are known now; decode the first few so
         # the next epoch's pipeline starts warm instead of refilling cold
-        spec = [
-            ((epoch + 1, bi), b)
-            for bi, b in enumerate(self._epoch_batches(epoch + 1))
-        ][: self.lookahead]
+        spec = []
+        if self._speculation_safe():
+            spec = [
+                ((epoch + 1, bi), b)
+                for bi, b in enumerate(self._epoch_batches(epoch + 1))
+            ][: self.lookahead]
 
         keep = {k for k, _ in expected} | {k for k, _ in spec}
         self._purge_except(keep)
@@ -268,52 +300,59 @@ class ClipLoader:
         # blocking acquire in the workers (a semaphore there can deadlock:
         # later-key results can hold every permit while the head key's
         # worker waits). In-flight (queued + decoding + undelivered results)
-        # never exceeds prefetch + num_workers; each delivered batch feeds
-        # one more task, and tasks are claimed FIFO so the head key is
-        # always being worked on.
+        # never exceeds prefetch + num_workers; capacity is re-measured on
+        # every wakeup (a one-shot budget deadlocks when an aborted earlier
+        # pass left later-key tasks enqueued), and the head key is enqueued
+        # unconditionally if feeding in order never reached it — bounded
+        # overshoot of one batch, in exchange for guaranteed progress.
         cap = self.prefetch + self.num_workers
-        with self._cv:
-            feed = [
-                (k, b) for k, b in expected + spec
-                if k not in self._enqueued and k not in self._results
-            ]
-            inflight = sum(
-                1 for k in keep
-                if k in self._enqueued or k in self._results
-            )
+        feed = expected + spec
         fed = 0
 
-        def _feed(n: int) -> None:
+        def _pump() -> None:
             nonlocal fed
-            while fed < len(feed) and n > 0:
-                k, b = feed[fed]
+            while True:
                 with self._cv:
+                    if fed >= len(feed) or self._inflight() >= cap:
+                        return
+                    k, b = feed[fed]
+                    fed += 1
+                    if k in self._enqueued or k in self._results:
+                        continue
                     self._enqueued.add(k)
                 self._tasks.put((k, b))
-                fed += 1
-                n -= 1
 
-        _feed(cap - inflight)
+        def _force_feed(key, b) -> None:
+            with self._cv:
+                if key in self._enqueued or key in self._results:
+                    return
+                self._enqueued.add(key)
+            self._tasks.put((key, b))
+
         try:
-            for key, _ in expected:
+            for key, b in expected:
+                _pump()
+                _force_feed(key, b)
                 with self._cv:
                     while key not in self._results:
                         self._cv.wait()
                     payload = self._results.pop(key)
                     self._want.discard(key)
-                _feed(1)
                 if isinstance(payload, BaseException):
                     raise payload
                 yield payload
         finally:
+            self._iter_active = False
             # early break / exception / completion: keep only next-epoch
-            # speculation alive, and make sure it is actually fed
+            # speculation alive, and feed it best-effort within capacity
+            # (anything unfed here is fed by the next __iter__)
             self._purge_except({k for k, _ in spec})
             with self._cv:
+                room = max(0, cap - self._inflight())
                 spec_todo = [
                     (k, b) for k, b in spec
                     if k not in self._enqueued and k not in self._results
-                ]
+                ][:room]
                 for k, _ in spec_todo:
                     self._enqueued.add(k)
             for task in spec_todo:

@@ -156,9 +156,10 @@ def _pipeline_stage(stacked, h, *, block, n_pipe: int, n_micro: int):
 
 
 def _auto_n_micro(b_local: int, n_pipe: int) -> int:
-    """Largest divisor of the local batch ≤ the pipe degree — the export
-    CLI's auto rule, so odd geometries (e.g. B_local=2, pp=3) pick a legal
-    microbatch count instead of failing depth/batch divisibility."""
+    """Largest divisor of the local batch ≤ the pipe degree — THE auto rule
+    (``cli/export.py`` imports this same function), so odd geometries
+    (e.g. B_local=2, pp=3) pick a legal microbatch count instead of
+    failing batch divisibility."""
     for nm in range(min(b_local, n_pipe), 0, -1):
         if b_local % nm == 0:
             return nm

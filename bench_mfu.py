@@ -155,10 +155,11 @@ def _train_row(batch=128, iters=20):
     }
 
 
-def _prop_row(T=25, S=224, iters=12):
+def _prop_row(T=25, S=224, CB=8, iters=10):
     """Mask-propagation eval pipeline (bench_eval.py workload): 480p
     decode-resize -> ViT-S/16 dense features -> k-NN label propagation
-    -> upsampled argmax, per clip."""
+    -> upsampled argmax, ``CB`` clips per dispatch (the cli.propagate
+    --clip_batch product path; CB=8 is the measured sweet spot)."""
     import dataclasses
 
     import jax
@@ -166,7 +167,7 @@ def _prop_row(T=25, S=224, iters=12):
 
     from timetuning_tpu.data.transforms import eval_preprocess_batch
     from timetuning_tpu.models.vit import VisionTransformer, vit_small
-    from timetuning_tpu.ops.propagation import propagate_labels
+    from timetuning_tpu.ops.propagation import propagate_labels_batch
     from timetuning_tpu.ops.resize import resize_bilinear
 
     from bench_util import time_chained_fps
@@ -181,27 +182,31 @@ def _prop_row(T=25, S=224, iters=12):
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, S, S, 3), jnp.bfloat16))
 
-        def clip_eval(frames_u8, first_onehot):
-            x = eval_preprocess_batch(frames_u8, out_size=S)
+        def clip_eval(frames_u8, first_onehots):
+            bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
+            x = eval_preprocess_batch(bt, out_size=S)
             feats = model.apply(params, x)["tokens"][:, 1:]
-            segs = propagate_labels(
-                feats, first_onehot, n_last=4, radius=12, topk=5
+            feats = feats.reshape(CB, T, res * res, -1)
+            segs = propagate_labels_batch(
+                feats, first_onehots, n_last=4, radius=12, topk=5
             )
-            up = resize_bilinear(segs.reshape(T - 1, K, res, res), (S, S))
-            return jnp.argmax(up, axis=1).astype(jnp.uint8)
+            maps = segs.reshape(CB * (T - 1), K, res, res)
+            up = resize_bilinear(maps, (S, S))
+            return jnp.argmax(up, axis=1).astype(jnp.uint8).reshape(
+                CB, T - 1, S, S)
 
         return clip_eval
 
     make = jax.jit(lambda key: (
-        jax.random.randint(key, (T, 480, 854, 3), 0, 255, jnp.uint8),
-        jax.random.uniform(key, (K, res * res)),
+        jax.random.randint(key, (CB, T, 480, 854, 3), 0, 255, jnp.uint8),
+        jax.random.uniform(key, (CB, K, res * res)),
     ))
     bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]
-    flops = _flops_of(build("xla"), *bufs[0]) / T
+    flops = _flops_of(build("xla"), *bufs[0]) / (CB * T)
     fps = time_chained_fps(jax.jit(build("auto")), bufs, iters=iters,
-                           units_per_call=T)
+                           units_per_call=CB * T)
     return {
-        "workload": "propagation_eval_s16_480p_25f",
+        "workload": f"propagation_eval_s16_480p_25f_cb{CB}",
         "unit": "frame",
         "gflops_per_unit": round(flops / 1e9, 2),
         "rate_per_sec": round(fps, 1),

@@ -143,6 +143,29 @@ def test_propagate_cli_other_metrics(davis_tree, capsys):
         assert marker in capsys.readouterr().out
 
 
+def test_propagate_clip_batch_equivalence(davis_tree):
+    """--clip_batch is a pure throughput knob: batched dispatch (including
+    a padded partial group) must reproduce the bs=1 metrics exactly."""
+    base = [
+        "--architecture", "vit-tiny-test",
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--num_frames", "4",
+        "--n_last_frames", "2",
+        "--size_mask_neighborhood", "1",
+        "--input_resolution", "32",
+        "--num_workers", "2",
+    ]
+    results = {}
+    for cb in ("1", "2", "3"):   # 2 clips: full group at 2, padded at 3
+        args = cli_prop.build_parser().parse_args(base + ["--clip_batch", cb])
+        results[cb] = cli_prop.run_propagation(args)
+    for cb in ("2", "3"):
+        assert results[cb]["jf"] == results["1"]["jf"], cb
+        assert results[cb]["miou"] == results["1"]["miou"], cb
+        assert results[cb]["propagation"] == results["1"]["propagation"], cb
+
+
 def test_propagate_cli_optical_flow(davis_tree, capsys):
     rc = cli_prop.main([
         "--architecture", "vit-tiny-test",

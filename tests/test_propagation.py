@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from timetuning_tpu.ops.propagation import (
     neighborhood_mask,
@@ -76,6 +77,27 @@ def test_batched_matches_single():
     for b in range(B):
         single = np.asarray(
             propagate_labels(jnp.asarray(feats[b]), jnp.asarray(segs[b]), n_last=2, radius=2)
+        )
+        np.testing.assert_allclose(batched[b], single, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("B", [3, 18])
+def test_batched_long_clip_paths_match_single(B):
+    """T > 8 routes to the unrolled loop (B <= 16) or lax.map (B > 16)
+    instead of vmap (pathological compile at eval clip lengths) — both must
+    reproduce the per-clip scan."""
+    rng = np.random.default_rng(4)
+    T, h, w, D, K = 10, 5, 5, 8, 4
+    feats = rng.normal(size=(B, T, h * w, D)).astype(np.float32)
+    segs = rng.random(size=(B, K, h * w)).astype(np.float32)
+    batched = np.asarray(
+        propagate_labels_batch(jnp.asarray(feats), jnp.asarray(segs),
+                               n_last=3, radius=2)
+    )
+    for b in (0, B - 1):
+        single = np.asarray(
+            propagate_labels(jnp.asarray(feats[b]), jnp.asarray(segs[b]),
+                             n_last=3, radius=2)
         )
         np.testing.assert_allclose(batched[b], single, rtol=1e-5, atol=1e-6)
 

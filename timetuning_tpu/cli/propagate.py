@@ -37,6 +37,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--many_to_one", type=str2bool, default=False)
     p.add_argument("--num_clusters", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--clip_batch", type=int, default=1,
+                   help="clips per device dispatch — a pure throughput "
+                        "knob (the batched program is the same math as "
+                        "the reference's bs=1, vmapped); metrics are "
+                        "bit-identical at any value")
     return p
 
 
@@ -52,30 +57,38 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
     from timetuning_tpu.eval.metrics import PredsmIoU
     from timetuning_tpu.eval.vos import evaluate_sequence, j_and_f
     from timetuning_tpu.models.registry import get_backbone
-    from timetuning_tpu.ops.propagation import propagate_labels
+    from timetuning_tpu.ops.propagation import propagate_labels_batch
     from timetuning_tpu.ops.resize import resize_bilinear, resize_nearest
 
     bb = get_backbone(args.architecture, args.model_path)
     res = bb.spatial_resolution(args.input_resolution)
+    S = args.input_resolution
+    # clips per device dispatch: the batched program is the bs=1 math
+    # vmapped over clips (identical results), amortizing dispatch latency
+    # and filling the chip (a single 25-frame ViT pass under-fills it —
+    # see docs/mfu_roofline.json's propagation row)
+    CB = max(1, int(getattr(args, "clip_batch", 1)))
 
     @jax.jit
-    def extract(frames_u8):
-        x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution)
+    def extract(frames_u8):                      # [CB, T, H, W, 3]
+        bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
+        x = eval_preprocess_batch(bt, out_size=S)
         out = bb.module.apply(bb.variables, x)
-        return out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
+        tok = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
+        return tok.reshape(frames_u8.shape[:2] + tok.shape[1:])
 
     @jax.jit
-    def propagate_clip(feats, first_onehot):
-        segs = propagate_labels(
-            feats, first_onehot,
+    def propagate_batch(feats, first_onehots):   # [CB, T, N, D], [CB, K, N]
+        segs = propagate_labels_batch(
+            feats, first_onehots,
             n_last=args.n_last_frames,
             radius=args.size_mask_neighborhood,
             topk=args.topk,
-        )                                                 # [T-1, K, N]
-        T1, K, N = segs.shape
-        maps = segs.reshape(T1, K, res, res)
-        up = resize_bilinear(maps, (args.input_resolution, args.input_resolution))
-        return jnp.argmax(up, axis=1)                      # [T-1, S, S]
+        )                                         # [CB, T-1, K, N]
+        B, T1, K, _ = segs.shape
+        maps = segs.reshape(B * T1, K, res, res)
+        up = resize_bilinear(maps, (S, S))
+        return jnp.argmax(up, axis=1).reshape(B, T1, S, S)
 
     loader = make_loader(
         args.dataset, num_clip_frames=args.num_frames, batch_size=1,
@@ -83,38 +96,8 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
         num_workers=args.num_workers, root=args.data_root, drop_last=False,
     )
     all_gt, all_pred, sequences = [], [], []
-    S = args.input_resolution
-    for frames, annots, _ in loader:
-        frames, annots = frames[0], annots[0]              # bs 1
-        if args.uvos:
-            annots = (annots > 0).astype(np.uint8)
-        ann = np.asarray(
-            resize_nearest(jnp.asarray(annots, jnp.float32), (S, S))
-        ).astype(np.int64)
-        # round the channel count up to a multiple of 4: propagate_clip is
-        # jitted per distinct K, and per-clip object counts would otherwise
-        # trigger a multi-second recompile for every new count (padded
-        # channels are all-zero, never beating a valid label's argmax; ties
-        # at 0 resolve to the first index = background)
-        K = max(int(ann.max()) + 1, 2)
-        K = -(-K // 4) * 4
-        if args.use_optical_flow:
-            import cv2
 
-            from timetuning_tpu.eval.optical_flow import propagate_flow
-
-            frames_s = np.stack(
-                [cv2.resize(f, (S, S), interpolation=cv2.INTER_LINEAR)
-                 for f in frames]
-            )
-            preds = propagate_flow(frames_s, ann[0])
-        else:
-            feats = extract(jnp.asarray(frames))
-            first = np.asarray(
-                resize_nearest(jnp.asarray(ann[0:1], jnp.float32), (res, res))
-            )[0].astype(np.int64)
-            onehot = jnp.asarray(np.eye(K, dtype=np.float32)[first].T.reshape(K, -1))
-            preds = np.asarray(propagate_clip(feats, onehot))
+    def score_clip(ann: np.ndarray, preds: np.ndarray) -> None:
         all_gt.append(ann[1:])
         all_pred.append(preds)
         # official DAVIS semi-supervised protocol (davis2017-evaluation)
@@ -129,6 +112,61 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
         sequences.append(
             evaluate_sequence(preds[:-1], ann[1:-1], obj_ids=obj_ids)
         )
+
+    group: list = []                               # [(frames, ann, K)]
+
+    def flush_group() -> None:
+        if not group:
+            return
+        # one K per dispatch: the group max (padded channels are all-zero,
+        # never beating a valid label's argmax; ties at 0 resolve to the
+        # first index = background) — same padding rule as the per-clip
+        # path, widened across the group
+        K = max(k for _, _, k in group)
+        nb = len(group)
+        fr = np.stack([f for f, _, _ in group]
+                      + [group[-1][0]] * (CB - nb))
+        onehots = []
+        for _, ann, _ in group:
+            first = np.asarray(
+                resize_nearest(jnp.asarray(ann[0:1], jnp.float32),
+                               (res, res))
+            )[0].astype(np.int64)
+            onehots.append(np.eye(K, dtype=np.float32)[first].T.reshape(K, -1))
+        oh = np.stack(onehots + [onehots[-1]] * (CB - nb))
+        feats = extract(jnp.asarray(fr))
+        preds = np.asarray(propagate_batch(feats, jnp.asarray(oh)))[:nb]
+        for (_, ann, _), pr in zip(group, preds):
+            score_clip(ann, pr)
+        group.clear()
+
+    for frames, annots, _ in loader:
+        frames, annots = frames[0], annots[0]              # loader bs 1
+        if args.uvos:
+            annots = (annots > 0).astype(np.uint8)
+        ann = np.asarray(
+            resize_nearest(jnp.asarray(annots, jnp.float32), (S, S))
+        ).astype(np.int64)
+        # round the channel count up to a multiple of 4: the programs are
+        # jitted per distinct K, and per-clip object counts would otherwise
+        # trigger a multi-second recompile for every new count
+        K = max(int(ann.max()) + 1, 2)
+        K = -(-K // 4) * 4
+        if args.use_optical_flow:
+            import cv2
+
+            from timetuning_tpu.eval.optical_flow import propagate_flow
+
+            frames_s = np.stack(
+                [cv2.resize(f, (S, S), interpolation=cv2.INTER_LINEAR)
+                 for f in frames]
+            )
+            score_clip(ann, propagate_flow(frames_s, ann[0]))
+            continue
+        group.append((frames, ann, K))
+        if len(group) == CB:
+            flush_group()
+    flush_group()
 
     gts = np.stack(all_gt)
     preds = np.stack(all_pred)

@@ -214,4 +214,17 @@ def propagate_labels_batch(
         temperature=temperature,
         spatial_size=spatial_size,
     )
+    if T > 8:
+        # Long (eval-length) clips: vmap-of-scan compiles pathologically
+        # here (measured 238 s at B=8, T=25 — the batched scan body's
+        # gathers/updates blow up XLA) at no runtime benefit over running
+        # the well-fused single-clip scan per clip (0.46 vs 0.50 ms/clip).
+        # Unroll small batches (2.5 s compile); lax.map keeps one trace
+        # for large ones (63 s compile, same steady-state).
+        if B <= 16:
+            return jnp.stack(
+                [fn(features[i], first_seg[i]) for i in range(B)]
+            )
+        return jax.lax.map(lambda ab: fn(ab[0], ab[1]),
+                           (features, first_seg))
     return jax.vmap(fn)(features, first_seg)

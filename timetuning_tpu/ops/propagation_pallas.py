@@ -187,10 +187,14 @@ def propagate_labels_batch_pallas(
 def propagation_pallas_available(
     T: int, N: int, D: int, K: int, n_last: int
 ) -> bool:
-    """VMEM bound: context + affinity + mask for one program must fit."""
+    """VMEM bound: context + affinity + mask for one program must fit —
+    and the clip must be short: the kernel's frame scan unrolls in Mosaic,
+    so compile time scales with T (measured 504 s at T=25, with *slower*
+    steady-state than the XLA scan; at the T=4 train-loss shape it wins,
+    1.35 → 1.23 ms at B=32). Eval-length clips route to the XLA paths."""
     if pltpu is None or jax.default_backend() != "tpu":
         return False
-    if T < 2:
+    if T < 2 or T > 8:
         return False
     n_slots = max(min(n_last, T - 2), 1)
     C = n_slots + 1

@@ -479,8 +479,10 @@ def swav_optimizer_zero1(
     lr_vec = vec_of(lr_sub)
     decay_vec = vec_of(decay_sub)
     length = int(lr_vec.shape[0])
-    chunk = -(-length // world_size)
-    padded = chunk * world_size
+    from timetuning_tpu.ops.util import pad_to_multiple
+
+    padded = pad_to_multiple(length, world_size)
+    chunk = padded // world_size
     pad = lambda v: jnp.pad(v, (0, padded - length))  # noqa: E731
     lr_vec, decay_vec = np.asarray(pad(lr_vec)), np.asarray(pad(decay_vec))
 

@@ -22,6 +22,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from timetuning_tpu.ops.util import pad_to_multiple
+
 try:
     from jax.experimental.pallas import tpu as pltpu
 except Exception:  # pragma: no cover
@@ -38,7 +40,7 @@ def _seq_pad(S: int, dtype) -> int:
     fps from this change alone). Mosaic pads the [Sp, Sp] attention-score
     lanes internally, which costs only in the (small) attention part."""
     m = 16 if dtype == jnp.bfloat16 else 8
-    return ((S + m - 1) // m) * m
+    return pad_to_multiple(S, m)
 
 
 # ------------------------------------------------------------------ #
@@ -198,7 +200,7 @@ def _attn_pallas(x, ln_s, ln_b, w_qkv, b_qkv, w_proj, b_proj,
         block_b = max(1, (base * 256 * 384) // (sp * D))
     Sp = _seq_pad(S, x.dtype)
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
-    Bp = ((B + block_b - 1) // block_b) * block_b
+    Bp = pad_to_multiple(B, block_b)
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0), (0, 0)))
     x_spec = pl.BlockSpec((block_b, Sp, D), lambda i: (i, 0, 0),
@@ -237,7 +239,7 @@ def _mlp_pallas(x, ln_s, ln_b, w1, b1, w2, b2, block_b: int | None = None,
         block_b = max(1, (base * 256 * 384) // (sp * D))
     Sp = _seq_pad(S, x.dtype)
     xp = jnp.pad(x, ((0, 0), (0, Sp - S), (0, 0)))
-    Bp = ((B + block_b - 1) // block_b) * block_b
+    Bp = pad_to_multiple(B, block_b)
     if Bp != B:
         xp = jnp.pad(xp, ((0, Bp - B), (0, 0), (0, 0)))
     Dh = w1.shape[1]
@@ -319,7 +321,7 @@ def _rows_call(kernel, args, row_args, D_out, block_rows, interpret):
     """
     B, S, _ = row_args[0].shape
     R = B * S
-    Rp = ((R + block_rows - 1) // block_rows) * block_rows
+    Rp = pad_to_multiple(R, block_rows)
     flat = []
     for a in row_args:
         a2 = a.reshape(R, a.shape[-1])

@@ -44,6 +44,19 @@ def _cached_neighborhood(h: int, w: int, radius: int):
     return keep.astype(np.float32)
 
 
+def context_slots(T: int, n_last: int) -> int:
+    """Rolling-context capacity for a T-frame clip: up to ``n_last`` recent
+    propagated frames, but a T-frame clip only ever *produces* T-2 rolling
+    entries before its last step (frame 0 is pinned in its own slot), and at
+    least 1 slot so the FIFO arithmetic stays well-formed for tiny clips.
+
+    Single home of the slot policy — the XLA path (`propagate_labels`), the
+    Pallas kernel, and its VMEM-availability estimate must all agree on the
+    context membership, so none of them may restate this formula.
+    """
+    return max(min(n_last, T - 2), 1)
+
+
 def neighborhood_mask(h: int, w: int, radius: int) -> jax.Array:
     """[h*w, h*w] mask: mask[q, s] = 1 iff source s is within a
     (2*radius+1)² spatial window of query q. radius <= 0 → all ones.
@@ -152,7 +165,7 @@ def propagate_labels(
     feats_n = features / (jnp.linalg.norm(features, axis=-1, keepdims=True) + _EPS)
 
     # Rolling slots hold only the *recent* frames; frame 0 is pinned separately.
-    n_slots = max(min(n_last, T - 2), 1)
+    n_slots = context_slots(T, n_last)
     C = n_slots + 1
 
     seg_t = jnp.promote_types(first_seg.dtype, jnp.float32)

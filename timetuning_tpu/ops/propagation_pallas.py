@@ -132,7 +132,7 @@ def propagate_labels_batch_pallas(
     interpret: bool = False,
 ) -> jax.Array:
     """Kernel-fused ``propagate_labels_batch``: [B, T-1, K, N]."""
-    from timetuning_tpu.ops.propagation import neighborhood_mask
+    from timetuning_tpu.ops.propagation import context_slots, neighborhood_mask
 
     B, T, N, D = features.shape
     K = first_seg.shape[1]
@@ -140,7 +140,7 @@ def propagate_labels_batch_pallas(
         h = w = int(round(N ** 0.5))
     else:
         h, w = spatial_size
-    n_slots = max(min(n_last, T - 2), 1)
+    n_slots = context_slots(T, n_last)
     C = n_slots + 1
     Np = pad_to_multiple(N, 128)
     Kp = pad_to_multiple(K, 8)
@@ -196,7 +196,9 @@ def propagation_pallas_available(
         return False
     if T < 2 or T > 8:
         return False
-    n_slots = max(min(n_last, T - 2), 1)
+    from timetuning_tpu.ops.propagation import context_slots
+
+    n_slots = context_slots(T, n_last)
     C = n_slots + 1
     Np = pad_to_multiple(N, 128)
     Kp = pad_to_multiple(K, 8)

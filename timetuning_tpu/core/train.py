@@ -52,6 +52,7 @@ from timetuning_tpu.eval.evaluator import Evaluator
 from timetuning_tpu.models.extractor import FeatureExtractor
 from timetuning_tpu.models.registry import get_backbone
 from timetuning_tpu.obs.logging import MetricsWriter, dump_config, make_file_logger
+from timetuning_tpu.ops.util import pad_to_multiple
 
 
 @dataclasses.dataclass
@@ -512,6 +513,16 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
             cfg.unfreeze_layers, model.feature_extractor.backbone
         ),
     )
+    if cfg.use_queue and tcfg.queue_size <= 0:
+        # queue_size//world == 0 would allocate a [0, D] queue that reports
+        # itself "ready" (fill 0 >= size 0) from step 1 — training would run
+        # "with queue" in the logs while the queue contributes nothing
+        raise ValueError(
+            f"--queue_size {cfg.queue_size} is smaller than the "
+            f"{max(n_dev, 1)}-device world: the per-device FIFO would have "
+            "0 rows. Use queue_size >= the device count (the reference "
+            "default is 16384)."
+        )
 
     rng = jax.random.PRNGKey(cfg.seed)
     sample = jnp.zeros((1, cfg.input_resolution, cfg.input_resolution, 3))
@@ -688,7 +699,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
                 tried = {zero1_plan.padded} if zero1 else set()
                 paddings = []
                 for w in (n_dev, 1, 2, 3, 4, 8, 16, 32, 64):
-                    p = -(-plan0.length // w) * w
+                    p = pad_to_multiple(plan0.length, w)
                     if p not in tried and p >= plan0.length:
                         tried.add(p)
                         paddings.append(p)
@@ -921,6 +932,13 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         return frames, sizes, gmeans
 
     global_step = int(state.step)
+    # Per-step keys are a pure function of (seed, global_step), not a
+    # sequentially-split host stream: a resumed run (global_step restored
+    # from state.step) then consumes exactly the keys the uninterrupted run
+    # would have at the same steps — the host PRNG needs no checkpointing
+    # or fast-forwarding. fold_in(0x57e9) forks the stream away from the
+    # init rng so step keys never collide with model.init's.
+    step_rng = jax.random.fold_in(rng, 0x57E9)
     best_score = -1.0
     if cfg.load_checkpoint:
         # best-so-far rides the meta sidecar: without it, the first
@@ -953,6 +971,14 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         loader.set_epoch(epoch)
         do_eval = (
             evaluator_factory is not None and epoch % cfg.eval_every == 0
+            # Resuming a mid-epoch checkpoint must NOT re-run this epoch's
+            # top-of-epoch eval: the params already include the trained
+            # prefix of the epoch, so the score is one the uninterrupted
+            # run never produces — it would write a duplicate
+            # Scores/localization point at this epoch and could export a
+            # spurious new "best". The uninterrupted run's eval for this
+            # epoch already happened before the preemption.
+            and not (epoch == start_epoch and resume_skip > 0)
         )
         eval_params = None
         if do_eval:
@@ -1015,7 +1041,7 @@ def run_training(cfg: TrainingConfig) -> dict[str, Any]:
         ):
             if cfg.max_steps_per_epoch and bi + skip >= cfg.max_steps_per_epoch:
                 break
-            rng, key = jax.random.split(rng)
+            key = jax.random.fold_in(step_rng, global_step)
             state, metrics = step_fn(
                 state, frames_dev, sizes_dev, gmeans_dev, key
             )

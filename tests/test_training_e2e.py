@@ -118,6 +118,71 @@ def test_training_resume(davis_tree, tmp_path):
     assert r2["global_step"] > 0
 
 
+def test_resume_matches_uninterrupted_run(davis_tree, tmp_path, monkeypatch):
+    """A preempted-then-resumed run must reproduce the uninterrupted
+    run's remaining step-for-step loss trajectory EXACTLY: step keys are
+    a pure function of (seed, global_step) rather than a sequentially-
+    split host stream, batches are (seed, epoch)-keyed with the consumed
+    prefix fast-forwarded, and queue/EMA/optimizer state rides the
+    checkpoint bit-exactly — so no host PRNG needs checkpointing
+    (core/train.py step_rng contract; the reference torch path has no
+    such guarantee). The interruption is deterministic: SIGTERM is
+    raised from the periodic save at global step 3 (mid-epoch-1), so the
+    resume exercises the mid-epoch skip path, not just the epoch top."""
+    import signal
+
+    from timetuning_tpu.core import train as train_mod
+
+    def losses(run_dir):
+        rows = [json.loads(l)
+                for l in open(os.path.join(run_dir, "metrics.jsonl"))]
+        return {r["step"]: r["value"] for r in rows
+                if r["tag"] == "Loss/train"}
+
+    ra = run_training(_cfg(davis_tree, tmp_path,
+                           log_dir=str(tmp_path / "uninterrupted"),
+                           num_epochs=2))
+
+    orig_save = train_mod.save_checkpoint
+
+    def spy(state, run_dir, epoch, meta=None):
+        p = orig_save(state, run_dir, epoch, meta=meta)
+        if int(state.step) == 3:
+            # main thread: the trainer's SIGTERM handler sets the preempt
+            # flag, and the in-loop check right after this periodic save
+            # stops the run at exactly this step — no timing involved
+            signal.raise_signal(signal.SIGTERM)
+        return p
+
+    monkeypatch.setattr(train_mod, "save_checkpoint", spy)
+    rb1 = run_training(_cfg(davis_tree, tmp_path,
+                            log_dir=str(tmp_path / "resumed"),
+                            num_epochs=2, checkpoint_every_steps=3))
+    monkeypatch.setattr(train_mod, "save_checkpoint", orig_save)
+    assert rb1["preempted"] is True and rb1["global_step"] == 3
+
+    rb2 = run_training(_cfg(davis_tree, tmp_path,
+                            log_dir=str(tmp_path / "resumed"),
+                            num_epochs=2, load_checkpoint=True))
+    assert rb2["run_dir"] == rb1["run_dir"]
+    assert rb2["preempted"] is False and rb2["global_step"] == 4
+    la, lb = losses(ra["run_dir"]), losses(rb2["run_dir"])
+    assert {1, 2, 3, 4} <= set(la) and 4 in lb
+    assert la[4] == lb[4], (
+        f"step 4: uninterrupted loss {la[4]} != resumed loss {lb[4]}"
+    )
+
+
+def test_rejects_zero_row_per_device_queue(davis_tree, tmp_path):
+    """queue_size below the device world would silently allocate 0-row
+    per-device FIFOs that report themselves ready from step 1 — the run
+    would log 'with queue' while the queue contributes nothing. The
+    driver must refuse up front (core/train.py queue validation)."""
+    cfg = _cfg(davis_tree, tmp_path, queue_size=1, num_devices=2)
+    with pytest.raises(ValueError, match="queue_size"):
+        run_training(cfg)
+
+
 def test_preemption_saves_and_resumes(davis_tree, tmp_path):
     """SIGTERM mid-training → checkpoint written + clean 'preempted' exit;
     --load_checkpoint resumes from the saved state (SURVEY.md §5.3 — the

@@ -173,6 +173,46 @@ def test_resume_matches_uninterrupted_run(davis_tree, tmp_path, monkeypatch):
     )
 
 
+def test_mid_epoch_resume_skips_duplicate_eval(davis_tree, voc_tree,
+                                               tmp_path, monkeypatch):
+    """Resuming a mid-epoch checkpoint must NOT re-run that epoch's
+    top-of-epoch eval: the restored params already include the epoch's
+    trained prefix, so a re-eval would log a duplicate
+    Scores/localization point the uninterrupted run never produces and
+    could export a spurious 'best' (core/train.py do_eval guard)."""
+    import signal
+
+    from timetuning_tpu.core import train as train_mod
+
+    orig_save = train_mod.save_checkpoint
+
+    def spy(state, run_dir, epoch, meta=None):
+        p = orig_save(state, run_dir, epoch, meta=meta)
+        if int(state.step) == 3:
+            signal.raise_signal(signal.SIGTERM)
+        return p
+
+    monkeypatch.setattr(train_mod, "save_checkpoint", spy)
+    r1 = run_training(_cfg(davis_tree, tmp_path, pascal_root=voc_tree,
+                           eval_every=1, eval_resolution=16,
+                           eval_num_clusters=2, num_epochs=2,
+                           checkpoint_every_steps=3))
+    monkeypatch.setattr(train_mod, "save_checkpoint", orig_save)
+    assert r1["preempted"] is True and r1["global_step"] == 3
+
+    r2 = run_training(_cfg(davis_tree, tmp_path, pascal_root=voc_tree,
+                           eval_every=1, eval_resolution=16,
+                           eval_num_clusters=2, num_epochs=2,
+                           load_checkpoint=True))
+    assert r2["run_dir"] == r1["run_dir"] and r2["global_step"] == 4
+    # metrics.jsonl appends across the two runs: epoch 1's eval must
+    # appear exactly once (from the pre-preemption run), never re-run
+    rows = [json.loads(l)
+            for l in open(os.path.join(r2["run_dir"], "metrics.jsonl"))]
+    evals = [r["step"] for r in rows if r["tag"] == "Scores/localization"]
+    assert evals == [0, 1], f"duplicate/missing top-of-epoch evals: {evals}"
+
+
 def test_rejects_zero_row_per_device_queue(davis_tree, tmp_path):
     """queue_size below the device world would silently allocate 0-row
     per-device FIFOs that report themselves ready from step 1 — the run

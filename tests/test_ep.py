@@ -31,13 +31,16 @@ def _build(B=4, S=8, D=16, E=4, H=32, cf=2.0, seed=0):
     return module, params, x
 
 
-def _numpy_oracle(params, x, E, cf):
+def _numpy_oracle(params, x, E, cf, n_groups=1):
     """Per-token reference: route to argmax expert, run its MLP, scale by
-    the gate; drop tokens past capacity in token order."""
+    the gate; drop tokens past capacity in token order. Capacity slots are
+    per (group, expert): the B*S tokens split into ``n_groups`` equal
+    groups, each with its own counters (the GShard grouping)."""
     B, S, D = x.shape
     xt = np.asarray(x).reshape(-1, D)
     T = xt.shape[0]
-    C = max(1, int(np.ceil(T * cf / E)))
+    Sg = T // n_groups
+    C = max(1, int(np.ceil(Sg * cf / E)))
     logits = xt @ np.asarray(params["router"]["kernel"])
     p = np.exp(logits - logits.max(-1, keepdims=True))
     p = p / p.sum(-1, keepdims=True)
@@ -47,15 +50,16 @@ def _numpy_oracle(params, x, E, cf):
     w2, b2 = np.asarray(params["w2"]), np.asarray(params["b2"])
     from scipy.stats import norm
 
-    counts = np.zeros(E, int)
     out = np.zeros_like(xt)
-    for t in range(T):
-        e = expert[t]
-        if counts[e] < C:
-            counts[e] += 1
-            h = xt[t] @ w1[e] + b1[e]
-            h = h * norm.cdf(h)                  # exact GELU
-            out[t] = gate[t] * (h @ w2[e] + b2[e])
+    for g in range(n_groups):
+        counts = np.zeros(E, int)
+        for t in range(g * Sg, (g + 1) * Sg):
+            e = expert[t]
+            if counts[e] < C:
+                counts[e] += 1
+                h = xt[t] @ w1[e] + b1[e]
+                h = h * norm.cdf(h)                  # exact GELU
+                out[t] = gate[t] * (h @ w2[e] + b2[e])
     return out.reshape(B, S, D)
 
 
@@ -76,6 +80,49 @@ def test_moe_capacity_overflow_drops_to_zero():
     # at most E tokens can be nonzero
     nonzero = (np.abs(got).sum(-1) > 1e-7).sum()
     assert nonzero <= 4
+
+
+def test_moe_per_sample_groups_match_oracle():
+    """group_size=-1 (the MoE-ViT setting): capacity competition is local
+    to each sample — matches the oracle with n_groups=B."""
+    module, params, x = _build(B=4, S=8, cf=0.6)      # C=2/expert/sample
+    grouped = MoEMlp(n_experts=4, hidden_dim=32, capacity_factor=0.6,
+                     group_size=-1)
+    got = np.asarray(grouped.apply({"params": params}, x))
+    want = _numpy_oracle(params, x, E=4, cf=0.6, n_groups=4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # and it really differs from global routing at this tight capacity
+    glob = _numpy_oracle(params, x, E=4, cf=0.6, n_groups=1)
+    assert np.abs(want - glob).max() > 1e-4
+
+
+def test_moe_fixed_group_size():
+    """group_size=16 over 32 tokens = 2 groups; non-divisor raises."""
+    module, params, x = _build(B=4, S=8, cf=0.6)
+    g16 = MoEMlp(n_experts=4, hidden_dim=32, capacity_factor=0.6,
+                 group_size=16)
+    got = np.asarray(g16.apply({"params": params}, x))
+    want = _numpy_oracle(params, x, E=4, cf=0.6, n_groups=2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    bad = MoEMlp(n_experts=4, hidden_dim=32, group_size=7)
+    with pytest.raises(ValueError, match="does not divide"):
+        bad.apply({"params": params}, x)
+
+
+@pytest.mark.parametrize("dp,ep", [(2, 4), (4, 2)])
+def test_ep_grouped_forward_matches_single_device(dp, ep):
+    """Expert-parallel sharding of the per-sample-grouped layer (the
+    product configuration) == single-device."""
+    module = MoEMlp(n_experts=8, hidden_dim=32, capacity_factor=2.0,
+                    group_size=-1)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(8, 8, 16)), jnp.float32
+    )
+    params = module.init(jax.random.PRNGKey(0), x)["params"]
+    want = np.asarray(module.apply({"params": params}, x))
+    mesh = make_dp_ep_mesh(dp, ep)
+    got = make_ep_moe_fn(module, mesh)(params)(params, x)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("dp,ep", [(1, 8), (2, 4), (4, 2)])

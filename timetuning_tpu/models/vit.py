@@ -211,6 +211,9 @@ class Block(nn.Module):
                 hidden_dim=int(D * self.mlp_ratio),
                 capacity_factor=self.moe_capacity,
                 dtype=self.dtype,
+                # per-sample routing groups: dispatch stays linear in batch
+                # (one global group is quadratic in tokens — see MoEMlp)
+                group_size=-1,
                 name="moe",
             )(y)
         else:

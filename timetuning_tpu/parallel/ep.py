@@ -55,55 +55,83 @@ def make_dp_ep_mesh(dp: int, ep: int, devices=None) -> Mesh:
 class MoEMlp(nn.Module):
     """Switch-style top-1 MoE MLP: [B, S, D] → [B, S, D].
 
-    ``capacity_factor`` sizes each expert's token buffer
-    ``C = ceil(T/E · f)``; overflow tokens produce 0 (pass through a
+    ``capacity_factor`` sizes each expert's per-group token buffer
+    ``C = ceil(S_g/E · f)``; overflow tokens produce 0 (pass through a
     residual unchanged). Expert FFN weights are stacked ``[E, ...]`` so the
     whole layer is two batched matmuls — and so expert parallelism is just
     a ``P('expert')`` sharding on axis 0 (see :func:`ep_param_specs`).
+
+    ``group_size`` controls the GShard-style routing groups. The dispatch/
+    combine one-hots are ``[G, S_g, E, C]`` with ``E·C ≈ S_g·f``, so their
+    memory AND einsum FLOPs scale as ``T · S_g`` — with one global group
+    (``S_g = T``) both are quadratic in total tokens (at ViT-S/16 B=256
+    that is a ~12 GB dispatch tensor and a dispatch matmul ~20× the expert
+    FFN itself), while per-group dispatch overhead is ``S_g/H`` of the FFN
+    (~13% at S_g=208, H=1536). Routing/capacity competition is local to a
+    group (each (group, expert) pair has its own C slots) — the standard
+    Switch/GShard semantics, where groups are per-device token blocks.
+
+      * ``-1`` — one group per sample (axis 0 of the input): the product
+        setting, used by the MoE ViT.
+      * ``0``  — one global group over all B·S tokens (exact legacy/test
+        semantics; only sane for tiny inputs).
+      * ``>0`` — fixed token count per group; must divide B·S.
     """
 
     n_experts: int
     hidden_dim: int
     capacity_factor: float = 1.25
     dtype: Any = jnp.float32
+    group_size: int = 0
 
     @nn.compact
     def __call__(self, x):
         B, S, D = x.shape
         E, H = self.n_experts, self.hidden_dim
         T = B * S
-        C = max(1, int(-(-T * self.capacity_factor // E)))
+        if self.group_size == -1:
+            G, Sg = B, S
+        elif self.group_size == 0:
+            G, Sg = 1, T
+        else:
+            if T % self.group_size:
+                raise ValueError(
+                    f"group_size={self.group_size} does not divide "
+                    f"B*S={T} tokens"
+                )
+            G, Sg = T // self.group_size, self.group_size
+        C = max(1, int(-(-Sg * self.capacity_factor // E)))
 
-        xt = x.reshape(T, D)
+        xg = x.reshape(G, Sg, D)
         logits = nn.Dense(E, use_bias=False, dtype=self.dtype,
-                          name="router")(xt)            # [T, E]
+                          name="router")(xg)            # [G, Sg, E]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        expert = jnp.argmax(probs, axis=-1)             # [T]
-        gate = jnp.take_along_axis(probs, expert[:, None], axis=1)[:, 0]
+        expert = jnp.argmax(probs, axis=-1)             # [G, Sg]
+        gate = jnp.take_along_axis(probs, expert[..., None], axis=-1)[..., 0]
 
-        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)      # [T, E]
-        # slot of each token within its expert (0-based), in token order —
-        # the deterministic Switch tie-break
-        pos = jnp.cumsum(onehot, axis=0) * onehot - 1.0            # [T, E]
+        onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # [G, Sg, E]
+        # slot of each token within its (group, expert) buffer (0-based), in
+        # token order — the deterministic Switch tie-break
+        pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0        # [G, Sg, E]
         kept = (pos < C) & (onehot > 0)
         slot = jnp.clip(pos, 0, C - 1).astype(jnp.int32)
         slot_oh = jax.nn.one_hot(slot, C, dtype=jnp.float32) * kept[..., None]
-        dispatch = slot_oh                                         # [T, E, C]
-        combine = dispatch * gate[:, None, None]                   # [T, E, C]
+        dispatch = slot_oh                                     # [G, Sg, E, C]
+        combine = dispatch * gate[..., None, None]             # [G, Sg, E, C]
 
         w1 = self.param("w1", nn.initializers.lecun_normal(), (E, D, H))
         b1 = self.param("b1", nn.initializers.zeros, (E, H))
         w2 = self.param("w2", nn.initializers.lecun_normal(), (E, H, D))
         b2 = self.param("b2", nn.initializers.zeros, (E, D))
 
-        xin = jnp.einsum("tec,td->ecd", dispatch.astype(self.dtype),
-                         xt.astype(self.dtype))                    # [E, C, D]
-        h = jnp.einsum("ecd,edh->ech", xin, w1.astype(self.dtype))
-        h = jax.nn.gelu(h + b1[:, None, :].astype(h.dtype),
+        xin = jnp.einsum("gsec,gsd->egcd", dispatch.astype(self.dtype),
+                         xg.astype(self.dtype))                # [E, G, C, D]
+        h = jnp.einsum("egcd,edh->egch", xin, w1.astype(self.dtype))
+        h = jax.nn.gelu(h + b1[:, None, None, :].astype(h.dtype),
                         approximate=False)
-        out = jnp.einsum("ech,ehd->ecd", h, w2.astype(self.dtype))
-        out = out + b2[:, None, :].astype(out.dtype)               # [E, C, D]
-        yt = jnp.einsum("tec,ecd->td", combine.astype(out.dtype), out)
+        out = jnp.einsum("egch,ehd->egcd", h, w2.astype(self.dtype))
+        out = out + b2[:, None, None, :].astype(out.dtype)     # [E, G, C, D]
+        yt = jnp.einsum("gsec,egcd->gsd", combine.astype(out.dtype), out)
         return yt.reshape(B, S, D).astype(x.dtype)
 
 

@@ -109,6 +109,148 @@ def test_moe_fixed_group_size():
         bad.apply({"params": params}, x)
 
 
+def test_moe_aux_loss_matches_oracle():
+    """The sown Switch load-balance aux (E·Σ_e f_e·P_e per group, averaged
+    over groups) matches a numpy recomputation; a zero router gives exactly
+    1 (uniform P, argmax-ties-to-0 f) and a collapsed router approaches E."""
+    _, params, x = _build(B=4, S=8, E=4)
+    grouped = MoEMlp(n_experts=4, hidden_dim=32, capacity_factor=2.0,
+                     group_size=-1)
+    _, vars_ = grouped.apply({"params": params}, x, mutable=["intermediates"])
+    aux = float(vars_["intermediates"]["aux_loss"][0])
+    xt = np.asarray(x)                                  # groups = samples
+    logits = xt @ np.asarray(params["router"]["kernel"])
+    p = np.exp(logits - logits.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)                    # [4, 8, 4]
+    oh = np.eye(4)[p.argmax(-1)]
+    want = float((4 * (oh.mean(1) * p.mean(1)).sum(-1)).mean())
+    np.testing.assert_allclose(aux, want, rtol=1e-5)
+
+    k = params["router"]["kernel"]
+    p_uniform = dict(params) | {"router": {"kernel": jnp.zeros_like(k)}}
+    _, v0 = grouped.apply({"params": p_uniform}, x, mutable=["intermediates"])
+    np.testing.assert_allclose(
+        float(v0["intermediates"]["aux_loss"][0]), 1.0, rtol=1e-6
+    )
+    collapse = jnp.zeros_like(k).at[:, 0].set(50.0)
+    p_coll = dict(params) | {"router": {"kernel": collapse}}
+    x_pos = jnp.abs(x) + 0.1          # logit_0 = 50·Σx_d > 0 for every token
+    _, v1 = grouped.apply({"params": p_coll}, x_pos,
+                          mutable=["intermediates"])
+    assert float(v1["intermediates"]["aux_loss"][0]) > 3.9   # ≈ E = 4
+
+
+def _moe_timet(img=32, E=4, **cfg_kw):
+    from timetuning_tpu.core.optimizer import swav_optimizer
+    from timetuning_tpu.core.timet import (
+        TimeT, TimeTConfig, init_state, make_train_step,
+    )
+    from timetuning_tpu.models.extractor import FeatureExtractor
+
+    model_v, _, _ = _moe_vit(E=E)
+    fe = FeatureExtractor(backbone=model_v, head_dims=(48, 24))
+    model = TimeT(feature_extractor=fe, n_prototypes=8)
+    cfg = TimeTConfig(
+        n_prototypes=8, use_teacher=True, num_epochs=1, steps_per_epoch=2,
+        spatial_resolution=img // 8, n_last_frames=2,
+        size_mask_neighborhood=1, axis_name=None, world_size=1, **cfg_kw,
+    )
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((1, img, img, 3))
+    params = model.init(rng, sample)["params"]
+    # unfreeze the MoE block so the router/experts actually receive updates
+    tx, _ = swav_optimizer(params, lr=1e-3, num_epochs=1, steps_per_epoch=2,
+                           unfreeze_layers=("blocks.1",))
+    state0 = init_state(model, cfg, tx, rng, sample)
+    clip = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 3, img, img, 3)),
+        jnp.float32,
+    )
+    return model, cfg, tx, state0, clip, make_train_step(model, cfg, tx)
+
+
+def test_moe_aux_weight_in_train_step():
+    """moe_aux_weight adds exactly weight·aux to the reported loss at the
+    same state, surfaces the unweighted balance statistic as metrics
+    ['moe_aux'] ∈ [1, E], and its gradient actually moves the router
+    differently than the gate-only gradient."""
+    import dataclasses
+
+    model, cfg0, tx, state0, clip, step0 = _moe_timet()
+    from timetuning_tpu.core.timet import make_train_step
+
+    cfg1 = dataclasses.replace(cfg0, moe_aux_weight=0.01)
+    step1 = make_train_step(model, cfg1, tx)
+    rng = jax.random.PRNGKey(7)
+    st0, m0 = jax.jit(step0)(jax.tree.map(jnp.copy, state0), clip, rng)
+    st1, m1 = jax.jit(step1)(jax.tree.map(jnp.copy, state0), clip, rng)
+    assert "moe_aux" not in m0
+    aux = float(m1["moe_aux"])
+    assert 1.0 - 1e-5 <= aux <= 4.0 + 1e-5
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m0["loss"]) + 0.01 * aux, rtol=1e-5
+    )
+    r0 = st0.params["feature_extractor"]["backbone"]["blocks_1"]["moe"][
+        "router"]["kernel"]
+    r1 = st1.params["feature_extractor"]["backbone"]["blocks_1"]["moe"][
+        "router"]["kernel"]
+    assert float(jnp.abs(r1 - r0).max()) > 0
+
+
+def test_moe_aux_with_frozen_trunk_tail():
+    """With frozen_trunk_blocks=1 the MoE block (block 1) sits on the grad
+    path: the split step still reports moe_aux and matches the full step's
+    loss (the trunk share is a pure FLOP optimization)."""
+    import dataclasses
+
+    model, cfg0, tx, state0, clip, _ = _moe_timet(moe_aux_weight=0.01)
+    from timetuning_tpu.core.timet import make_train_step
+
+    step_full = make_train_step(model, cfg0, tx)
+    cfg_split = dataclasses.replace(cfg0, frozen_trunk_blocks=1)
+    step_split = make_train_step(model, cfg_split, tx)
+    rng = jax.random.PRNGKey(7)
+    _, m_full = jax.jit(step_full)(jax.tree.map(jnp.copy, state0), clip, rng)
+    _, m_split = jax.jit(step_split)(jax.tree.map(jnp.copy, state0), clip, rng)
+    np.testing.assert_allclose(float(m_split["loss"]), float(m_full["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m_split["moe_aux"]),
+                               float(m_full["moe_aux"]), rtol=1e-5)
+
+
+def test_moe_aux_guards():
+    """aux weight on a dense backbone, or with every MoE block frozen out of
+    the grad path, is a build-time error — the router would get no
+    balancing gradient."""
+    import dataclasses
+
+    from timetuning_tpu.core.optimizer import swav_optimizer
+    from timetuning_tpu.core.timet import (
+        TimeT, TimeTConfig, make_train_step,
+    )
+    from timetuning_tpu.models.extractor import FeatureExtractor
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+
+    dense_v = VisionTransformer(ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, img_size=32,
+        attn_impl="xla",
+    ))
+    fe = FeatureExtractor(backbone=dense_v, head_dims=(48, 24))
+    model = TimeT(feature_extractor=fe, n_prototypes=8)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))[
+        "params"]
+    tx, _ = swav_optimizer(params, lr=1e-3, num_epochs=1, steps_per_epoch=2)
+    cfg = TimeTConfig(n_prototypes=8, spatial_resolution=4,
+                      moe_aux_weight=0.01)
+    with pytest.raises(ValueError, match="no MoE block"):
+        make_train_step(model, cfg, tx)
+
+    model_m, cfg_m, tx_m, _, _, _ = _moe_timet(moe_aux_weight=0.01)
+    cfg_frozen = dataclasses.replace(cfg_m, frozen_trunk_blocks=2)
+    with pytest.raises(ValueError, match="no MoE block"):
+        make_train_step(model_m, cfg_frozen, tx_m)
+
+
 @pytest.mark.parametrize("dp,ep", [(2, 4), (4, 2)])
 def test_ep_grouped_forward_matches_single_device(dp, ep):
     """Expert-parallel sharding of the per-sample-grouped layer (the
@@ -273,7 +415,7 @@ def test_moe_timet_train_step_matches_single_device():
         n_prototypes=8, use_teacher=True, use_queue=True, queue_size=32,
         num_epochs=1, steps_per_epoch=2, spatial_resolution=img // 8,
         n_last_frames=2, size_mask_neighborhood=1,
-        axis_name=None, world_size=1,
+        axis_name=None, world_size=1, moe_aux_weight=0.01,
     )
     rng = jax.random.PRNGKey(0)
     sample = jnp.zeros((1, img, img, 3))
@@ -298,6 +440,9 @@ def test_moe_timet_train_step_matches_single_device():
     st_ep, m_ep = step_ep(state_ep, clip, jax.random.PRNGKey(7))
     np.testing.assert_allclose(float(m_ep["loss"]), float(m_ref["loss"]),
                                rtol=2e-4)
+    # the Switch balance statistic survives the GSPMD partitioning too
+    np.testing.assert_allclose(float(m_ep["moe_aux"]),
+                               float(m_ref["moe_aux"]), rtol=2e-4)
     np.testing.assert_allclose(
         np.asarray(st_ep.params["feature_extractor"]["backbone"]["blocks_1"][
             "moe"]["w1"]),

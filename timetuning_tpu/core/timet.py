@@ -143,6 +143,17 @@ class TimeTConfig:
     # Applies only when the model's attn_impl is "auto" — an explicitly
     # forced impl ("fused"/"pallas"/"xla") is honored on the grad path too.
     grad_attn_impl: str | None = "xla"
+    # Switch load-balance auxiliary loss weight for MoE backbones
+    # (ViTConfig.moe_every_k, beyond reference): adds
+    # weight · mean-over-MoE-blocks of E·Σ_e f_e·P_e (Switch Transformer
+    # eqs. 4-6; α=1e-2 there) to the training loss, differentiating through
+    # the router's softmax so experts stay load-balanced instead of
+    # collapsing onto one expert (whose capacity buffer then drops most
+    # tokens). Collected from the MoE blocks on the GRAD path — with
+    # frozen_trunk_blocks set, that is the trainable tail, which is also the
+    # only place a router gradient can act. 0 disables (the default; dense
+    # backbones must leave it 0).
+    moe_aux_weight: float = 0.0
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -318,6 +329,37 @@ def make_train_step(
     )
     res = cfg.spatial_resolution
 
+    aux_w = cfg.moe_aux_weight
+    if aux_w:
+        vcfg = getattr(model.feature_extractor.backbone, "config", None)
+        from timetuning_tpu.models.vit import is_moe_block
+
+        moe_blocks = (
+            [i for i in range(vcfg.depth) if is_moe_block(vcfg, i)]
+            if vcfg is not None and getattr(vcfg, "moe_every_k", 0)
+            else []
+        )
+        lo = cfg.frozen_trunk_blocks or 0
+        if not any(i >= lo for i in moe_blocks):
+            raise ValueError(
+                f"moe_aux_weight={aux_w} but no MoE block on the grad path "
+                f"(MoE blocks {moe_blocks}, grad path starts at block {lo}) "
+                "— the router would get no balancing gradient"
+            )
+
+    def _aux_mean(variables):
+        """Mean of the aux_loss scalars MoEMlp sows into 'intermediates'."""
+        leaves = [
+            v
+            for path, v in jax.tree_util.tree_leaves_with_path(
+                variables.get("intermediates", {})
+            )
+            if "aux_loss" in jax.tree_util.keystr(path)
+        ]
+        if not leaves:
+            return jnp.zeros((), jnp.float32)
+        return sum(leaves) / len(leaves)
+
     def apply(params, x, use_head, want_attention=False):
         return model.apply({"params": params}, x, use_head=use_head,
                            want_attention=want_attention)
@@ -352,6 +394,12 @@ def make_train_step(
         grad_model = model.clone(feature_extractor=grad_fe)
 
     def grad_apply(params, x, use_head, want_attention=False):
+        if aux_w:
+            (feats, attn), avars = grad_model.apply(
+                {"params": params}, x, use_head=use_head,
+                want_attention=want_attention, mutable=["intermediates"],
+            )
+            return feats, attn, _aux_mean(avars)
         return grad_model.apply({"params": params}, x, use_head=use_head,
                                 want_attention=want_attention)
     split = cfg.frozen_trunk_blocks
@@ -383,13 +431,20 @@ def make_train_step(
                     "lies inside the trunk"
                 )
 
-    def _make_tail_apply(fe_mod):
+    def _make_tail_apply(fe_mod, collect_aux=False):
         def tail_apply(params, hidden, use_head, want_attention=False):
             """Blocks [split, depth) + norm (+ head) from shared trunk tokens."""
-            out = fe_mod.backbone.apply(
-                {"params": params["feature_extractor"]["backbone"]}, hidden,
-                start_block=split, want_attention=want_attention,
-            )
+            if collect_aux:
+                out, avars = fe_mod.backbone.apply(
+                    {"params": params["feature_extractor"]["backbone"]},
+                    hidden, start_block=split, want_attention=want_attention,
+                    mutable=["intermediates"],
+                )
+            else:
+                out = fe_mod.backbone.apply(
+                    {"params": params["feature_extractor"]["backbone"]},
+                    hidden, start_block=split, want_attention=want_attention,
+                )
             feats = out["tokens"][:, 1:] if fe_mod.drop_cls else out["tokens"]
             if fe_mod.head_dims and use_head:
                 from timetuning_tpu.models.heads import ProjectionHead
@@ -397,12 +452,14 @@ def make_train_step(
                 feats = ProjectionHead(tuple(fe_mod.head_dims)).apply(
                     {"params": params["feature_extractor"]["head"]}, feats
                 )
+            if collect_aux:
+                return feats, out.get("attention"), _aux_mean(avars)
             return feats, out.get("attention")
 
         return tail_apply
 
     tail_apply = _make_tail_apply(fe)
-    grad_tail_apply = _make_tail_apply(grad_fe)
+    grad_tail_apply = _make_tail_apply(grad_fe, collect_aux=bool(aux_w))
 
     def assign(params, feats, queue, queue_ready):
         """First-frame Sinkhorn codes, optionally over batch+queue
@@ -514,15 +571,19 @@ def make_train_step(
         # --- grad path ------------------------------------------------------
         def loss_fn(params):
             if split is not None:
-                s_feats, s_attn = grad_tail_apply(
+                s_out = grad_tail_apply(
                     params, trunk_bf[:, -1], use_head=True,
                     want_attention=cfg.mask_features,
                 )                                              # [B, N, Dh]
             else:
-                s_feats, s_attn = grad_apply(
+                s_out = grad_apply(
                     params, last, use_head=True,
                     want_attention=cfg.mask_features,
                 )                                              # [B, N, Dh]
+            if aux_w:
+                s_feats, s_attn, aux = s_out
+            else:
+                (s_feats, s_attn), aux = s_out, jnp.zeros((), jnp.float32)
             if cfg.mask_features:
                 masked, mask = apply_attention_mask(s_feats[:, None], s_attn, res)
                 s_feats = masked[:, 0]
@@ -533,13 +594,15 @@ def make_train_step(
             )                                                  # [B, N]
             if cfg.mask_features:
                 ce = ce * mask[:, 0]
-            return ce.mean()
+            return ce.mean() + aux_w * aux, aux
 
         if trainable_mask is None:
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
             if cfg.axis_name is not None:
                 grads = jax.lax.pmean(grads, cfg.axis_name)
-                loss = jax.lax.pmean(loss, cfg.axis_name)
+                loss, aux = jax.lax.pmean((loss, aux), cfg.axis_name)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
         else:
@@ -553,7 +616,9 @@ def make_train_step(
             def loss_trainable(tp):
                 return loss_fn(tu.unflatten_dict({**frozen_p, **tp}))
 
-            loss, g_t = jax.value_and_grad(loss_trainable)(train_p)
+            (loss, aux), g_t = jax.value_and_grad(loss_trainable, has_aux=True)(
+                train_p
+            )
             if zero1_plan is not None:
                 # ZeRO-1 (beyond-reference): gradients arrive by
                 # reduce-scatter, each device runs AdamW on its 1/world
@@ -567,7 +632,7 @@ def make_train_step(
 
                 from timetuning_tpu.core.optimizer import merge_subtree
 
-                loss = jax.lax.pmean(loss, cfg.axis_name)
+                loss, aux = jax.lax.pmean((loss, aux), cfg.axis_name)
                 sub = tu.unflatten_dict(train_p)
                 p_flat, unravel = ravel_pytree(sub)
                 g_flat, _ = ravel_pytree(tu.unflatten_dict(g_t))
@@ -601,7 +666,7 @@ def make_train_step(
                 g_sub = tu.unflatten_dict(g_t)
                 if cfg.axis_name is not None:
                     g_sub = jax.lax.pmean(g_sub, cfg.axis_name)
-                    loss = jax.lax.pmean(loss, cfg.axis_name)
+                    loss, aux = jax.lax.pmean((loss, aux), cfg.axis_name)
                 from timetuning_tpu.core.optimizer import merge_subtree
 
                 sub = tu.unflatten_dict(train_p)
@@ -617,7 +682,7 @@ def make_train_step(
                 )
                 if cfg.axis_name is not None:
                     grads = jax.lax.pmean(grads, cfg.axis_name)
-                    loss = jax.lax.pmean(loss, cfg.axis_name)
+                    loss, aux = jax.lax.pmean((loss, aux), cfg.axis_name)
                 updates, opt_state = tx.update(grads, state.opt_state, state.params)
                 params = optax.apply_updates(state.params, updates)
         # Prototype renorm after the step (time_tuning.py:125-128, 661).
@@ -666,6 +731,10 @@ def make_train_step(
             if cfg.use_teacher
             else jnp.zeros(()),
         }
+        if aux_w:
+            # the UNWEIGHTED balance statistic (1 = perfectly balanced,
+            # n_experts = collapsed); "loss" already includes aux_w · this
+            metrics["moe_aux"] = aux
         return new_state, metrics
 
     return step_fn

@@ -110,6 +110,18 @@ class MoEMlp(nn.Module):
         gate = jnp.take_along_axis(probs, expert[..., None], axis=-1)[..., 0]
 
         onehot = jax.nn.one_hot(expert, E, dtype=jnp.float32)  # [G, Sg, E]
+        # Switch load-balance auxiliary (Switch Transformer eqs. 4-6):
+        # f_e = fraction of the group's tokens argmax-routed to e
+        # (pre-capacity), P_e = mean router prob of e over the group;
+        # aux = E · Σ_e f_e·P_e per group, averaged over groups. Perfectly
+        # balanced routing gives aux == 1; a collapsed router gives E.
+        # Sown into the "intermediates" collection — a no-op (and DCE'd)
+        # unless the caller applies with mutable=["intermediates"], as the
+        # train step does when TimeTConfig.moe_aux_weight > 0.
+        aux = (
+            E * jnp.sum(onehot.mean(axis=1) * probs.mean(axis=1), axis=-1)
+        ).mean()
+        self.sow("intermediates", "aux_loss", aux)
         # slot of each token within its (group, expert) buffer (0-based), in
         # token order — the deterministic Switch tie-break
         pos = jnp.cumsum(onehot, axis=1) * onehot - 1.0        # [G, Sg, E]

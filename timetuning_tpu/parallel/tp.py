@@ -159,19 +159,22 @@ def timet_state_shardings(state, mesh: Mesh):
 def gspmd_step_jit(step, mesh: Mesh, state_like, n_batch_args: int = 1,
                    shardings=None):
     """Shared GSPMD jit harness for a TimeT step function
-    ``step(state, *batch_args, key) -> (state, {'loss', 'momentum'})``:
+    ``step(state, *batch_args, key) -> (state, metrics)``:
     state under the Megatron shardings (or an explicit ``shardings`` tree —
     expert parallelism passes its own), the ``n_batch_args`` batch arguments
-    ``P('data')``-sharded, key and metrics replicated, state donated.
-    Returns ``(jitted_step, shardings)``."""
+    ``P('data')``-sharded, key and metrics (all scalar) replicated, state
+    donated. Returns ``(jitted_step, shardings)``."""
     if shardings is None:
         shardings = timet_state_shardings(state_like, mesh)
     repl = NamedSharding(mesh, P())
     batch = NamedSharding(mesh, P(DATA_AXIS))
+    # metrics: a single replicated sharding as a PYTREE PREFIX for the whole
+    # dict — its keys depend on the step config (e.g. 'moe_aux' appears when
+    # TimeTConfig.moe_aux_weight > 0) and every entry is a scalar
     return jax.jit(
         step,
         in_shardings=(shardings,) + (batch,) * n_batch_args + (repl,),
-        out_shardings=(shardings, {"loss": repl, "momentum": repl}),
+        out_shardings=(shardings, repl),
         donate_argnums=0,
     ), shardings
 

@@ -199,7 +199,10 @@ def _decode_frame(path: str, size: int, nearest: bool,
                 flags = f
                 break
     img = cv2.imread(path, flags)
-    assert img is not None, f"failed to decode {path}"
+    if img is None:
+        # truncated/corrupt/zero-byte file: fail loudly with the path —
+        # a silent zero frame would poison the SSL batch undetectably
+        raise ValueError(f"failed to decode image file {path}")
     if flags != cv2.IMREAD_UNCHANGED and min(img.shape[:2]) < size:
         # Mixed-resolution video: ``reduce_for`` is the first frame's size,
         # and the 1/k factor picked from it overshot this smaller frame —

@@ -64,6 +64,94 @@ def make_clip_generator(B: int, F: int, size: int):
     return gen
 
 
+def _gather_sweep(args) -> None:
+    """Raw ``clippack_gather`` throughput vs thread count (VERDICT r4 #6).
+
+    Builds (or reuses) a synthetic pack sized well past LLC, then times the
+    native threaded gather of clip-shaped id batches at several thread
+    counts, page-cache warm. Reports GB/s, the equivalent gathered clips/s
+    at the training clip size (4 frames, 256² RGB decode buffers), and the
+    host cores needed to gather-feed the measured device step rate (1,800
+    clips/s at bs=128 on v5e — docs/mfu_roofline.json). No jax import: the
+    sweep must be schedulable on loader cores only."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from timetuning_tpu.native import ClipPack, _HEADER_BYTES, _MAGIC
+
+    F, H, W, C = 4, 256, 256, 3
+    frame_bytes = H * W * C
+    n_frames = max(2048, int(2e9) // frame_bytes // 4)  # ~500 MB pack
+    pack = os.path.join(tempfile.gettempdir(), "gather_sweep.clippack")
+    need = _HEADER_BYTES + n_frames * frame_bytes
+    if not (os.path.exists(pack) and os.path.getsize(pack) == need):
+        header = np.array([_MAGIC, n_frames, H, W, C], np.int64)
+        with open(pack, "wb") as f:
+            f.write(header.tobytes())
+            f.write(b"\0" * (_HEADER_BYTES - header.nbytes))
+            chunk = np.random.default_rng(0).integers(
+                0, 255, size=(256, frame_bytes), dtype=np.uint8)
+            written = 0
+            while written < n_frames:
+                k = min(256, n_frames - written)
+                f.write(chunk[:k].tobytes())
+                written += k
+    reader = ClipPack(pack)
+    if not reader.using_native:
+        print(json.dumps({"metric": "clippack_gather_sweep",
+                          "error": "native library unavailable"}))
+        return
+    rng = np.random.default_rng(1)
+    batch_clips = 128
+    ids = [
+        np.concatenate([
+            np.arange(F) + s for s in rng.integers(
+                0, n_frames - F, size=batch_clips)
+        ]).astype(np.int64)
+        for _ in range(4)
+    ]
+    for batch in ids:        # page-cache warm pass over every id batch —
+        reader.gather(batch)  # the first thread count must not pay faults
+    table = []
+    for nt in (1, 2, 4, 8):
+        reader.n_threads = nt
+        reader.gather(ids[0])
+        t0 = time.perf_counter()
+        iters = 6
+        for i in range(iters):
+            reader.gather(ids[i % len(ids)])
+        dt = time.perf_counter() - t0
+        gb_s = iters * batch_clips * F * frame_bytes / dt / 1e9
+        table.append({
+            "threads": nt,
+            "gb_per_sec": round(gb_s, 2),
+            "clips_per_sec": round(gb_s * 1e9 / (F * frame_bytes), 1),
+        })
+    reader.close()
+    device_cps = 1800.0  # measured v5e step rate at bs=128 (mfu_roofline)
+    best = max(t["gb_per_sec"] for t in table)
+    per_thread = table[0]["gb_per_sec"]
+    need_gb_s = device_cps * F * frame_bytes / 1e9
+    print(json.dumps({
+        "metric": "clippack_gather_sweep",
+        "host_cores": os.cpu_count(),
+        "frame_bytes": frame_bytes,
+        "clip_bytes": F * frame_bytes,
+        "sweep": table,
+        "device_step_clips_per_sec": device_cps,
+        "gather_gb_s_needed_for_device_rate": round(need_gb_s, 2),
+        "cores_needed_for_device_rate":
+            max(1, int(np.ceil(need_gb_s / per_thread))),
+        "note": "1-thread rate is the per-core memcpy bound; on this "
+                f"{os.cpu_count()}-core VM extra threads time-slice one "
+                "core, so the sweep's flatness is expected — the per-core "
+                "bound times N cores is the host budget on a real TPU host",
+        "best_gb_s": best,
+    }))
+
+
 def main() -> None:
     p = argparse.ArgumentParser("bench_train")
     p.add_argument("--steps", type=int, default=None,
@@ -98,7 +186,15 @@ def main() -> None:
     p.add_argument("--use_queue", action="store_true",
                    help="the use_teacher+use_queue YTVOS variant "
                         "(reference time_tuning.py:617-618, queue 16384)")
+    p.add_argument("--gather_sweep", action="store_true",
+                   help="measure raw clippack_gather GB/s vs thread count "
+                        "(no jax) — the memcpy bound of the packed data "
+                        "runtime, and the host cores needed to sustain the "
+                        "device step rate (VERDICT r4 #6)")
     args = p.parse_args()
+
+    if args.gather_sweep:
+        return _gather_sweep(args)
 
     import jax
     import jax.numpy as jnp

@@ -107,6 +107,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cbfe_batch_size", type=int, default=32)
     p.add_argument("--expected_cbfe_miou", type=float, default=None)
     p.add_argument("--expected_cbfe_jaccard", type=float, default=None)
+    # stage 7: training-trajectory replication (reference
+    # time_tuning.py:637-645 / Images/Performance.jpg — Scores/localization
+    # 0.06→0.125 over 24 YTVOS epochs, Pascal dataset-wise eval every 4)
+    p.add_argument("--train_trajectory", type=str2bool, default=False,
+                   help="train from --timet_pth (pass the DINO init here, "
+                        "not the finished TimeT) on --ytvos_root with the "
+                        "reference config and gate the final in-training "
+                        "Pascal Scores/localization")
+    p.add_argument("--ytvos_root", type=str, default=None)
+    p.add_argument("--trajectory_epochs", type=int, default=24,
+                   help="the Performance.jpg horizon")
+    p.add_argument("--trajectory_batch_size", type=int, default=128)
+    p.add_argument("--expected_localization", type=float, default=0.125,
+                   help="Performance.jpg end point (pre-filled)")
+    p.add_argument("--trajectory_tolerance", type=float, default=0.01,
+                   help="gate half-width for the trajectory end point — "
+                        "wider than --tolerance: a fresh SSL run has seed "
+                        "variance the deterministic eval stages don't")
     p.add_argument("--report_json", type=str, default=None,
                    help="write the per-stage report as JSON: a list of "
                         "{metric, value, expected, tolerance, pass} rows "
@@ -471,6 +489,45 @@ def main(argv=None) -> int:
         report.add("CBFE val boundary-F", cb["val_bf"], None, args.tolerance)
         report.add("CBFE masked mIoU (many-to-one)", cb["masked_miou"],
                    args.expected_cbfe_miou, args.tolerance)
+
+    if args.train_trajectory and args.ytvos_root and args.pascal_root:
+        print("\n== stage 7: training-trajectory replication "
+              f"({args.trajectory_epochs} epochs on {args.ytvos_root}) ==")
+        import json as _json
+        import os as _os
+
+        from timetuning_tpu.core.train import TrainingConfig, run_training
+
+        # the reference trainer's config (time_tuning.py:617-645 defaults):
+        # dino-s16 init, YTVOS uniform 4-frame clips, bs 128, teacher EMA,
+        # Pascal dataset-wise eval (k=21, res input/2) every 4 epochs
+        result = run_training(TrainingConfig(
+            architecture=args.architecture,
+            model_path=args.timet_pth,
+            dataset="ytvos",
+            data_root=args.ytvos_root,
+            pascal_root=args.pascal_root,
+            log_dir=_os.path.join(
+                _os.path.dirname(args.report_json) if args.report_json
+                else ".", "trajectory_logs"),
+            batch_size=args.trajectory_batch_size,
+            num_epochs=args.trajectory_epochs,
+            eval_every=4,
+            eval_num_clusters=args.pascal_clusters,
+            input_resolution=args.input_resolution,
+            num_workers=args.num_workers,
+        ))
+        traj = []
+        mpath = _os.path.join(result["run_dir"], "metrics.jsonl")
+        with open(mpath) as f:
+            for line in f:
+                row = _json.loads(line)
+                if row.get("tag") == "Scores/localization":
+                    traj.append((row["step"], round(row["value"], 4)))
+        print(f"  Scores/localization trajectory: {traj}")
+        final = traj[-1][1] if traj else float("nan")
+        report.add("trajectory final Scores/localization", final,
+                   args.expected_localization, args.trajectory_tolerance)
 
     return report.summary(report_json=args.report_json)
 

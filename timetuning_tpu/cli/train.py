@@ -75,6 +75,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--load_checkpoint", type=str2bool, default=False)
     p.add_argument("--regular_step", type=int, default=3)
     p.add_argument("--eval_every", type=int, default=4)
+    p.add_argument("--eval_num_clusters", type=int, default=21,
+                   help="k for the in-training Pascal eval (the reference "
+                        "hardcodes 21, time_tuning.py:603)")
+    p.add_argument("--unfreeze_layers", type=str,
+                   default="blocks.11,blocks.10",
+                   help="comma-separated backbone subtrees to train (the "
+                        "reference hardcodes the last two blocks, "
+                        "time_tuning.py:195; smaller archs need e.g. "
+                        "'blocks.1')")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--compute_dtype", type=str, default="bfloat16")
     p.add_argument("--debug_nans", type=str2bool, default=False)
@@ -156,6 +165,10 @@ def main(argv=None) -> int:
         load_checkpoint=args.load_checkpoint,
         regular_step=args.regular_step,
         eval_every=args.eval_every,
+        eval_num_clusters=args.eval_num_clusters,
+        unfreeze_layers=tuple(
+            s.strip() for s in args.unfreeze_layers.split(",") if s.strip()
+        ),
         seed=args.seed,
         compute_dtype=args.compute_dtype,
         pack_path=args.pack_path,

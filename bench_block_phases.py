@@ -40,19 +40,32 @@ def _mk(shape, key):
     )(jax.random.PRNGKey(key))
 
 
+_TAIL_ONLY = False   # --tail: measure only the overhead/in-net rows
+_TAIL_ROWS = ("dispatch_overhead_128x128x128",)
+
+
 def _row(name, fn, bufs, flops, iters=60):
     from bench_util import time_chained_fps
 
-    cps = time_chained_fps(fn, bufs, iters=iters, units_per_call=1.0)
+    if _TAIL_ONLY and name not in _TAIL_ROWS:
+        return {"phase": name, "skipped": True}
+    # best of 3 chains: the tunneled dev chip shows run-to-run interference
+    # (other tenants / tunnel latency); the min is the kernel's capability
+    cps = max(
+        time_chained_fps(fn, bufs, iters=iters, units_per_call=1.0)
+        for _ in range(3)
+    )
     ms = 1e3 / cps
     tfs = cps * flops / 1e12
-    return {
+    row = {
         "phase": name,
         "ms": round(ms, 4),
         "gflops": round(flops / 1e9, 2),
         "tf_s": round(tfs, 1),
         "pct_peak": round(100 * tfs / V5E_BF16_PEAK_TFS, 1),
     }
+    print(json.dumps(row), flush=True)
+    return row
 
 
 # ------------------------------------------------------------------ #
@@ -163,11 +176,15 @@ def _attn_core_paired_kernel(qkv_ref, o_ref, *, num_heads, seq_len, block_b):
                 preferred_element_type=jnp.float32,
             ) * scale                                               # [Sp, 2Sp]
             s = jnp.where(key_valid, s, neg)
-            sr = s.reshape(Sp, 2, Sp)
-            m = jnp.max(sr, axis=-1, keepdims=True)
-            e = jnp.exp(sr - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).reshape(
-                Sp, 2 * Sp).astype(qkv.dtype)
+            # per-half softmax via lane slices (Mosaic can't shape-cast
+            # [Sp,2Sp]->[Sp,2,Sp])
+            halves = []
+            for h0 in range(2):
+                sh = s[:, h0 * Sp:(h0 + 1) * Sp]
+                m = jnp.max(sh, axis=-1, keepdims=True)
+                e = jnp.exp(sh - m)
+                halves.append(e / jnp.sum(e, axis=-1, keepdims=True))
+            p = jnp.concatenate(halves, axis=1).astype(qkv.dtype)
             outs.append(jax.lax.dot_general(
                 p, v_bd, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -180,8 +197,8 @@ def _matmul_kernel(a_ref, b_ref, o_ref):
     import jax
     import jax.numpy as jnp
 
-    o_ref[:] = jax.lax.dot_general(
-        a_ref[:], b_ref[:], (((1,), (0,)), ((), ())),
+    o_ref[0] = jax.lax.dot_general(
+        a_ref[0], b_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
@@ -198,6 +215,9 @@ def main() -> None:
     )
 
     setup_compilation_cache()
+
+    global _TAIL_ONLY
+    _TAIL_ONLY = "--tail" in sys.argv   # just the overhead + in-net rows
 
     B, S, D, H = 256, 197, 384, 6
     Sp = _seq_pad(S, jnp.bfloat16)          # 208
@@ -273,12 +293,13 @@ def main() -> None:
     rows.append(_row("attn_core", core, [(qkv_in,), (qkv_in2,)], f_core))
 
     paired = jax.jit(functools.partial(core_call, _attn_core_paired_kernel))
-    # correctness first: paired must equal unpaired on the valid region
-    ref = core(qkv_in)[:, :S]
-    got = paired(qkv_in)[:, :S]
-    err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
-                                - got.astype(jnp.float32))))
-    assert err < 0.05, f"paired core mismatch: {err}"
+    if not _TAIL_ONLY:
+        # correctness first: paired must equal unpaired on the valid region
+        ref = core(qkv_in)[:, :S]
+        got = paired(qkv_in)[:, :S]
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                                    - got.astype(jnp.float32))))
+        assert err < 0.05, f"paired core mismatch: {err}"
     rows.append(_row("attn_core_paired", paired, [(qkv_in,), (qkv_in2,)],
                      f_core))
 
@@ -311,9 +332,73 @@ def main() -> None:
                              grid=G * BLOCK_B * H))
     rows.append(matmul_probe("sol_pair_208x128x416", Sp, 128, 2 * Sp,
                              grid=G * BLOCK_B * H // 2))
-    # chip sanity: big square matmul
-    rows.append(matmul_probe("sol_big_2048x2048x2048", 2048, 2048, 2048,
-                             grid=8))
+    # chip sanity: big square matmul (1024³ — a 2048² bf16 block + f32
+    # accumulator overflows the 16 MB scoped-vmem stack limit)
+    rows.append(matmul_probe("sol_big_1024x1024x1024", 1024, 1024, 1024,
+                             grid=32))
+
+    # -- XLA full-batch dot at the same geometries ------------------------
+    # If XLA's own schedule beats the per-tile Pallas SoL, the fused
+    # block's grid granularity (M=block_b*Sp rows per step) is the bound,
+    # not the (K, N) geometry itself.
+    def xla_probe(name, K, N, M=B * Sp):
+        a = _mk((M, K), 20)
+        a2 = _mk((M, K), 21)
+        w = _mk((K, N), 22)
+        run = jax.jit(lambda av: jax.lax.dot_general(
+            av, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16))
+        return _row(name, run, [(a,), (a2,)], 2 * M * K * N)
+
+    rows.append(xla_probe("xla_qkv_53248x384x1152", D, 3 * D))
+    rows.append(xla_probe("xla_proj_53248x384x384", D, D))
+    rows.append(xla_probe("xla_mlp1_53248x384x1536", D, 4 * D))
+    rows.append(xla_probe("xla_mlp2_53248x1536x384", 4 * D, D))
+    rows.append(xla_probe("xla_big_4096x4096x4096", 4096, 4096, M=4096))
+
+    # -- per-dispatch overhead probe ---------------------------------------
+    # A near-empty kernel through the same methodology: its "ms" is the
+    # fixed dispatch cost every isolated row above carries (the tunneled
+    # chip adds a substantial per-dispatch floor). Subtract it before
+    # comparing isolated phases with the single-dispatch production net.
+    rows.append(matmul_probe("dispatch_overhead_128x128x128", 128, 128, 128,
+                             grid=1))
+
+    # -- marginal per-block cost inside the production net -----------------
+    # Depth differencing removes dispatch overhead AND keeps cross-layer
+    # pipelining: (t_depth12 − t_depth6) / 6 is the true steady-state cost
+    # of one fused block in situ.
+    from timetuning_tpu.models.vit import ViTConfig, VisionTransformer
+
+    def depth_time(depth):
+        cfg = ViTConfig(patch_size=16, embed_dim=D, depth=depth,
+                        num_heads=H, img_size=224, dtype=jnp.bfloat16)
+        net = VisionTransformer(cfg)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 224, 224, 3)))["params"]
+        frames = [_mk((B, 224, 224, 3), 30 + i) for i in range(2)]
+        fwd = jax.jit(lambda f: net.apply({"params": params}, f)["tokens"])
+        from bench_util import time_chained_fps
+
+        cps = max(
+            time_chained_fps(fwd, [(frames[0],), (frames[1],)], iters=30,
+                             units_per_call=1.0)
+            for _ in range(3)
+        )
+        return 1e3 / cps
+
+    t12, t6 = depth_time(12), depth_time(6)
+    blk_ms = (t12 - t6) / 6
+    blk_flops = f_qkv + f_proj + f_core + f_mlp
+    rows.append({
+        "phase": "block_marginal_in_net (depth12-depth6)/6",
+        "ms": round(blk_ms, 4),
+        "gflops": round(blk_flops / 1e9, 2),
+        "tf_s": round(blk_flops / blk_ms / 1e9, 1),
+        "pct_peak": round(100 * blk_flops / blk_ms / 1e9
+                          / V5E_BF16_PEAK_TFS, 1),
+    })
+    print(json.dumps(rows[-1]), flush=True)
 
     # -- block_b sweep on the production kernels ---------------------------
     for bb in (2, 8):

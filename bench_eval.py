@@ -49,7 +49,7 @@ def main() -> None:
     @jax.jit
     def clip_eval(frames_u8, first_onehots):     # [CB,T,H,W,3], [CB,K,N]
         bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
-        x = eval_preprocess_batch(bt, out_size=S)
+        x = eval_preprocess_batch(bt, out_size=S, compute_dtype=dtype)
         out = bb.module.apply(bb.variables, x)
         feats = out["tokens"][:, 1:].reshape(CB, T, res * res, -1)
         # the batch entry point routes to the fused Pallas propagation

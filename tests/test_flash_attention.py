@@ -103,3 +103,34 @@ def test_flash_kernel_default_single_pass():
     want, _ = attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("S,block_k", [(1300, 512), (1201, 256), (640, 128)])
+def test_flash_streamed_matches_xla(S, block_k):
+    """The K/V-streamed variant (key axis as a grid dimension, carry in
+    scratch — VERDICT r4 #7) is exact: matches XLA softmax attention
+    including ragged tails masked out of the online recurrence."""
+    from timetuning_tpu.ops.flash_attention import (
+        flash_attention_fwd_pallas_streamed,
+    )
+
+    q, k, v = _qkv(S=S)
+    got = flash_attention_fwd_pallas_streamed(
+        q, k, v, block_q=256, block_k=block_k, interpret=True)
+    want, _ = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_flash_streamed_kv_len_mask():
+    from timetuning_tpu.ops.flash_attention import (
+        flash_attention_fwd_pallas_streamed,
+        flash_attention_xla,
+    )
+
+    q, k, v = _qkv(S=512, seed=5)
+    got = flash_attention_fwd_pallas_streamed(
+        q, k, v, kv_len=300, block_q=128, block_k=128, interpret=True)
+    want = flash_attention_xla(q, k, v, kv_len=300)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)

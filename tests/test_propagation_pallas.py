@@ -48,3 +48,15 @@ def test_fused_nonsquare_padding():
                                         topk=5, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fused_eval_length_clip():
+    """T=25 (the davis_val eval length): the per-frame grid kernel must
+    stay exact at eval-length context rolling (n_last=4 — many FIFO
+    wraparounds) before the dispatch gate can admit eval clips."""
+    feats, seg = _inputs(B=2, T=25, N=16, D=16, K=3, seed=4)
+    want = propagate_labels_batch(feats, seg, n_last=4, radius=2, topk=5)
+    got = propagate_labels_batch_pallas(feats, seg, n_last=4, radius=2,
+                                        topk=5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--many_to_one", type=str2bool, default=False)
     p.add_argument("--num_clusters", type=int, default=10)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 runs the backbone AND the 480p "
+                        "preprocess resize in bf16 (the perf path — "
+                        "halves the pipeline's dominant HBM traffic); "
+                        "float32 is bit-faithful to the reference")
     p.add_argument("--clip_batch", type=int, default=1,
                    help="clips per device dispatch — a pure throughput "
                         "knob (the batched program is the same math as "
@@ -60,7 +66,8 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
     from timetuning_tpu.ops.propagation import propagate_labels_batch
     from timetuning_tpu.ops.resize import resize_bilinear, resize_nearest
 
-    bb = get_backbone(args.architecture, args.model_path)
+    cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    bb = get_backbone(args.architecture, args.model_path, dtype=cdt)
     res = bb.spatial_resolution(args.input_resolution)
     S = args.input_resolution
     # clips per device dispatch: the batched program is the bs=1 math
@@ -72,7 +79,7 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
     @jax.jit
     def extract(frames_u8):                      # [CB, T, H, W, 3]
         bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
-        x = eval_preprocess_batch(bt, out_size=S)
+        x = eval_preprocess_batch(bt, out_size=S, compute_dtype=cdt)
         out = bb.module.apply(bb.variables, x)
         tok = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
         return tok.reshape(frames_u8.shape[:2] + tok.shape[1:])

@@ -140,6 +140,110 @@ def flash_attention_fwd_pallas(
     return out[:, :Sq, :Dh].reshape(B, H, Sq, Dh)
 
 
+def _flash_kernel_stream(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                         *, scale: float, seq_len: int, n_kt: int):
+    """K/V-STREAMED grid step: one (query tile, key tile) pair.
+
+    Unlike :func:`_flash_kernel` (whole-K resident in VMEM, key loop inside
+    the program), the key axis is a third grid dimension: Pallas
+    double-buffers the [1, block_k, Dp] K/V tiles, so the next tile's DMA
+    overlaps this tile's compute, and VMEM holds only O(Tq·Tk + Tk·Dh) —
+    sequence length is no longer bounded by K/V residency (the ~16k-token
+    limit of the resident kernel at Dh=64). The online-softmax carry
+    (m, l, acc) lives in VMEM scratch across the key-tile steps of one
+    query tile (the TPU grid is sequential)."""
+    kt = pl.program_id(2)
+    Tq, Dp = q_ref.shape[1], q_ref.shape[2]
+    block_k = k_ref.shape[1]
+
+    @pl.when(kt == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, _NEG)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]
+    s = jax.lax.dot_general(
+        q, k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                                  # [Tq, Tk] f32
+    col = (
+        jax.lax.broadcasted_iota(jnp.int32, (Tq, block_k), 1)
+        + kt * block_k
+    )
+    s = jnp.where(col < seq_len, s, _NEG)
+    m = m_scr[:, 0:1]
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m - m_new)
+    l_scr[:, 0:1] = l_scr[:, 0:1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * corr + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:, 0:1] = m_new
+
+    @pl.when(kt == n_kt - 1)
+    def _():
+        o_ref[0] = (
+            acc_scr[:] / jnp.maximum(l_scr[:, 0:1], 1e-20)
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kv_len", "block_q", "block_k", "interpret")
+)
+def flash_attention_fwd_pallas_streamed(
+    q: jax.Array, k: jax.Array, v: jax.Array, kv_len: int | None = None,
+    block_q: int = 256, block_k: int = 1024, interpret: bool = False,
+) -> jax.Array:
+    """K/V-streaming twin of :func:`flash_attention_fwd_pallas` — grid
+    tiles the key axis too (double-buffered K/V DMA, carry in scratch), so
+    VMEM is independent of sequence length. Measured on v5e (VERDICT r4
+    #7): see bench_flash_stream.py / KNOWN_GAPS.md for the numbers vs the
+    resident-K kernel at each S."""
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    valid = Sk if kv_len is None else kv_len
+    scale = 1.0 / math.sqrt(Dh)
+    G = B * H
+    Dp = pad_to_multiple(Dh, 128)
+    block_q = min(block_q, pad_to_multiple(Sq, 128))
+    block_k = min(block_k, pad_to_multiple(Sk, 128))
+    Sqp = pad_to_multiple(Sq, block_q)
+    Skp = pad_to_multiple(Sk, block_k)
+    n_kt = Skp // block_k
+
+    def prep(x, sp):
+        s = x.shape[2]
+        x = x.reshape(G, s, Dh)
+        return jnp.pad(x, ((0, 0), (0, sp - s), (0, Dp - Dh)))
+
+    qp = prep(q, Sqp)
+    kp = prep(k, Skp)
+    vp = prep(v, Skp)
+
+    q_spec = pl.BlockSpec((1, block_q, Dp), lambda g, i, kt: (g, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, Dp), lambda g, i, kt: (g, kt, 0),
+                           memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_stream, scale=scale, seq_len=valid,
+                          n_kt=n_kt),
+        out_shape=jax.ShapeDtypeStruct((G, Sqp, Dp), q.dtype),
+        grid=(G, Sqp // block_q, n_kt),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :Sq, :Dh].reshape(B, H, Sq, Dh)
+
+
 def flash_attention_xla(q, k, v, kv_len: int | None = None):
     """Reference composition (tests / non-TPU fallback)."""
     from timetuning_tpu.ops.attention import attention_xla

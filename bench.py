@@ -1,23 +1,89 @@
-"""Benchmark: ViT-S/16 dense feature extraction throughput (frames/sec/chip).
+"""Benchmark: the framework's headline workloads, one driver-parseable line.
 
-The BASELINE.json headline workload — dense ``forward_features`` over 224×224
+Primary metric (BASELINE.json headline): ViT-S/16 dense feature extraction
+throughput (frames/sec/chip) — dense ``forward_features`` over 224×224
 frames (the reference's triple-ViT-forward training step is built from this
 primitive; BASELINE.md north star: ≥5,000 frames/sec/chip on TPU v5e).
 
+Since round 5 (VERDICT r4 #3) the single JSON line also carries
+``extra_metrics``: the full train-step clips/s (bench_train.py) and the
+propagation-eval fps (bench_eval.py), plus an MFU summary for every rate
+(achieved TF/s and % of v5e bf16 peak, using the per-unit FLOP counts
+established by bench_mfu.py via XLA cost analysis — docs/mfu_roofline.json).
+A regression in ANY headline now shows in the round-over-round
+BENCH_r*.json record.
+
+Process model: the orchestrating process never imports jax — the tunneled
+dev chip is effectively single-client, and a parent holding a live backend
+while a child dials the chip deadlocks both. Every measurement (headline
+included, via ``--headline_only`` re-invocation) runs in its own
+subprocess under a hard timeout, strictly sequentially.
+
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/sec/chip", "vs_baseline": N,
+   "extra_metrics": [...]}
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 
 
 BASELINE_FPS = 5000.0  # driver-set target (BASELINE.md)
+V5E_BF16_PEAK_TFS = 197.0
+
+# Per-unit model FLOPs (2*MACs, XLA cost_analysis of the attn_impl='xla'
+# twin — methodology + measurement in bench_mfu.py). Keyed by the metric
+# each subprocess prints; turns fresh rates into fresh MFU numbers.
+_GFLOPS_PER_UNIT = {
+    "vit_s16_dense_features_fps": 9.48,
+    "timet_train_step_clips_per_sec": 47.61,
+    "propagation_eval_fps": 10.18,
+}
 
 
-def main() -> None:
+def _mfu(metric: str, rate) -> dict:
+    gf = _GFLOPS_PER_UNIT.get(metric)
+    if not gf or not rate:
+        return {}
+    tf_s = rate * gf / 1e3
+    return {
+        "achieved_tf_s": round(tf_s, 1),
+        "pct_v5e_bf16_peak": round(100.0 * tf_s / V5E_BF16_PEAK_TFS, 1),
+    }
+
+
+def _run_bench(argv: list[str], want_metric: str, timeout_s: int = 1800):
+    """Run one bench in a subprocess; return its JSON row or an error row.
+    Never raises — one workload's failure must not hide the others."""
+    try:
+        proc = subprocess.run(
+            [sys.executable] + argv,
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                row = json.loads(line)
+            except (ValueError, TypeError):
+                continue
+            if row.get("metric") == want_metric:
+                row.update(_mfu(want_metric, row.get("value")))
+                return row
+        return {"metric": want_metric, "error":
+                f"no JSON row (rc={proc.returncode}): "
+                + proc.stderr.strip()[-300:]}
+    except subprocess.TimeoutExpired:
+        return {"metric": want_metric, "error": f"timeout {timeout_s}s"}
+    except Exception as e:  # noqa: BLE001 — keep the headline line printable
+        return {"metric": want_metric, "error": repr(e)}
+
+
+def _headline() -> None:
+    """Measure the dense-feature headline in THIS process (child mode)."""
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +101,7 @@ def main() -> None:
         return feats
 
     # With the whole-block fused kernels (ops/fused_block.py) throughput
-    # scales with batch and plateaus ≈9k fps around batch 256-512 on v5e;
+    # scales with batch and plateaus ≈11k fps around batch 256-512 on v5e;
     # 256 converges fastest to the plateau.
     batch = 256
     # Distinct buffers per iteration: identical repeated inputs can be
@@ -53,16 +119,38 @@ def main() -> None:
         forward, [(params, bufs[0]), (params, bufs[1])],
         iters=40, units_per_call=batch,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "vit_s16_dense_features_fps",
-                "value": round(fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        )
+    print(json.dumps({
+        "metric": "vit_s16_dense_features_fps",
+        "value": round(fps, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+def main() -> int:
+    if "--headline_only" in sys.argv:
+        _headline()
+        return 0
+
+    me = os.path.abspath(__file__)
+    out = _run_bench([me, "--headline_only"], "vit_s16_dense_features_fps")
+    if "error" in out:
+        # still print the one line so the driver records the failure
+        print(json.dumps(out))
+        return 1
+
+    out["extra_metrics"] = [
+        _run_bench(["bench_train.py", "--batch_size", "128"],
+                   "timet_train_step_clips_per_sec"),
+        _run_bench(["bench_eval.py", "--clip_batch", "16"],
+                   "propagation_eval_fps"),
+    ]
+    out["mfu_note"] = (
+        "achieved_tf_s = rate x per-unit model FLOPs (2*MACs, XLA cost "
+        "analysis — bench_mfu.py); peak = 197 TF/s v5e bf16"
     )
+    print(json.dumps(out))
+    return 0
 
 
 if __name__ == "__main__":

@@ -134,3 +134,23 @@ def test_flash_streamed_kv_len_mask():
     want = flash_attention_xla(q, k, v, kv_len=300)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_flash_dispatch_routes_oversized_kv_to_streamed(monkeypatch):
+    """Above the measured resident-K/V VMEM bound the forward must route to
+    the streamed kernel (S=32768 fails scoped-vmem compile resident on
+    v5e; the streamed path runs it)."""
+    import timetuning_tpu.ops.flash_attention as fa
+
+    called = {}
+
+    def fake_streamed(q, k, v, **kw):
+        called["yes"] = True
+        return q
+
+    monkeypatch.setattr(fa, "flash_attention_fwd_pallas_streamed",
+                        fake_streamed)
+    q, k, v = _qkv(S=4, seed=7)
+    big_k = jnp.zeros((1, 2, 32768, 32), jnp.float32)
+    fa.flash_attention_fwd_pallas(q[:, :, :4], big_k, big_k, interpret=True)
+    assert called.get("yes")

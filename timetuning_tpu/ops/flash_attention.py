@@ -107,6 +107,17 @@ def flash_attention_fwd_pallas(
     scale = 1.0 / math.sqrt(Dh)
     G = B * H
     Dp = pad_to_multiple(Dh, 128)
+    if pad_to_multiple(Sk, 128) * Dp * 4 > 10 * 1024 * 1024:
+        # Beyond ~16k tokens at Dp=128 the resident K+V (2·Skp·Dp bf16)
+        # plus the score tile overflow VMEM — measured on v5e: S=32768
+        # fails scoped-vmem compile while the K/V-streamed twin runs at
+        # the same TF/s the resident kernel peaks at (S=16k). Below the
+        # bound the resident kernel is 10-28% faster (bench_flash_stream);
+        # route only the infeasible sizes.
+        return flash_attention_fwd_pallas_streamed(
+            q, k, v, kv_len=kv_len, block_q=block_q,
+            block_k=block_k or 1024, interpret=interpret,
+        )
     if block_k is None:
         skp = pad_to_multiple(Sk, 128)
         block_k = skp if skp <= 4096 else 1024

@@ -45,7 +45,7 @@ def _paint(img, mask, cls, y, x, h, w):
     mask[y:y + h, x:x + w] = cls
 
 
-def build_train_tree(root: str, n_videos=8, n_frames=10, size=96,
+def build_train_tree(root: str, n_videos=16, n_frames=10, size=96,
                      seed=0) -> None:
     import cv2
 
@@ -57,9 +57,11 @@ def build_train_tree(root: str, n_videos=8, n_frames=10, size=96,
         y0, x0 = rng.integers(4, size // 3, size=2)
         vy, vx = rng.integers(1, 4, size=2)
         h, w = rng.integers(size // 4, size // 2, size=2)
-        bg = rng.integers(20, 90, size=3)
+        # FIXED background statistics (small per-pixel noise only): a
+        # per-video random background would dominate the dataset-wise
+        # k-means and collapse every cluster onto background groups
         for f in range(n_frames):
-            img = np.full((size, size, 3), bg, np.uint8)
+            img = rng.integers(40, 60, size=(size, size, 3)).astype(np.uint8)
             mask = np.zeros((size, size), np.uint8)
             y = int(min(y0 + vy * f, size - h - 1))
             x = int(min(x0 + vx * f, size - w - 1))
@@ -77,7 +79,7 @@ def build_voc_tree(root: str, n_train=10, n_val=8, size=96, seed=1) -> None:
     os.makedirs(os.path.join(root, "sets"), exist_ok=True)
     names = [f"img{i:03d}" for i in range(n_train + n_val)]
     for i, n in enumerate(names):
-        img = np.full((size, size, 3), rng.integers(20, 90, size=3), np.uint8)
+        img = rng.integers(40, 60, size=(size, size, 3)).astype(np.uint8)
         mask = np.zeros((size, size), np.uint8)
         cls = int(rng.integers(1, len(_CLASS_COLORS) + 1))
         h, w = rng.integers(size // 4, size // 2, size=2)
@@ -142,6 +144,7 @@ def main() -> int:
         # eval flat — train the last block, like the reference trains its
         # last two of 12
         "--unfreeze_layers", "blocks.1",
+        "--head_lr", "1e-3",
         "--seed", "1",
     ])
     if rc not in (0, None):

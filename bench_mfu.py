@@ -184,7 +184,10 @@ def _prop_row(T=25, S=224, CB=8, iters=10):
 
         def clip_eval(frames_u8, first_onehots):
             bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
-            x = eval_preprocess_batch(bt, out_size=S)
+            # the bf16 preprocess is the production perf path (round 5);
+            # the XLA costing twin keeps the same math
+            x = eval_preprocess_batch(bt, out_size=S,
+                                      compute_dtype=jnp.bfloat16)
             feats = model.apply(params, x)["tokens"][:, 1:]
             feats = feats.reshape(CB, T, res * res, -1)
             segs = propagate_labels_batch(

@@ -306,3 +306,41 @@ def test_export_cli_sp_tp_exclusive(tmp_path):
             "vit-tiny-test", None, 4, 32, "float32",
             tensor_parallel=2, sequence_parallel=2,
         )
+
+
+def test_eval_clis_bfloat16_compute_dtype(davis_tree, capsys):
+    """--compute_dtype bfloat16 (the perf path: bf16 backbone + bf16
+    preprocess resize) runs both eval CLIs and lands within rounding
+    distance of the f32 scores."""
+    common = [
+        "--architecture", "vit-tiny-test",
+        "--dataset", "davis_val",
+        "--data_root", davis_tree,
+        "--num_workers", "2",
+    ]
+    scores = {}
+    for dt in ("float32", "bfloat16"):
+        rc = cli_eval.main(common + [
+            "--batch_size", "2", "--num_frames", "2",
+            "--input_resolution", "32", "--eval_resolution", "16",
+            "--num_clusters", "2",
+            "--evaluation_protocol", "dataset-wise",
+            "--compute_dtype", dt,
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        scores[dt] = float(out.strip().splitlines()[-1].split("score:")[1])
+    assert abs(scores["float32"] - scores["bfloat16"]) < 0.1, scores
+
+    js = {}
+    for dt in ("float32", "bfloat16"):
+        rc = cli_prop.main(common + [
+            "--num_frames", "4", "--n_last_frames", "2",
+            "--size_mask_neighborhood", "2", "--input_resolution", "64",
+            "--metric", "jf", "--compute_dtype", dt,
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        row = [ln for ln in out.splitlines() if "J&F" in ln][-1]
+        js[dt] = float(row.split("'J': ")[1].split(",")[0])
+    assert abs(js["float32"] - js["bfloat16"]) < 0.05, js

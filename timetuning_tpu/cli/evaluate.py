@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_cap", type=int, default=None,
                    help="k-means fit sample size for --streaming "
                         "(default max(256*k, 16384), the faiss subsample rule)")
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="bfloat16 runs the backbone and the preprocess "
+                        "resize in bf16 (the perf path, same contract as "
+                        "cli.propagate); float32 stays bit-faithful")
     p.add_argument("--logging_directory", type=str, default=None,
                    help="write per-clip reordered/raw cluster-map gifs here "
                         "during evaluation (reference evaluation.py:270-300)")
@@ -80,8 +85,10 @@ def main(argv=None) -> int:
 
     # one torch.load total: in prototype mode the backbone weights come
     # from the already-imported TimeT tree instead of a second load
+    cdt = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     bb = get_backbone(
-        args.architecture, None if tree is not None else args.model_path
+        args.architecture, None if tree is not None else args.model_path,
+        dtype=cdt,
     )
     if tree is not None:
         bb.variables = {"params": tree["feature_extractor"]["backbone"]}
@@ -115,7 +122,8 @@ def main(argv=None) -> int:
 
     @partial(jax.jit, static_argnames=("want_attention",))
     def feats_jit(frames_u8, want_attention=False):
-        x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution)
+        x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution,
+                                  compute_dtype=cdt)
         out = bb.module.apply(bb.variables, x, want_attention=want_attention)
         f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
         if head_dims is not None:

@@ -35,7 +35,7 @@ def main() -> None:
 
     setup_compilation_cache()
 
-    from timetuning_tpu.data.transforms import eval_preprocess_batch
+    from timetuning_tpu.data.transforms import eval_preprocess_flat
     from timetuning_tpu.models.registry import get_backbone
     from timetuning_tpu.ops.propagation import propagate_labels_batch
     from timetuning_tpu.ops.resize import resize_bilinear
@@ -45,11 +45,14 @@ def main() -> None:
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     bb = get_backbone("dino-s16", None, dtype=dtype)
     res = bb.spatial_resolution(S)
+    H, W = 480, 854
 
     @jax.jit
-    def clip_eval(frames_u8, first_onehots):     # [CB,T,H,W,3], [CB,K,N]
+    def clip_eval(frames_u8, first_onehots):     # [CB,T,H,W*3], [CB,K,N]
+        # channel-interleaved-flat frames, as the CLI uploads them (the
+        # fused Pallas preprocess wants the flat-born device layout)
         bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
-        x = eval_preprocess_batch(bt, out_size=S, compute_dtype=dtype)
+        x = eval_preprocess_flat(bt, (H, W), out_size=S, compute_dtype=dtype)
         out = bb.module.apply(bb.variables, x)
         feats = out["tokens"][:, 1:].reshape(CB, T, res * res, -1)
         # the batch entry point routes to the fused Pallas propagation
@@ -66,7 +69,7 @@ def main() -> None:
     from bench_util import time_chained_fps
 
     make = jax.jit(lambda key: (
-        jax.random.randint(key, (CB, T, 480, 854, 3), 0, 255, jnp.uint8),
+        jax.random.randint(key, (CB, T, H, W * 3), 0, 255, jnp.uint8),
         jax.random.uniform(key, (CB, K, res * res)),
     ))
     bufs = [make(jax.random.PRNGKey(i)) for i in range(2)]

@@ -7,6 +7,7 @@ import argparse
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from timetuning_tpu.cli.train import str2bool
 from timetuning_tpu.runtime import setup_compilation_cache
@@ -57,7 +58,7 @@ def main(argv=None) -> int:
 
     from timetuning_tpu.data.datasets import SamplingMode
     from timetuning_tpu.data.loader import make_loader
-    from timetuning_tpu.data.transforms import eval_preprocess_batch
+    from timetuning_tpu.data.transforms import eval_preprocess_flat
     from timetuning_tpu.eval.evaluator import Evaluator
     from timetuning_tpu.models.registry import get_backbone
 
@@ -121,9 +122,14 @@ def main(argv=None) -> int:
     from functools import partial
 
     @partial(jax.jit, static_argnames=("want_attention",))
-    def feats_jit(frames_u8, want_attention=False):
-        x = eval_preprocess_batch(frames_u8, out_size=args.input_resolution,
-                                  compute_dtype=cdt)
+    def feats_jit(frames_flat_u8, want_attention=False):
+        # frames arrive with (W, 3) flattened on the host (free view): the
+        # bf16 path then routes to the fused Pallas preprocess on TPU with
+        # a flat-born device layout (ops/preprocess_pallas docstring)
+        h, w3 = frames_flat_u8.shape[-2:]
+        x = eval_preprocess_flat(frames_flat_u8, (h, w3 // 3),
+                                 out_size=args.input_resolution,
+                                 compute_dtype=cdt)
         out = bb.module.apply(bb.variables, x, want_attention=want_attention)
         f = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
         if head_dims is not None:
@@ -133,7 +139,9 @@ def main(argv=None) -> int:
         return f, out.get("attention")
 
     def feature_fn(frames, want_attention=False):
-        return feats_jit(jnp.asarray(frames), want_attention)
+        fr = np.asarray(frames)
+        flat = fr.reshape(fr.shape[:-2] + (fr.shape[-2] * fr.shape[-1],))
+        return feats_jit(jnp.asarray(flat), want_attention)
 
     loader = make_loader(
         args.dataset,

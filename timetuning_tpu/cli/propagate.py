@@ -58,7 +58,7 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
     CLI (one metric) and cli.parity (all three)."""
     from timetuning_tpu.data.datasets import SamplingMode
     from timetuning_tpu.data.loader import make_loader
-    from timetuning_tpu.data.transforms import eval_preprocess_batch
+    from timetuning_tpu.data.transforms import eval_preprocess_flat
     from timetuning_tpu.eval.evaluator import evaluate_localizations, evaluate_propagation
     from timetuning_tpu.eval.metrics import PredsmIoU
     from timetuning_tpu.eval.vos import evaluate_sequence, j_and_f
@@ -77,12 +77,18 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
     CB = max(1, int(getattr(args, "clip_batch", 1)))
 
     @jax.jit
-    def extract(frames_u8):                      # [CB, T, H, W, 3]
-        bt = frames_u8.reshape((-1,) + frames_u8.shape[2:])
-        x = eval_preprocess_batch(bt, out_size=S, compute_dtype=cdt)
+    def extract(frames_flat_u8):                 # [CB, T, H, W*3]
+        # frames arrive channel-interleaved-FLAT (a free numpy view): on
+        # TPU+bf16 the preprocess routes to the fused Pallas kernel, and
+        # the flat-born device layout avoids a ~1.3 ms/200-frame relayout
+        # (ops/preprocess_pallas docstring)
+        bt = frames_flat_u8.reshape((-1,) + frames_flat_u8.shape[2:])
+        h, w3 = bt.shape[-2:]
+        x = eval_preprocess_flat(bt, (h, w3 // 3), out_size=S,
+                                 compute_dtype=cdt)
         out = bb.module.apply(bb.variables, x)
         tok = out["tokens"][:, 1:] if bb.drop_cls else out["tokens"]
-        return tok.reshape(frames_u8.shape[:2] + tok.shape[1:])
+        return tok.reshape(frames_flat_u8.shape[:2] + tok.shape[1:])
 
     @jax.jit
     def propagate_batch(feats, first_onehots):   # [CB, T, N, D], [CB, K, N]
@@ -141,7 +147,10 @@ def run_propagation(args, metrics: tuple = ("jf", "miou", "propagation")) -> dic
             )[0].astype(np.int64)
             onehots.append(np.eye(K, dtype=np.float32)[first].T.reshape(K, -1))
         oh = np.stack(onehots + [onehots[-1]] * (CB - nb))
-        feats = extract(jnp.asarray(fr))
+        # flatten the trailing (W, 3) on the host — a free view — so the
+        # device array is born in the layout the fused preprocess wants
+        fr_flat = fr.reshape(fr.shape[:3] + (fr.shape[3] * fr.shape[4],))
+        feats = extract(jnp.asarray(fr_flat))
         preds = np.asarray(propagate_batch(feats, jnp.asarray(oh)))[:nb]
         for (_, ann, _), pr in zip(group, preds):
             score_clip(ann, pr)

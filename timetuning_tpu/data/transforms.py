@@ -536,3 +536,34 @@ def eval_preprocess_batch(frames, out_size: int = 224,
     x = jax.image.resize(x, lead + (out_size, out_size, 3), method="bilinear")
     mean = jnp.asarray(IMAGENET_MEAN, dt)
     return (x - mean) / jnp.asarray(std, dt)
+
+
+def eval_preprocess_flat(frames_flat, src_hw: tuple, out_size: int = 224,
+                         std: tuple = REFERENCE_STD, compute_dtype=None):
+    """`eval_preprocess_batch` over channel-interleaved-flat frames:
+    ``[..., H, W*3]`` uint8 (a FREE numpy view of ``[..., H, W, 3]`` —
+    same bytes) → ``[..., S, S, 3]``.
+
+    This is the perf entry for high-res eval pipelines: on TPU with
+    ``compute_dtype=bfloat16`` it routes to the fused Pallas kernel
+    (ops/preprocess_pallas — resize+normalize in one pass per frame, raw
+    bytes straight to the int8 MXU). Feeding the flat layout from the host
+    matters: a live ``[.., H, W, 3]`` device array reshaped to
+    ``[.., H, W*3]`` costs a measured ~1.3 ms/200-frame relayout on TPU,
+    while the host-side ``np.reshape`` is free. Anywhere the kernel is
+    unavailable (CPU, f32 faithful path, upscale, non-u8) this unflattens
+    and runs the standard XLA path — same values at the path's dtype."""
+    h, w = src_hw
+    assert frames_flat.shape[-1] == w * 3, (frames_flat.shape, src_hw)
+    lead = frames_flat.shape[:-2]
+    frames4 = frames_flat.reshape(lead + (h, w, 3))
+    dt = jnp.float32 if compute_dtype is None else compute_dtype
+    from timetuning_tpu.ops.preprocess_pallas import (
+        eval_preprocess_pallas,
+        preprocess_pallas_available,
+    )
+    if preprocess_pallas_available(h, w, out_size, frames_flat.dtype, dt):
+        return eval_preprocess_pallas(
+            frames4, out_size, IMAGENET_MEAN, std, out_dtype=dt)
+    return eval_preprocess_batch(
+        frames4, out_size=out_size, std=std, compute_dtype=compute_dtype)

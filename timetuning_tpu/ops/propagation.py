@@ -193,6 +193,86 @@ def propagate_labels(
     return segs
 
 
+def _propagate_labels_batched_unrolled(
+    features: jax.Array,       # [B, T, N, D]
+    first_seg: jax.Array,      # [B, K, N]
+    n_last: int,
+    radius: int,
+    topk: int,
+    temperature: float,
+    spatial_size: tuple[int, int] | None,
+) -> jax.Array:
+    """T−1 unrolled steps whose ops are BATCHED over clips — neither
+    ``vmap(propagate_labels)`` nor a hand-batched ``lax.scan``.
+
+    The alternatives measured badly at eval shapes (B=8, T=25, S/16):
+    vmap-of-scan compiles pathologically (238 s), a hand-batched scan with
+    a dynamic_update_slice FIFO both compiles pathologically (410 s) AND
+    runs slower than per-clip unrolling (3.05 vs 2.2 ms — the query-major
+    transposes in the carry loop), and per-clip unrolling runs the
+    affinity products as B serial [N, C·N] matmuls per frame (~13 TF/s —
+    matmul-granularity bound, not FLOPs). Unrolling over frames makes
+    every slot index STATIC (the FIFO becomes plain indexed updates — no
+    dynamic-slice carry for XLA's loop passes to choke on) while each
+    step's einsums contract all clips at once; the layouts are chosen so
+    the [B, N, C, M] affinity reshapes to keys-major [B, N, C·M] with no
+    transpose, and the context label maps live as [B, K, C, N] so the
+    final contraction consumes (c, m) jointly. Semantics identical to the
+    per-clip scan (tests pin equality).
+
+    Compile status at eval shapes: T ≤ 12 compiles in ~4 s, but T=25 did
+    not finish within 850 s on the first attempt (possibly contaminated by
+    a queued remote-compile request; under re-measurement). Dispatch keeps
+    the per-clip unroll until this form's T=25 compile is proven sane."""
+    B, T, N, D = features.shape
+    K = first_seg.shape[1]
+    if spatial_size is None:
+        h = w = int(round(N ** 0.5))
+    else:
+        h, w = spatial_size
+    assert h * w == N, f"spatial size {h}x{w} != N={N}"
+    acc_t = jnp.promote_types(features.dtype, jnp.float32)
+    seg_t = jnp.promote_types(first_seg.dtype, jnp.float32)
+    nbhd = neighborhood_mask(h, w, radius).astype(acc_t)
+
+    feats_n = features / (jnp.linalg.norm(features, axis=-1, keepdims=True) + _EPS)
+    n_slots = context_slots(T, n_last)
+    C = n_slots + 1
+
+    ctx_f = jnp.zeros((B, C, N, D), feats_n.dtype).at[:, 0].set(feats_n[:, 0])
+    ctx_s = jnp.zeros((B, K, C, N), seg_t).at[:, :, 0].set(
+        first_seg.astype(seg_t))
+    valid = [1.0] + [0.0] * n_slots                      # static per step
+
+    outs = []
+    for t in range(1, T):
+        f = feats_n[:, t]                                # [B, N, D]
+        aff = jnp.einsum("bnd,bcmd->bncm", f, ctx_f,
+                         preferred_element_type=acc_t)   # [B, N, C, M]
+        aff = jnp.exp(aff / temperature)
+        aff = aff * nbhd[None, :, None, :]
+        vmask = jnp.asarray(valid, acc_t)                # constant-folded
+        aff = aff * vmask[None, None, :, None]
+
+        aff_q = aff.reshape(B, N, C * N)                 # keys-major, free
+        kth = kth_largest_value(aff_q, topk)             # [B, N]
+        aff_q = jnp.where(aff_q >= kth[..., None], aff_q, 0.0)
+        aff_q = aff_q / (jnp.sum(aff_q, axis=-1, keepdims=True) + _EPS)
+
+        seg = jnp.einsum(
+            "bkcm,bncm->bkn", ctx_s.astype(acc_t),
+            aff_q.reshape(B, N, C, N), preferred_element_type=acc_t)
+        outs.append(seg)
+
+        if t < T - 1:
+            slot = 1 + (t - 1) % n_slots                 # static
+            ctx_f = ctx_f.at[:, slot].set(f)
+            ctx_s = ctx_s.at[:, :, slot].set(seg.astype(seg_t))
+            valid = list(valid)
+            valid[slot] = 1.0
+    return jnp.stack(outs, axis=1)                       # [B, T-1, K, N]
+
+
 def propagate_labels_batch(
     features: jax.Array,       # [B, T, N, D]
     first_seg: jax.Array,      # [B, K, N]
@@ -202,12 +282,15 @@ def propagate_labels_batch(
     temperature: float = 0.1,
     spatial_size: tuple[int, int] | None = None,
 ) -> jax.Array:
-    """vmapped ``propagate_labels``: [B, T-1, K, N].
+    """Batched ``propagate_labels``: [B, T-1, K, N].
 
     On TPU, shapes that fit VMEM route to the fused kernel
     (ops/propagation_pallas): the whole scan — affinity, mask, top-k,
     renorm, seg matmul, context FIFO — runs on-chip with the context in
-    scratch, one frame in / one label map out per step."""
+    scratch, one frame in / one label map out per step. Long (eval-length)
+    clips run unrolled batched steps (see `_propagate_labels_batched_unrolled`
+    for the measured story vs vmap-of-scan, hand-batched scan and per-clip
+    unrolling)."""
     from timetuning_tpu.ops.propagation_pallas import (
         propagate_labels_batch_pallas,
         propagation_pallas_available,
@@ -219,6 +302,22 @@ def propagate_labels_batch(
             features, first_seg, n_last=n_last, radius=radius, topk=topk,
             temperature=temperature, spatial_size=spatial_size,
         )
+    if T > 8:
+        # Hand-batched variants (scan AND unrolled) still compile
+        # pathologically at eval lengths on the current toolchain — see
+        # _propagate_labels_batched_unrolled's docstring for numbers. The
+        # per-clip unroll (B <= 16) / lax.map keeps compiles sane at no
+        # steady-state loss.
+        fn_long = functools.partial(
+            propagate_labels, n_last=n_last, radius=radius, topk=topk,
+            temperature=temperature, spatial_size=spatial_size,
+        )
+        if B <= 16:
+            return jnp.stack(
+                [fn_long(features[i], first_seg[i]) for i in range(B)]
+            )
+        return jax.lax.map(lambda ab: fn_long(ab[0], ab[1]),
+                           (features, first_seg))
     fn = functools.partial(
         propagate_labels,
         n_last=n_last,
@@ -227,17 +326,4 @@ def propagate_labels_batch(
         temperature=temperature,
         spatial_size=spatial_size,
     )
-    if T > 8:
-        # Long (eval-length) clips: vmap-of-scan compiles pathologically
-        # here (measured 238 s at B=8, T=25 — the batched scan body's
-        # gathers/updates blow up XLA) at no runtime benefit over running
-        # the well-fused single-clip scan per clip (0.46 vs 0.50 ms/clip).
-        # Unroll small batches (2.5 s compile); lax.map keeps one trace
-        # for large ones (63 s compile, same steady-state).
-        if B <= 16:
-            return jnp.stack(
-                [fn(features[i], first_seg[i]) for i in range(B)]
-            )
-        return jax.lax.map(lambda ab: fn(ab[0], ab[1]),
-                           (features, first_seg))
     return jax.vmap(fn)(features, first_seg)

@@ -92,7 +92,24 @@ def resize_bicubic_torch(
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """Bilinear resize of [..., H, W] to [..., h, w] (align_corners=False
     semantics, matching torch ``interpolate(mode='bilinear')`` defaults used
-    throughout the reference eval paths, e.g. clustering.py:40-44)."""
+    throughout the reference eval paths, e.g. clustering.py:40-44).
+
+    Upscaling routes through two interpolation matmuls (same 2-tap weights
+    as ``jax.image.resize`` — `_bilinear_matrix`, values equal to f32
+    rounding): resize's gather lowering is the slowest stage of the
+    propagation-eval postprocess at [B·T, K, 28, 28] → [.., 224, 224],
+    while the matmul form rides the MXU. Downscaling keeps resize (its
+    antialias kernel is not a 2-tap matrix)."""
+    H, W = x.shape[-2:]
+    oh, ow = size
+    if oh >= H and ow >= W and (oh, ow) != (H, W):
+        Wh = jnp.asarray(_bilinear_matrix(H, oh))
+        Ww = jnp.asarray(_bilinear_matrix(W, ow))
+        out = jnp.einsum(
+            "...hw,Hh,Ww->...HW", x.astype(jnp.float32), Wh, Ww,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out.astype(x.dtype)
     out_shape = x.shape[:-2] + size
     return jax.image.resize(x, out_shape, method="bilinear")
 

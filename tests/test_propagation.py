@@ -129,3 +129,24 @@ def test_kth_largest_matches_topk():
     np.testing.assert_array_equal(
         np.asarray(kth_largest_value(y, 3)), np.ones(4)
     )
+
+
+def test_batched_unrolled_form_matches_single():
+    """`_propagate_labels_batched_unrolled` is kept in-tree for a future
+    toolchain (its T=25 XLA compile is pathological on the current one —
+    KNOWN_GAPS.md) but must stay semantically exact vs the per-clip scan,
+    including FIFO wraparound (T > n_slots+1)."""
+    from timetuning_tpu.ops.propagation import _propagate_labels_batched_unrolled
+
+    rng = np.random.default_rng(7)
+    B, T, h, w, D, K = 4, 9, 5, 5, 8, 3
+    feats = rng.normal(size=(B, T, h * w, D)).astype(np.float32)
+    segs = rng.random(size=(B, K, h * w)).astype(np.float32)
+    got = np.asarray(_propagate_labels_batched_unrolled(
+        jnp.asarray(feats), jnp.asarray(segs), 3, 2, 4, 0.1, None))
+    for b in range(B):
+        single = np.asarray(
+            propagate_labels(jnp.asarray(feats[b]), jnp.asarray(segs[b]),
+                             n_last=3, radius=2, topk=4)
+        )
+        np.testing.assert_allclose(got[b], single, rtol=1e-5, atol=1e-6)
